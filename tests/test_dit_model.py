@@ -1,0 +1,164 @@
+"""Shape/semantics tests for the DiT conditional generation model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acestep_tpu.config import AceStepConfig
+from acestep_tpu.models import dit
+from acestep_tpu.params import init_acestep_params
+
+TINY = AceStepConfig(
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    sliding_window=8,
+    text_hidden_dim=32,
+    num_lyric_encoder_hidden_layers=2,
+    num_timbre_encoder_hidden_layers=1,
+    num_attention_pooler_hidden_layers=1,
+    fsq_dim=64,
+    timbre_fix_frame=10,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_acestep_params(jax.random.PRNGKey(0), TINY, jnp.float32)
+
+
+def _inputs(b=2, t=20, text_len=7, lyric_len=9, n_refs=3):
+    rng = np.random.default_rng(0)
+    f32 = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32))
+    return dict(
+        text_hidden_states=f32(b, text_len, TINY.text_hidden_dim),
+        text_attention_mask=jnp.ones((b, text_len), jnp.int32),
+        lyric_hidden_states=f32(b, lyric_len, TINY.text_hidden_dim),
+        lyric_attention_mask=jnp.ones((b, lyric_len), jnp.int32),
+        refer_packed=f32(n_refs, TINY.timbre_fix_frame, TINY.timbre_hidden_dim),
+        refer_order_mask=jnp.asarray([0, 0, 1]),
+        src_latents=f32(b, t, TINY.audio_acoustic_hidden_dim),
+        chunk_masks=jnp.ones((b, t, TINY.audio_acoustic_hidden_dim), jnp.float32),
+        is_covers=jnp.asarray([0, 1]),
+        silence_latent=f32(1, t, TINY.audio_acoustic_hidden_dim),
+    )
+
+
+def test_tokenize_detokenize_shapes(params):
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 20, 64)).astype(np.float32))
+    quantized, indices = dit.audio_tokenize(params["tokenizer"], TINY, x)
+    assert quantized.shape == (2, 4, TINY.fsq_dim)
+    assert indices.shape == (2, 4)
+    assert int(jnp.max(indices)) < TINY.codebook_size
+
+    out = dit.detokenizer(params["detokenizer"], TINY, quantized)
+    assert out.shape == (2, 20, 64)
+
+
+def test_decode_audio_codes_matches_tokenizer_projection(params):
+    """Indices → hints must round-trip through the same FSQ code values."""
+    from acestep_tpu.ops.fsq import residual_fsq_decode_indices, residual_fsq_forward
+
+    rng = np.random.default_rng(2)
+    z = jnp.asarray(rng.standard_normal((2, 4, TINY.fsq_dim)).astype(np.float32))
+    quantized, indices = residual_fsq_forward(params["tokenizer"]["quantizer"], z, TINY.fsq_levels)
+    decoded = residual_fsq_decode_indices(
+        params["tokenizer"]["quantizer"], indices, TINY.fsq_levels, jnp.float32
+    )
+    np.testing.assert_allclose(np.asarray(decoded), np.asarray(quantized), atol=1e-5)
+
+
+def test_prepare_condition_shapes(params):
+    inp = _inputs()
+    enc, enc_mask, ctx = dit.prepare_condition(
+        params,
+        TINY,
+        text_hidden_states=inp["text_hidden_states"],
+        text_attention_mask=inp["text_attention_mask"],
+        lyric_hidden_states=inp["lyric_hidden_states"],
+        lyric_attention_mask=inp["lyric_attention_mask"],
+        refer_packed=inp["refer_packed"],
+        refer_order_mask=inp["refer_order_mask"],
+        src_latents=inp["src_latents"],
+        chunk_masks=inp["chunk_masks"],
+        is_covers=inp["is_covers"],
+        silence_latent=inp["silence_latent"],
+        max_refs=2,
+    )
+    b, t = 2, 20
+    # lyric(9) + timbre(max_refs 2) + text(7) = 18
+    assert enc.shape == (b, 18, TINY.hidden_size)
+    assert enc_mask.shape == (b, 18)
+    # item 0 has 2 refs, item 1 has 1 → valid counts 9+2+7 / 9+1+7
+    assert np.asarray(enc_mask).sum(axis=1).tolist() == [18, 17]
+    assert ctx.shape == (b, t, 128)
+
+
+def test_dit_forward_velocity_shape(params):
+    inp = _inputs()
+    enc, enc_mask, ctx = dit.prepare_condition(
+        params, TINY,
+        text_hidden_states=inp["text_hidden_states"],
+        text_attention_mask=inp["text_attention_mask"],
+        lyric_hidden_states=inp["lyric_hidden_states"],
+        lyric_attention_mask=inp["lyric_attention_mask"],
+        refer_packed=inp["refer_packed"],
+        refer_order_mask=inp["refer_order_mask"],
+        src_latents=inp["src_latents"],
+        chunk_masks=inp["chunk_masks"],
+        is_covers=inp["is_covers"],
+        silence_latent=inp["silence_latent"],
+        max_refs=2,
+    )
+    kvs = dit.precompute_cross_kv(params["decoder"], TINY, enc)
+    xt = inp["src_latents"]
+    t = jnp.full((2,), 0.5)
+    v = dit.dit_forward(params["decoder"], TINY, xt, t, t, ctx, kvs, encoder_mask=enc_mask)
+    assert v.shape == xt.shape
+    assert bool(jnp.all(jnp.isfinite(v)))
+
+
+def test_generate_audio_ode_shapes_and_determinism(params):
+    inp = _inputs()
+    out1 = dit.generate_audio(params, TINY, seeds=[7, 8], shift=3.0, **inp)
+    out2 = dit.generate_audio(params, TINY, seeds=[7, 8], shift=3.0, **inp)
+    assert out1["target_latents"].shape == (2, 20, 64)
+    assert out1["num_steps"] == 8
+    np.testing.assert_array_equal(
+        np.asarray(out1["target_latents"]), np.asarray(out2["target_latents"])
+    )
+    # Different seeds → different output
+    out3 = dit.generate_audio(params, TINY, seeds=[9, 10], shift=3.0, **inp)
+    assert np.abs(np.asarray(out1["target_latents"]) - np.asarray(out3["target_latents"])).max() > 1e-5
+
+
+def test_generate_audio_cfg_and_schedules(params):
+    inp = _inputs()
+    out = dit.generate_audio(
+        params, TINY, seeds=[1, 2], infer_steps=4, shift=1.0,
+        guidance_scale=3.0, cfg_interval_start=0.0, cfg_interval_end=1.0, **inp
+    )
+    assert out["target_latents"].shape == (2, 20, 64)
+    assert out["num_steps"] == 4
+    assert bool(jnp.all(jnp.isfinite(out["target_latents"])))
+
+
+def test_build_t_schedule_snapping():
+    assert dit.build_t_schedule(3.0) == dit.SHIFT_TIMESTEPS[3.0]
+    assert dit.build_t_schedule(2.7) == dit.SHIFT_TIMESTEPS[3.0]
+    snapped = dit.build_t_schedule(timesteps=[0.99, 0.51, 0.24, 0.0, 0.0])
+    assert len(snapped) == 3
+    assert snapped[0] == 1.0 and snapped[1] == 0.5
+    lin = dit.build_linspace_schedule(10, shift=1.0)
+    assert len(lin) == 10 and lin[0] == 1.0
+
+
+def test_timestep_embedding_shapes(params):
+    temb, proj = dit.timestep_embedding(params["decoder"]["time_embed"], jnp.asarray([0.5, 1.0]))
+    assert temb.shape == (2, TINY.hidden_size)
+    assert proj.shape == (2, 6, TINY.hidden_size)
