@@ -67,6 +67,62 @@ def _split_heads(x: jax.Array, num_heads: int, head_dim: int) -> jax.Array:
     return x.reshape(b, l, num_heads, head_dim)
 
 
+# ---------------------------------------------------------------------------
+# Layer stacking: alternating sliding/full layers → two stacked pytrees.
+#
+# TPU-first: 24 unrolled transformer layers make a huge HLO (slow compiles);
+# scanning over stacked layer params compiles ONE pair of layers and loops.
+# Valid whenever layer count is even and types alternate sliding/full
+# (the reference default, `configuration_acestep_v15.py:251-255`).
+# ---------------------------------------------------------------------------
+
+
+def can_stack_layers(cfg: AceStepConfig, n_layers: int) -> bool:
+    if n_layers % 2:
+        return False
+    return all(
+        cfg.layer_type(i) == ("sliding_attention" if (i + 1) % 2 else "full_attention")
+        for i in range(n_layers)
+    )
+
+
+def stack_layers_by_parity(layers: Sequence[Params]) -> Dict[str, Params]:
+    """[L0(sliding), L1(full), L2(sliding), ...] → {"sliding": stacked, "full": stacked}."""
+    sliding = [layers[i] for i in range(0, len(layers), 2)]
+    full = [layers[i] for i in range(1, len(layers), 2)]
+    stack = lambda group: jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+    return {"sliding": stack(sliding), "full": stack(full)}
+
+
+def stack_acestep_params(params: Params, cfg: AceStepConfig) -> Params:
+    """Stack all alternating layer lists in an AceStep param tree (in a copy)."""
+    import copy
+
+    out = dict(params)
+    if can_stack_layers(cfg, cfg.num_hidden_layers):
+        out["decoder"] = dict(params["decoder"])
+        out["decoder"]["layers"] = stack_layers_by_parity(params["decoder"]["layers"])
+    enc = dict(params["encoder"])
+    for name, n in (
+        ("lyric_encoder", cfg.num_lyric_encoder_hidden_layers),
+        ("timbre_encoder", cfg.num_timbre_encoder_hidden_layers),
+    ):
+        if can_stack_layers(cfg, n):
+            enc[name] = dict(enc[name])
+            enc[name]["layers"] = stack_layers_by_parity(params["encoder"][name]["layers"])
+    out["encoder"] = enc
+    if can_stack_layers(cfg, cfg.num_attention_pooler_hidden_layers):
+        tok = dict(params["tokenizer"])
+        pooler = dict(tok["attention_pooler"])
+        pooler["layers"] = stack_layers_by_parity(tok["attention_pooler"]["layers"])
+        tok["attention_pooler"] = pooler
+        out["tokenizer"] = tok
+        detok = dict(params["detokenizer"])
+        detok["layers"] = stack_layers_by_parity(params["detokenizer"]["layers"])
+        out["detokenizer"] = detok
+    return out
+
+
 def cross_attention_kv(p: Params, cfg: AceStepConfig, enc: jax.Array):
     """Precompute cross-attention K/V once per trajectory (ref cache :307-326)."""
     k = _split_heads(linear(p["k_proj"], enc), cfg.num_key_value_heads, cfg.head_dim)
@@ -124,13 +180,17 @@ def encoder_layer(
 
 
 def encoder_stack(
-    layers: Sequence[Params],
+    layers,
     norm_w: jax.Array,
     cfg: AceStepConfig,
     x: jax.Array,
     seq_mask: Optional[jax.Array],
 ) -> jax.Array:
-    """Run bidirectional encoder layers with alternating sliding/full attention."""
+    """Run bidirectional encoder layers with alternating sliding/full attention.
+
+    `layers` is either a list of per-layer params (unrolled) or a
+    {"sliding", "full"} stacked dict (scanned over layer pairs).
+    """
     l = x.shape[1]
     cos, sin = rope_cos_sin(l, cfg.head_dim, cfg.rope_theta)
     full_mask = make_attention_bias(l, kv_mask=seq_mask)
@@ -138,9 +198,19 @@ def encoder_stack(
         sliding_mask = make_attention_bias(l, kv_mask=seq_mask, window=cfg.sliding_window)
     else:
         sliding_mask = full_mask
-    for i, lp in enumerate(layers):
-        m = sliding_mask if cfg.layer_type(i) == "sliding_attention" else full_mask
-        x = encoder_layer(lp, cfg, x, cos, sin, m)
+
+    if isinstance(layers, dict):
+        def pair(h, pair_params):
+            p_s, p_f = pair_params
+            h = encoder_layer(p_s, cfg, h, cos, sin, sliding_mask)
+            h = encoder_layer(p_f, cfg, h, cos, sin, full_mask)
+            return h, None
+
+        x, _ = jax.lax.scan(pair, x, (layers["sliding"], layers["full"]))
+    else:
+        for i, lp in enumerate(layers):
+            m = sliding_mask if cfg.layer_type(i) == "sliding_attention" else full_mask
+            x = encoder_layer(lp, cfg, x, cos, sin, m)
     return rms_norm(norm_w, x, cfg.rms_norm_eps)
 
 
@@ -276,11 +346,19 @@ def dit_layer(
 
 
 def precompute_cross_kv(p_decoder: Params, cfg: AceStepConfig, encoder_hidden_states: jax.Array):
-    """condition_embedder + per-layer cross K/V, computed once per trajectory."""
+    """condition_embedder + per-layer cross K/V, computed once per trajectory.
+
+    Returns a list of (k, v) per layer (unrolled mode), or a {"sliding", "full"}
+    dict of stacked (k, v) (scan mode).
+    """
     enc = linear(p_decoder["condition_embedder"], encoder_hidden_states)
-    return [
-        cross_attention_kv(lp["cross_attn"], cfg, enc) for lp in p_decoder["layers"]
-    ]
+    layers = p_decoder["layers"]
+    if isinstance(layers, dict):
+        kv = lambda stacked: jax.vmap(
+            lambda lp: cross_attention_kv(lp["cross_attn"], cfg, enc)
+        )(stacked)
+        return {"sliding": kv(layers["sliding"]), "full": kv(layers["full"])}
+    return [cross_attention_kv(lp["cross_attn"], cfg, enc) for lp in layers]
 
 
 def dit_forward(
@@ -324,9 +402,22 @@ def dit_forward(
     if encoder_mask is not None:
         cross_mask = encoder_mask.astype(bool)[:, None, None, :]
 
-    for i, lp in enumerate(p["layers"]):
-        m = sliding_mask if cfg.layer_type(i) == "sliding_attention" else full_mask
-        h = dit_layer(lp, cfg, h, cos, sin, tproj, m, cross_mask, cross_kvs[i])
+    layers = p["layers"]
+    if isinstance(layers, dict):
+        def pair(hc, xs):
+            p_s, kv_s, p_f, kv_f = xs
+            hc = dit_layer(p_s, cfg, hc, cos, sin, tproj, sliding_mask, cross_mask, kv_s)
+            hc = dit_layer(p_f, cfg, hc, cos, sin, tproj, full_mask, cross_mask, kv_f)
+            return hc, None
+
+        h, _ = jax.lax.scan(
+            pair, h,
+            (layers["sliding"], cross_kvs["sliding"], layers["full"], cross_kvs["full"]),
+        )
+    else:
+        for i, lp in enumerate(layers):
+            m = sliding_mask if cfg.layer_type(i) == "sliding_attention" else full_mask
+            h = dit_layer(lp, cfg, h, cos, sin, tproj, m, cross_mask, cross_kvs[i])
 
     mod = p["scale_shift_table"].astype(jnp.float32) + temb.astype(jnp.float32)[:, None]
     shift, scale = [m.astype(h.dtype) for m in jnp.split(mod, 2, axis=1)]
@@ -630,6 +721,12 @@ def denoise_scan(
     return x_final
 
 
+# Jitted wrappers reused across generate_audio calls (params passed as
+# arguments — never closed over, so they don't bake into the HLO).
+_prepare_condition_jit = jax.jit(prepare_condition, static_argnames=("cfg", "max_refs"))
+_precompute_cross_kv_jit = jax.jit(precompute_cross_kv, static_argnames=("cfg",))
+
+
 def generate_audio(
     params: Params,
     cfg: AceStepConfig,
@@ -674,7 +771,7 @@ def generate_audio(
     else:
         schedule = build_t_schedule(shift, timesteps)
 
-    enc, enc_mask, context_latents = prepare_condition(
+    enc, enc_mask, context_latents = _prepare_condition_jit(
         params,
         cfg,
         text_hidden_states=text_hidden_states,
@@ -717,7 +814,7 @@ def generate_audio(
     if audio_cover_strength < 1.0 and cover_steps < num_steps:
         assert silence_latent is not None
         sil = jnp.broadcast_to(silence_latent[:, :t, :], (b, t, d)).astype(src_latents.dtype)
-        enc_nc, enc_mask_nc, context_nc = prepare_condition(
+        enc_nc, enc_mask_nc, context_nc = _prepare_condition_jit(
             params,
             cfg,
             text_hidden_states=(
@@ -754,14 +851,14 @@ def generate_audio(
     for (s0, s1, seg_enc, seg_mask, seg_ctx) in segments:
         if s1 <= s0:
             continue
-        kvs = precompute_cross_kv(dec, cfg, seg_enc)
+        kvs = _precompute_cross_kv_jit(dec, cfg, seg_enc)
         null_kvs = None
         null_mask = None
         if use_cfg:
             null_states = jnp.broadcast_to(
                 null_emb.astype(seg_enc.dtype), seg_enc.shape
             )
-            null_kvs = precompute_cross_kv(dec, cfg, null_states)
+            null_kvs = _precompute_cross_kv_jit(dec, cfg, null_states)
             null_mask = seg_mask
         sde_keys = None
         if infer_method == "sde":

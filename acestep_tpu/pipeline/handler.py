@@ -1,0 +1,592 @@
+"""Generation orchestration — the TPU equivalent of the reference's
+35-mixin AceStepHandler (`acestep/handler.py:61-168`, mixins under
+`acestep/core/generation/handler/`).
+
+Host side (numpy): task/instruction resolution, seeds, repaint spans, chunk
+masks, prompt formatting, tokenization, bucketing. Device side (jit): text
+encoding, condition preparation, the scan-based denoise trajectory, tiled VAE
+decode. Static shape buckets bound XLA recompilation (SURVEY §7.3).
+
+No VRAM tiers, no offload ladders, no attention fallback chains — the TPU
+memory model makes those reference subsystems unnecessary (SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import re
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acestep_tpu.config import (
+    AceStepConfig,
+    LATENT_FPS,
+    LATENT_HOP,
+    OobleckConfig,
+    Qwen3Config,
+    SAMPLE_RATE,
+)
+from acestep_tpu.models import dit, qwen3, vae
+from acestep_tpu.params import init_acestep_params
+from acestep_tpu.utils import audio as audio_utils
+from acestep_tpu.utils.constants import (
+    DEFAULT_DIT_INSTRUCTION,
+    MAX_AUDIO_CODE,
+    SFT_GEN_PROMPT,
+    TASK_INSTRUCTIONS,
+)
+from acestep_tpu.utils.tokenizer import load_tokenizer, pick_bucket, tokenize_padded
+
+LATENT_BUCKETS = (250, 500, 750, 1500, 2250, 3000, 4500, 6000, 7500, 15000)
+TEXT_BUCKETS = (64, 128, 256)
+LYRIC_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+AUDIO_CODE_RE = re.compile(r"<\|audio_code_(\d+)\|>")
+
+
+class AceStepHandler:
+    """Loads models and runs the DiT-side generation pipeline."""
+
+    sample_rate = SAMPLE_RATE
+
+    def __init__(
+        self,
+        config: Optional[AceStepConfig] = None,
+        vae_config: Optional[OobleckConfig] = None,
+        text_config: Optional[Qwen3Config] = None,
+        dtype=jnp.bfloat16,
+    ):
+        self.config = config or AceStepConfig()
+        self.vae_config = vae_config or OobleckConfig()
+        self.text_config = text_config or Qwen3Config()
+        self.dtype = dtype
+
+        self.params: Optional[Dict[str, Any]] = None
+        self.vae_params: Optional[Dict[str, Any]] = None
+        self.text_params: Optional[Dict[str, Any]] = None
+        self.text_tokenizer = None
+        self.silence_latent: Optional[np.ndarray] = None  # (1, T, 64)
+        self.initialized = False
+        self._last_time_costs: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    # Initialization (ref init_service_orchestrator.py:15-140)
+    # ------------------------------------------------------------------
+
+    def initialize_service(
+        self,
+        checkpoint_dir: Optional[str] = None,
+        *,
+        random_init: Optional[bool] = None,
+        seed: int = 0,
+    ) -> str:
+        """Load checkpoints if available; otherwise random-init (dev mode)."""
+        t0 = time.time()
+        if random_init is None:
+            random_init = checkpoint_dir is None or not os.path.isdir(checkpoint_dir)
+
+        if random_init:
+            key = jax.random.PRNGKey(seed)
+            k1, k2, k3 = jax.random.split(key, 3)
+            self.params = init_acestep_params(k1, self.config, self.dtype)
+            self.vae_params = vae.init_oobleck_params(k2, self.vae_config, jnp.float32)
+            self.text_params = qwen3.init_qwen3_params(k3, self.text_config, self.dtype)
+            self.silence_latent = np.zeros((1, 750, self.config.audio_acoustic_hidden_dim), np.float32)
+            self.text_tokenizer = load_tokenizer(None)
+        else:
+            self._load_from_checkpoint(checkpoint_dir)
+
+        # Stack alternating layers for scan-based execution (compile-time win).
+        self.params = dit.stack_acestep_params(self.params, self.config)
+
+        self.initialized = True
+        return f"initialized in {time.time() - t0:.1f}s (random_init={random_init})"
+
+    def _load_from_checkpoint(self, checkpoint_dir: str) -> None:
+        from acestep_tpu.params import convert_torch_state_dict, load_safetensors_state
+        from acestep_tpu.models.vae import convert_torch_vae_state
+        from acestep_tpu.models.qwen3 import convert_torch_qwen3_state
+
+        # DiT (config.json + safetensors at checkpoint root)
+        cfg_path = os.path.join(checkpoint_dir, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                raw = json.load(f)
+            fields = {f.name for f in __import__("dataclasses").fields(AceStepConfig)}
+            rename = {"fsq_input_levels": "fsq_levels", "fsq_input_num_quantizers": "fsq_num_quantizers"}
+            kw = {}
+            for k, v in raw.items():
+                k = rename.get(k, k)
+                if k in fields:
+                    kw[k] = tuple(v) if isinstance(v, list) else v
+            self.config = AceStepConfig(**kw)
+        state = load_safetensors_state(checkpoint_dir)
+        self.params = convert_torch_state_dict(state, self.config, self.dtype)
+
+        # silence latent (torch tensor .pt → load via torch if available)
+        sil_path = os.path.join(checkpoint_dir, "silence_latent.pt")
+        if os.path.exists(sil_path):
+            import torch
+
+            sil = torch.load(sil_path, map_location="cpu", weights_only=True)
+            sil = np.asarray(sil.float().numpy(), np.float32)
+            if sil.ndim == 2:
+                sil = sil[None]
+            self.silence_latent = sil
+        else:
+            self.silence_latent = np.zeros((1, 750, self.config.audio_acoustic_hidden_dim), np.float32)
+
+        # VAE
+        vae_dir = os.path.join(checkpoint_dir, "vae")
+        vcfg_path = os.path.join(vae_dir, "config.json")
+        if os.path.exists(vcfg_path):
+            with open(vcfg_path) as f:
+                vraw = json.load(f)
+            self.vae_config = OobleckConfig(
+                encoder_hidden_size=vraw.get("encoder_hidden_size", 128),
+                downsampling_ratios=tuple(vraw.get("downsampling_ratios", (2, 4, 4, 6, 10))),
+                channel_multiples=tuple(vraw.get("channel_multiples", (1, 2, 4, 8, 16))),
+                decoder_channels=vraw.get("decoder_channels", 128),
+                decoder_input_channels=vraw.get("decoder_input_channels", 64),
+                audio_channels=vraw.get("audio_channels", 2),
+                sampling_rate=vraw.get("sampling_rate", 48_000),
+            )
+            vstate = load_safetensors_state(vae_dir)
+            self.vae_params = convert_torch_vae_state(vstate, self.vae_config, jnp.float32)
+
+        # Text encoder
+        te_dir = os.path.join(checkpoint_dir, "Qwen3-Embedding-0.6B")
+        if os.path.isdir(te_dir):
+            tcfg_path = os.path.join(te_dir, "config.json")
+            with open(tcfg_path) as f:
+                traw = json.load(f)
+            self.text_config = Qwen3Config(
+                vocab_size=traw["vocab_size"],
+                hidden_size=traw["hidden_size"],
+                intermediate_size=traw["intermediate_size"],
+                num_hidden_layers=traw["num_hidden_layers"],
+                num_attention_heads=traw["num_attention_heads"],
+                num_key_value_heads=traw["num_key_value_heads"],
+                head_dim=traw.get("head_dim", 128),
+                rope_theta=traw.get("rope_theta", 1e6),
+                tie_word_embeddings=traw.get("tie_word_embeddings", True),
+            )
+            tstate = load_safetensors_state(te_dir)
+            self.text_params = convert_torch_qwen3_state(tstate, self.text_config, self.dtype)
+            self.text_tokenizer = load_tokenizer(te_dir)
+        else:
+            self.text_tokenizer = load_tokenizer(None)
+
+    # ------------------------------------------------------------------
+    # Host-side conditioning helpers
+    # ------------------------------------------------------------------
+
+    def prepare_seeds(self, batch_size: int, seed, use_random: bool) -> Tuple[List[int], str]:
+        """Per-item seeds (ref task_utils.py:19-66)."""
+        import random as _random
+
+        seeds: List[int] = []
+        if use_random or seed is None:
+            seeds = [_random.randint(0, 2**32 - 1) for _ in range(batch_size)]
+        else:
+            if isinstance(seed, str):
+                parts = [s.strip() for s in seed.split(",")]
+                vals = []
+                for s in parts:
+                    try:
+                        vals.append(int(float(s)) if s not in ("", "-1") else -1)
+                    except ValueError:
+                        vals.append(-1)
+            elif isinstance(seed, (int, float)):
+                vals = [int(seed)]
+            elif isinstance(seed, (list, tuple)):
+                vals = [int(s) for s in seed]
+            else:
+                vals = [-1]
+            single = len(vals) == 1 and vals[0] != -1
+            for i in range(batch_size):
+                v = vals[i] if i < len(vals) else -1
+                if single and batch_size > 1 and i > 0:
+                    seeds.append(_random.randint(0, 2**32 - 1))
+                elif v == -1:
+                    seeds.append(_random.randint(0, 2**32 - 1))
+                else:
+                    seeds.append(v)
+        return seeds, ", ".join(str(s) for s in seeds)
+
+    def generate_instruction(
+        self,
+        task_type: str,
+        track_name: Optional[str] = None,
+        complete_track_classes: Optional[List[str]] = None,
+    ) -> str:
+        """Task → instruction text (ref task_utils.py:69-101)."""
+        if task_type in ("text2music", "repaint", "cover"):
+            return TASK_INSTRUCTIONS[task_type]
+        if task_type == "extract":
+            return (
+                TASK_INSTRUCTIONS["extract"].format(TRACK_NAME=track_name.upper())
+                if track_name
+                else TASK_INSTRUCTIONS["extract_default"]
+            )
+        if task_type == "lego":
+            return (
+                TASK_INSTRUCTIONS["lego"].format(TRACK_NAME=track_name.upper())
+                if track_name
+                else TASK_INSTRUCTIONS["lego_default"]
+            )
+        if task_type == "complete":
+            if complete_track_classes:
+                return TASK_INSTRUCTIONS["complete"].format(
+                    TRACK_CLASSES=" | ".join(t.upper() for t in complete_track_classes)
+                )
+            return TASK_INSTRUCTIONS["complete_default"]
+        return TASK_INSTRUCTIONS["text2music"]
+
+    @staticmethod
+    def parse_audio_codes(code_str: str) -> List[int]:
+        """``<|audio_code_N|>`` → clamped ints (ref audio_codes.py:21-46)."""
+        if not code_str:
+            return []
+        return [max(0, min(int(x), MAX_AUDIO_CODE)) for x in AUDIO_CODE_RE.findall(code_str)]
+
+    @staticmethod
+    def format_audio_codes(indices: Sequence[int]) -> str:
+        return "".join(f"<|audio_code_{int(i)}|>" for i in indices)
+
+    def _default_meta(self) -> str:
+        return "- bpm: N/A\n- timesignature: N/A\n- keyscale: N/A\n- duration: 30 seconds\n"
+
+    def _dict_to_meta_string(self, meta: Dict[str, Any]) -> str:
+        bpm = meta.get("bpm", meta.get("tempo", "N/A"))
+        ts = meta.get("timesignature", meta.get("time_signature", "N/A"))
+        ks = meta.get("keyscale", meta.get("key", meta.get("scale", "N/A")))
+        dur = meta.get("duration", meta.get("length", 30))
+        if isinstance(dur, (int, float)):
+            dur = f"{int(dur)} seconds"
+        return f"- bpm: {bpm}\n- timesignature: {ts}\n- keyscale: {ks}\n- duration: {dur}\n"
+
+    def parse_metas(self, metas: Optional[List[Union[str, Dict[str, Any], None]]], batch: int) -> List[str]:
+        if metas is None:
+            return [self._default_meta()] * batch
+        out = []
+        for m in metas:
+            if m is None:
+                out.append(self._default_meta())
+            elif isinstance(m, str):
+                out.append(m)
+            elif isinstance(m, dict):
+                out.append(self._dict_to_meta_string(m))
+            else:
+                out.append(self._default_meta())
+        while len(out) < batch:
+            out.append(self._default_meta())
+        return out
+
+    @staticmethod
+    def format_lyrics(lyrics: str, language: str) -> str:
+        return f"# Languages\n{language}\n\n# Lyric\n{lyrics}<|endoftext|>"
+
+    @staticmethod
+    def format_instruction(instruction: str) -> str:
+        return instruction if instruction.endswith(":") else instruction + ":"
+
+    def build_chunk_masks_and_src_latents(
+        self,
+        batch_size: int,
+        t_latent: int,
+        instructions: List[str],
+        has_code_hints: List[bool],
+        target_latents: Optional[np.ndarray],  # (B, T, 64) or None
+        has_target_audio: List[bool],
+        repainting_start: Optional[List[Optional[float]]],
+        repainting_end: Optional[List[Optional[float]]],
+        silence_tiled: np.ndarray,  # (T, 64)
+    ) -> Tuple[np.ndarray, List[Tuple[str, int, int]], np.ndarray, np.ndarray]:
+        """Repaint spans, chunk masks, is_covers, src latents (ref conditioning_masks.py:15-83)."""
+        chunk_masks = np.zeros((batch_size, t_latent), bool)
+        spans: List[Tuple[str, int, int]] = []
+        is_covers = np.zeros((batch_size,), bool)
+        repaint_ranges: Dict[int, Tuple[int, int]] = {}
+
+        for i in range(batch_size):
+            rs = repainting_start[i] if repainting_start else None
+            re_ = repainting_end[i] if repainting_end else None
+            if rs is not None and re_ is not None and re_ > (rs or 0.0):
+                start_sec = rs or 0.0
+                left_pad = max(0.0, -start_sec)
+                s_lat = int((start_sec + left_pad) * self.sample_rate // LATENT_HOP)
+                e_lat = int((re_ + left_pad) * self.sample_rate // LATENT_HOP)
+                s_lat = max(0, min(s_lat, t_latent - 1))
+                e_lat = max(s_lat + 1, min(e_lat, t_latent))
+                chunk_masks[i, s_lat:e_lat] = True
+                spans.append(("repainting", s_lat, e_lat))
+                repaint_ranges[i] = (s_lat, e_lat)
+                continue
+            chunk_masks[i, :] = True
+            spans.append(("full", 0, t_latent))
+            instr = (instructions[i] if i < len(instructions) else "").lower()
+            is_covers[i] = (
+                "generate audio semantic tokens" in instr and "based on the given conditions" in instr
+            ) or has_code_hints[i]
+
+        src = np.zeros((batch_size, t_latent, silence_tiled.shape[-1]), np.float32)
+        for i in range(batch_size):
+            if has_code_hints[i] or has_target_audio[i]:
+                base = target_latents[i] if target_latents is not None else silence_tiled
+                src[i] = base
+                if i in repaint_ranges:
+                    s_lat, e_lat = repaint_ranges[i]
+                    src[i, s_lat:e_lat] = silence_tiled[s_lat:e_lat]
+            else:
+                src[i] = silence_tiled
+        return chunk_masks, spans, is_covers, src
+
+    def _silence_tiled(self, t_latent: int) -> np.ndarray:
+        sil = self.silence_latent[0]
+        reps = -(-t_latent // sil.shape[0])
+        return np.tile(sil, (reps, 1))[:t_latent]
+
+    # ------------------------------------------------------------------
+    # Device-side jitted stages
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def _text_encode_jit(self):
+        return jax.jit(functools.partial(qwen3.forward_hidden, cfg=self.text_config))
+
+    @functools.cached_property
+    def _vae_decode_jit(self):
+        return jax.jit(functools.partial(vae.decode, cfg=self.vae_config))
+
+    def infer_text_embeddings(self, ids: np.ndarray) -> jax.Array:
+        """Prompt embeddings: full causal forward (ref conditioning_embed.py:73-76)."""
+        return self._text_encode_jit(self.text_params, input_ids=jnp.asarray(ids))
+
+    def infer_lyric_embeddings(self, ids: np.ndarray) -> jax.Array:
+        return qwen3.embed_tokens(self.text_params, jnp.asarray(ids))
+
+    def encode_reference_audio(self, audio: np.ndarray) -> np.ndarray:
+        """Stereo 48 kHz audio (2, L) → latents (T, 64) via tiled VAE encode."""
+        x = jnp.asarray(audio.T[None], jnp.float32)  # (1, L, 2)
+        z = vae.tiled_encode(self.vae_params, self.vae_config, x)
+        return np.asarray(z[0], np.float32)
+
+    def decode_latents(
+        self,
+        latents: jax.Array,  # (B, T, 64)
+        *,
+        use_tiled: bool = True,
+        chunk_frames: int = 512,
+    ) -> np.ndarray:
+        """Latents → float32 audio (B, 2, L) with clip guard (ref generate_music_decode)."""
+        z = latents.astype(jnp.float32)
+        if use_tiled and z.shape[1] > chunk_frames:
+            wav = vae.tiled_decode(self.vae_params, self.vae_config, z, chunk_frames=chunk_frames)
+        else:
+            wav = self._vae_decode_jit(self.vae_params, latents=z)
+        wav = np.asarray(wav, np.float32).transpose(0, 2, 1)  # (B, 2, L)
+        peak = np.max(np.abs(wav), axis=(1, 2), keepdims=True)
+        scale = np.where(peak > 1.0, peak, 1.0)
+        return wav / scale
+
+    # ------------------------------------------------------------------
+    # generate_music (ref generate_music.py:22-190 + service_generate.py:20-146)
+    # ------------------------------------------------------------------
+
+    def generate_music(
+        self,
+        captions: Union[str, List[str]],
+        lyrics: Union[str, List[str]],
+        *,
+        batch_size: Optional[int] = None,
+        metas: Optional[List[Union[str, Dict[str, Any], None]]] = None,
+        vocal_languages: Optional[List[str]] = None,
+        audio_duration: float = -1.0,
+        task_type: str = "text2music",
+        instructions: Optional[List[str]] = None,
+        seeds: Optional[Union[str, int, List[int]]] = None,
+        use_random_seed: bool = True,
+        inference_steps: Optional[int] = None,
+        shift: float = 3.0,
+        timesteps: Optional[List[float]] = None,
+        infer_method: str = "ode",
+        guidance_scale: float = 1.0,
+        use_adg: bool = False,
+        cfg_interval_start: float = 0.0,
+        cfg_interval_end: float = 1.0,
+        audio_code_strings: Optional[List[Optional[str]]] = None,
+        target_latents: Optional[np.ndarray] = None,
+        reference_audios: Optional[List[Optional[np.ndarray]]] = None,
+        repainting_start: Optional[List[Optional[float]]] = None,
+        repainting_end: Optional[List[Optional[float]]] = None,
+        audio_cover_strength: float = 1.0,
+        cover_noise_strength: float = 0.0,
+        latent_shift: float = 0.0,
+        latent_rescale: float = 1.0,
+        decode_audio: bool = True,
+    ) -> Dict[str, Any]:
+        """Run the DiT-side generation pipeline. Returns latents + audio + timings."""
+        assert self.initialized, "call initialize_service() first"
+        time_costs: Dict[str, float] = {}
+        t_start = time.time()
+
+        if isinstance(captions, str):
+            captions = [captions]
+        if isinstance(lyrics, str):
+            lyrics = [lyrics]
+        b = batch_size or len(captions)
+        captions = (captions * b)[:b]
+        lyrics = (lyrics * b)[:b]
+        parsed_metas = self.parse_metas(metas, b)
+        vocal_languages = vocal_languages or ["unknown"] * b
+
+        seed_list, seed_str = self.prepare_seeds(b, seeds, use_random_seed and seeds is None)
+
+        # Duration → bucketed latent length
+        duration = audio_duration if audio_duration and audio_duration > 0 else 30.0
+        t_exact = int(duration * LATENT_FPS)
+        t_latent = pick_bucket(t_exact, LATENT_BUCKETS)
+        latent_mask = np.zeros((b, t_latent), np.int32)
+        latent_mask[:, :t_exact] = 1
+
+        instructions = instructions or [self.generate_instruction(task_type)] * b
+        instructions = [self.format_instruction(i) for i in instructions]
+
+        code_hints = audio_code_strings or [None] * b
+        has_code_hints = [bool(c and c.strip()) for c in code_hints]
+        has_target = [target_latents is not None] * b
+
+        silence_tiled = self._silence_tiled(t_latent)
+        chunk_masks, spans, is_covers, src_latents = self.build_chunk_masks_and_src_latents(
+            b, t_latent, instructions, has_code_hints, target_latents, has_target,
+            repainting_start, repainting_end, silence_tiled,
+        )
+
+        # Precomputed LM hints from audio-code strings
+        precomputed_hints = None
+        if any(has_code_hints):
+            hints = np.zeros((b, t_latent, self.config.audio_acoustic_hidden_dim), np.float32)
+            pw = self.config.pool_window_size
+            for i, cs in enumerate(code_hints):
+                if not has_code_hints[i]:
+                    hints[i] = silence_tiled
+                    continue
+                ids = self.parse_audio_codes(cs)
+                idx = jnp.asarray(ids, jnp.int32)[None]
+                h = dit.decode_audio_codes(self.params, self.config, idx, self.dtype)
+                h = np.asarray(h[0], np.float32)
+                n = min(h.shape[0], t_latent)
+                hints[i, :n] = h[:n]
+                if n < t_latent:
+                    hints[i, n:] = silence_tiled[n:]
+            precomputed_hints = hints
+
+        # Text/lyric prompts → tokens → embeddings
+        text_prompts = [
+            SFT_GEN_PROMPT.format(instructions[i], captions[i], parsed_metas[i]) for i in range(b)
+        ]
+        lyric_texts = [self.format_lyrics(lyrics[i], vocal_languages[i]) for i in range(b)]
+        text_ids, text_mask = tokenize_padded(self.text_tokenizer, text_prompts, 256, bucket=None)
+        text_bucket = pick_bucket(text_ids.shape[1], TEXT_BUCKETS)
+        text_ids, text_mask = tokenize_padded(self.text_tokenizer, text_prompts, 256, bucket=text_bucket)
+        lyric_ids, lyric_mask = tokenize_padded(self.text_tokenizer, lyric_texts, 2048, bucket=None)
+        lyric_bucket = pick_bucket(lyric_ids.shape[1], LYRIC_BUCKETS)
+        lyric_ids, lyric_mask = tokenize_padded(self.text_tokenizer, lyric_texts, 2048, bucket=lyric_bucket)
+
+        t0 = time.time()
+        text_hidden = self.infer_text_embeddings(text_ids)
+        lyric_hidden = self.infer_lyric_embeddings(lyric_ids)
+
+        # Reference audio → packed timbre latents (silence fallback, ref conditioning_embed)
+        tf = self.config.timbre_fix_frame
+        packed, order = [], []
+        for i in range(b):
+            ref = reference_audios[i] if reference_audios else None
+            if ref is None:
+                z = silence_tiled[:tf]
+            else:
+                z = self.encode_reference_audio(ref)
+                z = z[:tf] if z.shape[0] >= tf else np.pad(z, ((0, tf - z.shape[0]), (0, 0)))
+            packed.append(z)
+            order.append(i)
+        refer_packed = jnp.asarray(np.stack(packed), self.dtype)
+        refer_order = jnp.asarray(order, jnp.int32)
+        time_costs["encoder_time_cost"] = time.time() - t0
+
+        # DiT denoise (single compiled trajectory)
+        t0 = time.time()
+        outputs = dit.generate_audio(
+            self.params,
+            self.config,
+            text_hidden_states=text_hidden.astype(self.dtype),
+            text_attention_mask=jnp.asarray(text_mask),
+            lyric_hidden_states=lyric_hidden.astype(self.dtype),
+            lyric_attention_mask=jnp.asarray(lyric_mask),
+            refer_packed=refer_packed,
+            refer_order_mask=refer_order,
+            src_latents=jnp.asarray(src_latents, self.dtype),
+            chunk_masks=jnp.asarray(chunk_masks[..., None].repeat(src_latents.shape[-1], -1), self.dtype),
+            is_covers=jnp.asarray(is_covers.astype(np.int32)),
+            silence_latent=jnp.asarray(silence_tiled[None], self.dtype),
+            attention_mask=jnp.asarray(latent_mask),
+            seeds=seed_list,
+            shift=shift,
+            timesteps=timesteps,
+            infer_method=infer_method,
+            audio_cover_strength=audio_cover_strength,
+            cover_noise_strength=cover_noise_strength,
+            precomputed_lm_hints_25hz=(
+                jnp.asarray(precomputed_hints, self.dtype) if precomputed_hints is not None else None
+            ),
+            guidance_scale=guidance_scale,
+            use_adg=use_adg,
+            cfg_interval_start=cfg_interval_start,
+            cfg_interval_end=cfg_interval_end,
+            infer_steps=inference_steps,
+            max_refs=1,
+        )
+        pred = outputs["target_latents"]
+        pred.block_until_ready()
+        time_costs["diffusion_time_cost"] = time.time() - t0
+        time_costs["diffusion_per_step_time_cost"] = (
+            time_costs["diffusion_time_cost"] / max(outputs["num_steps"], 1)
+        )
+
+        # Validate (ref generate_music_decode.py:66-84)
+        pred_np = np.asarray(pred, np.float32)
+        if not np.isfinite(pred_np).all():
+            raise RuntimeError("Generation produced NaN or Inf latents.")
+        if pred_np.size and np.abs(pred_np).sum() == 0:
+            raise RuntimeError("Generation produced zero latents.")
+
+        if latent_shift != 0.0 or latent_rescale != 1.0:
+            pred = pred * latent_rescale + latent_shift
+
+        # Crop to exact duration before decode
+        pred = pred[:, :t_exact, :]
+
+        result: Dict[str, Any] = {
+            "latents": np.asarray(pred, np.float32),
+            "seeds": seed_list,
+            "seed_str": seed_str,
+            "spans": spans,
+            "num_steps": outputs["num_steps"],
+        }
+
+        if decode_audio:
+            t0 = time.time()
+            wavs = self.decode_latents(pred)
+            time_costs["vae_decode_time_cost"] = time.time() - t0
+            result["audios"] = wavs
+
+        time_costs["total_time_cost"] = time.time() - t_start
+        result["time_costs"] = time_costs
+        self._last_time_costs = time_costs
+        return result

@@ -2,16 +2,18 @@
 
 Multi-chip shardings are validated without TPU hardware via
 ``xla_force_host_platform_device_count`` (SURVEY §4 implication note).
+The axon TPU plugin (if present) overrides JAX_PLATFORMS at import time, so
+the platform is forced back to CPU via jax.config before any backend use.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-# Full-precision fp32 matmuls for numerics tests (the CPU default is relaxed).
+jax.config.update("jax_platforms", "cpu")
+# Full-precision fp32 matmuls for numerics tests (TPU/CPU defaults are relaxed).
 jax.config.update("jax_default_matmul_precision", "highest")
