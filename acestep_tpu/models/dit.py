@@ -706,14 +706,16 @@ def denoise_scan(
             momentum = new_momentum
 
         if infer_method == "sde":
-            pred_clean = xt - vt * t_curr
+            pred_clean = xt - vt * t_curr.astype(xt.dtype)
             noise = jax.random.normal(key, xt.shape, dtype=jnp.float32).astype(xt.dtype)
             new_xt = jnp.where(
-                t_nxt > 0.0, t_nxt * noise + (1.0 - t_nxt) * pred_clean, pred_clean
+                t_nxt > 0.0,
+                t_nxt.astype(xt.dtype) * noise + (1.0 - t_nxt).astype(xt.dtype) * pred_clean,
+                pred_clean,
             )
         else:
-            new_xt = xt - vt * (t_curr - t_nxt)
-        return (new_xt, momentum), None
+            new_xt = xt - vt * (t_curr - t_nxt).astype(xt.dtype)
+        return (new_xt.astype(xt.dtype), momentum), None
 
     momentum0 = jnp.zeros(noise_or_xt.shape, dtype=jnp.float32)
     xs = (t_schedule, t_next) if sde_keys is None else (t_schedule, t_next, sde_keys)

@@ -116,15 +116,19 @@ def tiled_decode(
     *,
     chunk_frames: int = 512,
     overlap_frames: int = 16,
+    decode_fn=None,
 ) -> jax.Array:
     """Decode long latents chunk-by-chunk with overlap-discard stitching.
 
     Every chunk has identical static shape, so XLA compiles the decoder once.
+    `decode_fn(params, latents)` may be a pre-jitted decoder.
     """
     b, t, d = latents.shape
     hop = cfg.hop_length
+    if decode_fn is None:
+        decode_fn = lambda pp, z: decode(pp, cfg, z)
     if t <= chunk_frames:
-        return decode(p, cfg, latents)
+        return decode_fn(p, latents)
 
     core = chunk_frames - 2 * overlap_frames
     n_chunks = -(-t // core)
@@ -136,7 +140,7 @@ def tiled_decode(
     for ci in range(n_chunks):
         start = ci * core
         chunk = jax.lax.dynamic_slice_in_dim(padded, start, core + 2 * overlap_frames, axis=1)
-        wav = decode(p, cfg, chunk)
+        wav = decode_fn(p, chunk)
         outs.append(wav[:, overlap_frames * hop : (overlap_frames + core) * hop, :])
     wav_full = jnp.concatenate(outs, axis=1)
     return wav_full[:, : t * hop, :]
@@ -149,14 +153,17 @@ def tiled_encode(
     *,
     chunk_seconds: int = 20,
     overlap_seconds: int = 2,
+    encode_fn=None,
 ) -> jax.Array:
     """Encode long audio with overlap-discard, returning mean latents (B, T, 64)."""
     b, l, c = audio.shape
     sr = cfg.sampling_rate
     hop = cfg.hop_length
     chunk_len = chunk_seconds * sr
+    if encode_fn is None:
+        encode_fn = lambda pp, a: encode_mean(pp, cfg, a)
     if l <= chunk_len:
-        return encode_mean(p, cfg, audio)
+        return encode_fn(p, audio)
 
     ov = overlap_seconds * sr
     core = chunk_len - 2 * ov
@@ -170,7 +177,7 @@ def tiled_encode(
     for ci in range(n_chunks):
         start = ci * core
         chunk = jax.lax.dynamic_slice_in_dim(padded, start, core + 2 * ov, axis=1)
-        z = encode_mean(p, cfg, chunk)
+        z = encode_fn(p, chunk)
         outs.append(z[:, ov_frames : ov_frames + core_frames, :])
     z_full = jnp.concatenate(outs, axis=1)
     return z_full[:, : l // hop, :]

@@ -365,6 +365,17 @@ class AceStepHandler:
     def _vae_decode_jit(self):
         return jax.jit(functools.partial(vae.decode, cfg=self.vae_config))
 
+    @functools.cached_property
+    def _vae_encode_jit(self):
+        return jax.jit(functools.partial(vae.encode_mean, cfg=self.vae_config))
+
+    @functools.cached_property
+    def _decode_codes_jit(self):
+        return jax.jit(
+            functools.partial(dit.decode_audio_codes, cfg=self.config, dtype=self.dtype),
+            static_argnames=(),
+        )
+
     def infer_text_embeddings(self, ids: np.ndarray) -> jax.Array:
         """Prompt embeddings: full causal forward (ref conditioning_embed.py:73-76)."""
         return self._text_encode_jit(self.text_params, input_ids=jnp.asarray(ids))
@@ -375,7 +386,10 @@ class AceStepHandler:
     def encode_reference_audio(self, audio: np.ndarray) -> np.ndarray:
         """Stereo 48 kHz audio (2, L) → latents (T, 64) via tiled VAE encode."""
         x = jnp.asarray(audio.T[None], jnp.float32)  # (1, L, 2)
-        z = vae.tiled_encode(self.vae_params, self.vae_config, x)
+        z = vae.tiled_encode(
+            self.vae_params, self.vae_config, x,
+            encode_fn=lambda p, a: self._vae_encode_jit(p, audio=a),
+        )
         return np.asarray(z[0], np.float32)
 
     def decode_latents(
@@ -388,7 +402,10 @@ class AceStepHandler:
         """Latents → float32 audio (B, 2, L) with clip guard (ref generate_music_decode)."""
         z = latents.astype(jnp.float32)
         if use_tiled and z.shape[1] > chunk_frames:
-            wav = vae.tiled_decode(self.vae_params, self.vae_config, z, chunk_frames=chunk_frames)
+            wav = vae.tiled_decode(
+                self.vae_params, self.vae_config, z, chunk_frames=chunk_frames,
+                decode_fn=lambda p, c: self._vae_decode_jit(p, latents=c),
+            )
         else:
             wav = self._vae_decode_jit(self.vae_params, latents=z)
         wav = np.asarray(wav, np.float32).transpose(0, 2, 1)  # (B, 2, L)
@@ -480,7 +497,7 @@ class AceStepHandler:
                     continue
                 ids = self.parse_audio_codes(cs)
                 idx = jnp.asarray(ids, jnp.int32)[None]
-                h = dit.decode_audio_codes(self.params, self.config, idx, self.dtype)
+                h = self._decode_codes_jit(self.params, indices=idx)
                 h = np.asarray(h[0], np.float32)
                 n = min(h.shape[0], t_latent)
                 hints[i, :n] = h[:n]

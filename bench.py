@@ -1,0 +1,73 @@
+"""Benchmark: DiT denoise (turbo 8-step) + tiled Oobleck VAE decode on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: seconds-of-audio generated per wall-second per chip (batch × duration
+/ median pipeline time), the BASELINE.json north-star. Baseline: the
+reference's headline "full song < 2 s on A100" (README.md:28,42) → a 180 s
+song in 2 s ≈ 90 audio-seconds/s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BASELINE_AUDIO_SECONDS_PER_SEC = 90.0  # A100 headline: 180 s song in < 2 s
+
+DURATION_S = float(os.environ.get("BENCH_DURATION_S", 60))
+BATCH = int(os.environ.get("BENCH_BATCH", 2))
+REPS = int(os.environ.get("BENCH_REPS", 3))
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from acestep_tpu.pipeline.handler import AceStepHandler
+
+    handler = AceStepHandler()
+    handler.initialize_service(random_init=True)
+
+    kwargs = dict(
+        captions=["an energetic synthwave track with driving bass"] * BATCH,
+        lyrics=["[Instrumental]"] * BATCH,
+        audio_duration=DURATION_S,
+        batch_size=BATCH,
+        seeds=list(range(BATCH)),
+        use_random_seed=False,
+        shift=3.0,
+        decode_audio=True,
+    )
+
+    # Warmup (compile)
+    handler.generate_music(**kwargs)
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.time()
+        out = handler.generate_music(**kwargs)
+        times.append(time.time() - t0)
+
+    med = sorted(times)[len(times) // 2]
+    value = BATCH * DURATION_S / med
+    result = {
+        "metric": "seconds-of-audio/sec/chip (text-enc + DiT 8-step + VAE decode)",
+        "value": round(value, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round(value / BASELINE_AUDIO_SECONDS_PER_SEC, 3),
+        "detail": {
+            "batch": BATCH,
+            "duration_s": DURATION_S,
+            "median_wall_s": round(med, 3),
+            "runs_s": [round(t, 3) for t in times],
+            "time_costs": {k: round(v, 3) for k, v in out["time_costs"].items()},
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""End-to-end pipeline test (tiny configs, random weights, CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from acestep_tpu.config import AceStepConfig, OobleckConfig, Qwen3Config
+from acestep_tpu.pipeline.handler import AceStepHandler
+
+TINY_DIT = AceStepConfig(
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    sliding_window=8,
+    text_hidden_dim=32,
+    num_lyric_encoder_hidden_layers=2,
+    num_timbre_encoder_hidden_layers=1,
+    num_attention_pooler_hidden_layers=1,
+    fsq_dim=64,
+    timbre_fix_frame=10,
+)
+TINY_VAE = OobleckConfig(
+    encoder_hidden_size=16,
+    downsampling_ratios=(2, 4, 4),
+    channel_multiples=(1, 2, 4),
+    decoder_channels=16,
+    decoder_input_channels=64,
+    audio_channels=2,
+    sampling_rate=800,  # hop 32 → 25 latent fps keeps duration math consistent
+)
+TINY_TEXT = Qwen3Config(
+    vocab_size=300,
+    hidden_size=32,
+    intermediate_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=8,
+)
+
+
+@pytest.fixture(scope="module")
+def handler(monkeypatch_module=None):
+    import acestep_tpu.pipeline.handler as H
+
+    # shrink buckets for the tiny test
+    H.LATENT_BUCKETS = (64, 128, 256)
+    H.TEXT_BUCKETS = (32, 64)
+    H.LYRIC_BUCKETS = (32, 64)
+    h = AceStepHandler(TINY_DIT, TINY_VAE, TINY_TEXT, dtype=jnp.float32)
+    h.sample_rate = TINY_VAE.sampling_rate * 60  # keep LATENT_HOP math harmless
+    h.initialize_service(random_init=True)
+    return h
+
+
+def test_text2music_end_to_end(handler):
+    out = handler.generate_music(
+        captions="an energetic synthwave track",
+        lyrics="[Instrumental]",
+        audio_duration=2.0,
+        batch_size=1,
+        seeds=[3],
+        use_random_seed=False,
+        shift=3.0,
+    )
+    t_exact = int(2.0 * 25)
+    assert out["latents"].shape == (1, t_exact, 64)
+    assert np.isfinite(out["latents"]).all()
+    assert out["audios"].shape[0] == 1 and out["audios"].shape[1] == 2
+    assert out["audios"].shape[2] == t_exact * TINY_VAE.hop_length
+    assert np.abs(out["audios"]).max() <= 1.0 + 1e-5
+    assert out["num_steps"] == 8
+    assert "diffusion_time_cost" in out["time_costs"]
+
+
+def test_generation_is_seed_deterministic(handler):
+    kw = dict(
+        captions="calm piano",
+        lyrics="[Instrumental]",
+        audio_duration=2.0,
+        batch_size=1,
+        seeds=[11],
+        use_random_seed=False,
+        decode_audio=False,
+    )
+    a = handler.generate_music(**kw)["latents"]
+    b = handler.generate_music(**kw)["latents"]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_repaint_spans(handler):
+    out = handler.generate_music(
+        captions="rock",
+        lyrics="la la la",
+        audio_duration=2.0,
+        batch_size=1,
+        seeds=[5],
+        use_random_seed=False,
+        task_type="repaint",
+        repainting_start=[0.5],
+        repainting_end=[1.5],
+        target_latents=np.zeros((1, 64, 64), np.float32),
+        decode_audio=False,
+    )
+    kind, s, e = out["spans"][0]
+    assert kind == "repainting" and 0 < s < e
+
+
+def test_audio_code_roundtrip_and_cover(handler):
+    codes = handler.format_audio_codes([5, 123, 63999, 0])
+    assert handler.parse_audio_codes(codes) == [5, 123, 63999, 0]
+    # out-of-range clamps
+    assert handler.parse_audio_codes("<|audio_code_99999|>") == [63999]
+
+    out = handler.generate_music(
+        captions="cover test",
+        lyrics="[Instrumental]",
+        audio_duration=2.0,
+        batch_size=1,
+        seeds=[7],
+        use_random_seed=False,
+        task_type="cover",
+        audio_code_strings=[handler.format_audio_codes(list(range(10)))],
+        decode_audio=False,
+    )
+    assert np.isfinite(out["latents"]).all()
