@@ -1,0 +1,549 @@
+"""LLMHandler — lifecycle + two-phase constrained generation for the 5 Hz LM.
+
+TPU-native replacement for the reference's `LLMHandler`
+(`acestep/llm_inference.py:46`, generation :1123-1485, prompt builders
+:1487-1620, parse :2535) and its nano-vllm engine. Architecture:
+
+- Phase 1 (CoT metadata): host-driven decode loop. Forced-string tokens are
+  pushed without logits readback; FSM decision points sample on device via
+  ALLOW/BLOCK gathers (`acestep_tpu.lm.sampling`) and read back one token id.
+- Phase 2 (audio codes): one `lax.scan` generates the full duration-driven
+  token budget (5 codes/s) on device, with lockstep logit-space CFG.
+- KV cache: preallocated HBM buffers, bucketed prompt lengths.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from acestep_tpu.config import Qwen3Config
+from acestep_tpu.lm.constrained import ConstrainedDecoderFSM, StepSpec
+from acestep_tpu.lm import sampling
+from acestep_tpu.models import qwen3
+from acestep_tpu.utils.constants import (
+    DEFAULT_LM_INSTRUCTION,
+    DEFAULT_LM_INSPIRED_INSTRUCTION,
+    DEFAULT_LM_REWRITE_INSTRUCTION,
+    DEFAULT_LM_UNDERSTAND_INSTRUCTION,
+)
+from acestep_tpu.utils.tokenizer import load_tokenizer, pick_bucket
+
+PROMPT_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
+
+# Qwen3 model-size presets (reference model zoo acestep-5Hz-lm-{0.6B,1.7B,4B}).
+LM_CONFIGS = {
+    "0.6B": Qwen3Config(hidden_size=1024, intermediate_size=3072, num_hidden_layers=28,
+                        num_attention_heads=16, num_key_value_heads=8),
+    "1.7B": Qwen3Config(hidden_size=2048, intermediate_size=6144, num_hidden_layers=28,
+                        num_attention_heads=16, num_key_value_heads=8),
+    "4B": Qwen3Config(hidden_size=2560, intermediate_size=9728, num_hidden_layers=36,
+                      num_attention_heads=32, num_key_value_heads=8),
+}
+
+CODE_RE = re.compile(r"<\|audio_code_(\d+)\|>")
+
+
+def _has_meaningful_negative_prompt(p: Optional[str]) -> bool:
+    return bool(p) and p.strip() not in ("", "NO USER INPUT")
+
+
+class LLMHandler:
+    """5 Hz planner LM: CoT metadata + audio-code generation."""
+
+    def __init__(self, config: Optional[Qwen3Config] = None, dtype=jnp.bfloat16):
+        self.config = config or LM_CONFIGS["0.6B"]
+        self.dtype = dtype
+        self.params = None
+        self.tokenizer = None
+        self.fsm: Optional[ConstrainedDecoderFSM] = None
+        self.initialized = False
+        self.max_model_len = 4096
+
+    # ------------------------------------------------------------------
+
+    def initialize(
+        self,
+        checkpoint_dir: Optional[str] = None,
+        *,
+        random_init: Optional[bool] = None,
+        max_duration: Optional[int] = None,
+        seed: int = 0,
+    ) -> str:
+        t0 = time.time()
+        if random_init is None:
+            random_init = checkpoint_dir is None or not os.path.isdir(checkpoint_dir)
+        if random_init:
+            self.tokenizer = load_tokenizer(None)
+            self.params = qwen3.init_qwen3_params(jax.random.PRNGKey(seed), self.config, self.dtype)
+        else:
+            import json
+
+            from acestep_tpu.models.qwen3 import convert_torch_qwen3_state
+            from acestep_tpu.params import load_safetensors_state
+
+            with open(os.path.join(checkpoint_dir, "config.json")) as f:
+                raw = json.load(f)
+            self.config = Qwen3Config(
+                vocab_size=raw["vocab_size"],
+                hidden_size=raw["hidden_size"],
+                intermediate_size=raw["intermediate_size"],
+                num_hidden_layers=raw["num_hidden_layers"],
+                num_attention_heads=raw["num_attention_heads"],
+                num_key_value_heads=raw["num_key_value_heads"],
+                head_dim=raw.get("head_dim", 128),
+                rope_theta=raw.get("rope_theta", 1e6),
+                tie_word_embeddings=raw.get("tie_word_embeddings", True),
+            )
+            state = load_safetensors_state(checkpoint_dir)
+            self.params = convert_torch_qwen3_state(state, self.config, self.dtype)
+            self.tokenizer = load_tokenizer(checkpoint_dir)
+
+        self.fsm = ConstrainedDecoderFSM(self.tokenizer, max_duration=max_duration)
+        self.initialized = True
+        return f"LM initialized in {time.time() - t0:.1f}s (random_init={random_init})"
+
+    # ------------------------------------------------------------------
+    # Prompt building (ref llm_inference.py:1487-1620)
+    # ------------------------------------------------------------------
+
+    def _apply_chat_template(self, messages: List[Dict[str, str]], add_generation_prompt: bool) -> str:
+        tok = self.tokenizer
+        if hasattr(tok, "apply_chat_template"):
+            try:
+                return tok.apply_chat_template(
+                    messages, tokenize=False, add_generation_prompt=add_generation_prompt
+                )
+            except Exception:
+                pass
+        out = []
+        for m in messages:
+            out.append(f"<|im_start|>{m['role']}\n{m['content']}<|im_end|>\n")
+        if add_generation_prompt:
+            out.append("<|im_start|>assistant\n")
+        return "".join(out)
+
+    def build_formatted_prompt(
+        self,
+        caption: str,
+        lyrics: str = "",
+        is_negative_prompt: bool = False,
+        generation_phase: str = "cot",
+        negative_prompt: str = "NO USER INPUT",
+    ) -> str:
+        if is_negative_prompt:
+            if generation_phase == "cot":
+                if _has_meaningful_negative_prompt(negative_prompt):
+                    prompt = f"# Caption\n{negative_prompt}\n\n# Lyric\n{lyrics}\n"
+                else:
+                    prompt = f"# Lyric\n{lyrics}\n"
+            else:
+                prompt = caption
+        else:
+            prompt = f"# Caption\n{caption}\n\n# Lyric\n{lyrics}\n"
+        return self._apply_chat_template(
+            [
+                {"role": "system", "content": f"# Instruction\n{DEFAULT_LM_INSTRUCTION}\n\n"},
+                {"role": "user", "content": prompt},
+            ],
+            add_generation_prompt=True,
+        )
+
+    def build_formatted_prompt_with_cot(
+        self,
+        caption: str,
+        lyrics: str,
+        cot_text: str,
+        is_negative_prompt: bool = False,
+        negative_prompt: str = "NO USER INPUT",
+    ) -> str:
+        if is_negative_prompt:
+            cot_for_prompt = "<think>\n</think>"
+            caption_for_prompt = (
+                negative_prompt if _has_meaningful_negative_prompt(negative_prompt) else caption
+            )
+        else:
+            cot_for_prompt = cot_text
+            caption_for_prompt = caption
+        user_prompt = f"# Caption\n{caption_for_prompt}\n\n# Lyric\n{lyrics}\n"
+        formatted = self._apply_chat_template(
+            [
+                {"role": "system", "content": f"# Instruction\n{DEFAULT_LM_INSTRUCTION}\n\n"},
+                {"role": "user", "content": user_prompt},
+                {"role": "assistant", "content": cot_for_prompt},
+            ],
+            add_generation_prompt=False,
+        )
+        if not formatted.endswith("\n"):
+            formatted += "\n"
+        return formatted
+
+    def build_formatted_prompt_for_understanding(
+        self, audio_codes: str, is_negative_prompt: bool = False, negative_prompt: str = "NO USER INPUT"
+    ) -> str:
+        if is_negative_prompt:
+            user = negative_prompt if _has_meaningful_negative_prompt(negative_prompt) else ""
+        else:
+            user = audio_codes
+        return self._apply_chat_template(
+            [
+                {"role": "system", "content": f"# Instruction\n{DEFAULT_LM_UNDERSTAND_INSTRUCTION}\n\n"},
+                {"role": "user", "content": user},
+            ],
+            add_generation_prompt=True,
+        )
+
+    # ------------------------------------------------------------------
+    # Core decode machinery
+    # ------------------------------------------------------------------
+
+    def _encode_prompts(self, prompts: List[str], budget: int) -> Tuple[np.ndarray, np.ndarray, int]:
+        from acestep_tpu.utils.tokenizer import tokenize_padded
+
+        max_prompt = self.max_model_len - budget
+        ids, mask = tokenize_padded(self.tokenizer, prompts, max_prompt, bucket=None)
+        bucket = pick_bucket(ids.shape[1], PROMPT_BUCKETS)
+        ids, mask = tokenize_padded(self.tokenizer, prompts, max_prompt, bucket=bucket)
+        return ids, mask, bucket
+
+    def _constrained_loop(
+        self,
+        fsms: List[ConstrainedDecoderFSM],
+        logits: jax.Array,  # (R, V) from prefill
+        cache: qwen3.KVCache,
+        positions: np.ndarray,  # (R,)
+        *,
+        max_new_tokens: int,
+        temperature: float,
+        top_k: int,
+        top_p: float,
+        cfg_scale: float = 1.0,
+        key: Optional[jax.Array] = None,
+        allow_pad: int = 96,
+    ) -> Tuple[List[List[int]], jax.Array, qwen3.KVCache, np.ndarray]:
+        """Host-driven FSM loop (phase-1 CoT). Returns per-seq generated ids."""
+        b = len(fsms)
+        r = logits.shape[0]
+        use_cfg = cfg_scale > 1.0 and r == 2 * b
+        key = key if key is not None else jax.random.PRNGKey(0)
+        generated: List[List[int]] = [[] for _ in range(b)]
+        positions = positions.copy()
+
+        for step in range(max_new_tokens):
+            if all(f.finished for f in fsms):
+                break
+            specs = [f.step_spec() for f in fsms]
+
+            if all(s.kind in ("force", "eos") for s in specs):
+                toks = np.asarray([s.token for s in specs], np.int32)
+            else:
+                lg = logits
+                if use_cfg:
+                    lg = sampling.cfg_combine(logits[:b], logits[b:], cfg_scale)
+                key, sub = jax.random.split(key)
+                if all(s.kind in ("allow", "force", "eos") for s in specs):
+                    ids = np.full((b, allow_pad), -1, np.int32)
+                    for i, s in enumerate(specs):
+                        cand = [s.token] if s.kind in ("force", "eos") else s.ids[:allow_pad]
+                        ids[i, : len(cand)] = cand
+                    toks = np.asarray(sampling.sample_allow(lg, jnp.asarray(ids), sub, temperature,
+                                                            top_k=top_k, top_p=top_p))
+                else:
+                    ids = np.full((b, allow_pad), -1, np.int32)
+                    for i, s in enumerate(specs):
+                        if s.kind == "block" and s.ids:
+                            ids[i, : len(s.ids[:allow_pad])] = s.ids[:allow_pad]
+                        elif s.kind in ("force", "eos"):
+                            pass
+                    toks = np.asarray(sampling.sample_block(lg, jnp.asarray(ids), sub, temperature,
+                                                            top_k=top_k, top_p=top_p))
+                    for i, s in enumerate(specs):
+                        if s.kind in ("force", "eos"):
+                            toks[i] = s.token
+                        elif s.kind == "allow":
+                            if int(toks[i]) not in s.ids:
+                                toks[i] = s.ids[0]
+
+            for i, f in enumerate(fsms):
+                if not f.finished:
+                    f.advance(int(toks[i]))
+                    generated[i].append(int(toks[i]))
+
+            feed = np.concatenate([toks, toks]) if use_cfg else toks
+            logits, cache = qwen3.decode_step(
+                self.params, self.config, jnp.asarray(feed), jnp.asarray(positions), cache
+            )
+            positions = positions + 1
+
+        return generated, logits, cache, positions
+
+    # ------------------------------------------------------------------
+    # Public generation API (ref generate_with_stop_condition :1123-1485)
+    # ------------------------------------------------------------------
+
+    def generate_with_stop_condition(
+        self,
+        caption: str,
+        lyrics: str = "",
+        *,
+        temperature: float = 0.85,
+        cfg_scale: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 0.9,
+        negative_prompt: str = "NO USER INPUT",
+        user_metadata: Optional[Dict[str, Optional[str]]] = None,
+        target_duration: Optional[float] = None,
+        stop_at_reasoning: bool = False,
+        use_constrained_decoding: bool = True,
+        max_cot_tokens: int = 350,
+        seed: int = 0,
+    ) -> Dict[str, Any]:
+        """Two-phase generation: CoT metadata, then duration-driven audio codes."""
+        assert self.initialized, "call initialize() first"
+        t0 = time.time()
+        time_costs: Dict[str, float] = {}
+
+        # ---------------- Phase 1: CoT ----------------
+        prompts = [self.build_formatted_prompt(caption, lyrics, generation_phase="cot")]
+        use_cfg = cfg_scale > 1.0
+        if use_cfg:
+            prompts.append(
+                self.build_formatted_prompt(
+                    caption, lyrics, is_negative_prompt=True,
+                    generation_phase="cot", negative_prompt=negative_prompt,
+                )
+            )
+        ids, mask, bucket = self._encode_prompts(prompts, budget=max_cot_tokens)
+        r = ids.shape[0]
+        cache = qwen3.KVCache.create(self.config, r, bucket + max_cot_tokens, self.dtype)
+        logits, cache = qwen3.prefill(
+            self.params, self.config, jnp.asarray(ids), jnp.asarray(mask), cache
+        )
+
+        fsm = ConstrainedDecoderFSM(self.tokenizer, enabled=use_constrained_decoding,
+                                    max_duration=self.fsm.max_duration,
+                                    caption_max_tokens=min(512, max_cot_tokens // 3))
+        fsm.reset(phase="cot", stop_at_reasoning=True, user_metadata=user_metadata,
+                  target_duration=target_duration)
+        positions = np.asarray([mask[i].sum() for i in range(r)], np.int32)
+        generated, _, _, _ = self._constrained_loop(
+            [fsm], logits, cache, positions,
+            max_new_tokens=max_cot_tokens, temperature=temperature,
+            top_k=top_k, top_p=top_p, cfg_scale=cfg_scale,
+            key=jax.random.PRNGKey(seed),
+        )
+        cot_text = self.tokenizer.decode(generated[0])
+        time_costs["lm_cot_time_cost"] = time.time() - t0
+        metadata, _ = self.parse_lm_output(cot_text)
+
+        if stop_at_reasoning:
+            time_costs["lm_total_time_cost"] = time.time() - t0
+            return {"metadata": metadata, "cot_text": cot_text, "audio_codes": "",
+                    "time_costs": time_costs}
+
+        # ---------------- Phase 2: codes ----------------
+        t1 = time.time()
+        duration = target_duration or metadata.get("duration")
+        try:
+            duration = float(duration)
+        except (TypeError, ValueError):
+            duration = 30.0
+        duration = max(1.0, min(duration, self.fsm.max_duration))
+        n_codes = int(round(duration * 5))
+
+        codes = self._generate_codes(
+            caption, lyrics, cot_text, n_codes,
+            temperature=temperature, cfg_scale=cfg_scale, top_k=top_k, top_p=top_p,
+            negative_prompt=negative_prompt, seed=seed,
+        )
+        audio_codes = "".join(f"<|audio_code_{c}|>" for c in codes)
+        time_costs["lm_codes_time_cost"] = time.time() - t1
+        time_costs["lm_total_time_cost"] = time.time() - t0
+        return {
+            "metadata": metadata,
+            "cot_text": cot_text,
+            "audio_codes": audio_codes,
+            "codes": codes,
+            "time_costs": time_costs,
+        }
+
+    def _generate_codes(
+        self,
+        caption: str,
+        lyrics: str,
+        cot_text: str,
+        n_codes: int,
+        *,
+        temperature: float,
+        cfg_scale: float,
+        top_k: int,
+        top_p: float,
+        negative_prompt: str,
+        seed: int,
+    ) -> List[int]:
+        """Device-scan code generation. Falls back to host loop when the
+        tokenizer lacks native code tokens (dev mode)."""
+        prompts = [self.build_formatted_prompt_with_cot(caption, lyrics, cot_text)]
+        use_cfg = cfg_scale > 1.0
+        if use_cfg:
+            prompts.append(
+                self.build_formatted_prompt_with_cot(
+                    caption, lyrics, cot_text, is_negative_prompt=True,
+                    negative_prompt=negative_prompt,
+                )
+            )
+        ids, mask, bucket = self._encode_prompts(prompts, budget=n_codes + 8)
+        r = ids.shape[0]
+        cache = qwen3.KVCache.create(self.config, r, bucket + n_codes + 8, self.dtype)
+        logits, cache = qwen3.prefill(
+            self.params, self.config, jnp.asarray(ids), jnp.asarray(mask), cache
+        )
+        positions = np.asarray([mask[i].sum() for i in range(r)], np.int32)
+
+        code_start = self.fsm.code_token_start
+        n_vocab_codes = self.fsm.num_code_tokens
+        key = jax.random.PRNGKey(seed + 1)
+        b = 1
+
+        if code_start < 0:
+            # Dev tokenizer: emit pseudo-codes deterministically from argmax bits.
+            lg = np.asarray(logits[:b])
+            rng = np.random.default_rng(seed)
+            return [int(x) for x in rng.integers(0, 64000, size=n_codes)]
+
+        # First code from prefill logits.
+        key, sub = jax.random.split(key)
+        code_logits = logits[:, code_start : code_start + n_vocab_codes]
+        if use_cfg:
+            code_logits = sampling.cfg_combine(code_logits[:b], code_logits[b:], cfg_scale)
+        first = sampling.sample(code_logits, sub, temperature, top_k=top_k, top_p=top_p)
+        first_tok = jnp.asarray(first + code_start, jnp.int32)
+        feed = jnp.concatenate([first_tok, first_tok]) if use_cfg else first_tok
+
+        toks, _ = sampling.generate_codes_scan(
+            self.params, self.config, feed, jnp.asarray(positions), cache, key,
+            n_steps=n_codes - 1, code_start=code_start, n_codes=n_vocab_codes,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            cfg_scale=cfg_scale if use_cfg else 1.0,
+        )
+        out = [int(first[0])] + [int(t) - code_start for t in np.asarray(toks[0])]
+        return out
+
+    # ------------------------------------------------------------------
+    # LM-only task APIs (ref inference.py:779-1253 surface)
+    # ------------------------------------------------------------------
+
+    def understand_audio_from_codes(self, audio_codes: str, *, temperature: float = 0.85,
+                                    max_new_tokens: int = 512, seed: int = 0) -> Dict[str, Any]:
+        """Codes → metadata + lyrics (ref llm_inference.py:1645)."""
+        prompt = self.build_formatted_prompt_for_understanding(audio_codes)
+        text = self._free_generate(prompt, temperature=temperature,
+                                   max_new_tokens=max_new_tokens, seed=seed)
+        metadata, _ = self.parse_lm_output(text)
+        return {"metadata": metadata, "text": text}
+
+    def create_sample_from_query(self, query: str, *, temperature: float = 0.85,
+                                 max_new_tokens: int = 512, seed: int = 0) -> Dict[str, Any]:
+        """Query → expanded sample (caption/lyrics) (ref :1837)."""
+        prompt = self._apply_chat_template(
+            [
+                {"role": "system", "content": f"# Instruction\n{DEFAULT_LM_INSPIRED_INSTRUCTION}\n\n"},
+                {"role": "user", "content": query},
+            ],
+            add_generation_prompt=True,
+        )
+        text = self._free_generate(prompt, temperature=temperature,
+                                   max_new_tokens=max_new_tokens, seed=seed)
+        metadata, _ = self.parse_lm_output(text)
+        return {"metadata": metadata, "text": text}
+
+    def format_sample_from_input(self, user_input: str, *, temperature: float = 0.85,
+                                 max_new_tokens: int = 512, seed: int = 0) -> Dict[str, Any]:
+        """Free-form input → formatted sample (ref :2011)."""
+        prompt = self._apply_chat_template(
+            [
+                {"role": "system", "content": f"# Instruction\n{DEFAULT_LM_REWRITE_INSTRUCTION}\n\n"},
+                {"role": "user", "content": user_input},
+            ],
+            add_generation_prompt=True,
+        )
+        text = self._free_generate(prompt, temperature=temperature,
+                                   max_new_tokens=max_new_tokens, seed=seed)
+        metadata, _ = self.parse_lm_output(text)
+        return {"metadata": metadata, "text": text}
+
+    def _free_generate(self, prompt: str, *, temperature: float, max_new_tokens: int,
+                       seed: int) -> str:
+        ids, mask, bucket = self._encode_prompts([prompt], budget=max_new_tokens)
+        cache = qwen3.KVCache.create(self.config, 1, bucket + max_new_tokens, self.dtype)
+        logits, cache = qwen3.prefill(self.params, self.config, jnp.asarray(ids), jnp.asarray(mask), cache)
+        positions = np.asarray([mask[0].sum()], np.int32)
+        key = jax.random.PRNGKey(seed)
+        out: List[int] = []
+        eos = getattr(self.tokenizer, "eos_token_id", None) or 2
+        for _ in range(max_new_tokens):
+            key, sub = jax.random.split(key)
+            tok = int(np.asarray(sampling.sample(logits, sub, temperature, top_k=0, top_p=0.9))[0])
+            if tok == eos:
+                break
+            out.append(tok)
+            logits, cache = qwen3.decode_step(
+                self.params, self.config, jnp.asarray([tok], jnp.int32), jnp.asarray(positions), cache
+            )
+            positions = positions + 1
+        return self.tokenizer.decode(out)
+
+    # ------------------------------------------------------------------
+    # Output parsing (ref llm_inference.py:2535-2658)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def parse_lm_output(output_text: str) -> Tuple[Dict[str, Any], str]:
+        """Extract metadata dict and audio-code string from LM output."""
+        audio_codes = "".join(m.group(0) for m in CODE_RE.finditer(output_text))
+
+        m = re.search(r"<think>(.*?)</think>", output_text, re.DOTALL)
+        if m:
+            reasoning = m.group(1).strip()
+        else:
+            reasoning = output_text.split("<|audio_code_")[0].strip()
+
+        metadata: Dict[str, Any] = {}
+        current_key: Optional[str] = None
+        value_lines: List[str] = []
+
+        def flush():
+            nonlocal current_key, value_lines
+            if current_key and value_lines:
+                value = "\n".join(value_lines)
+                if current_key in ("bpm", "duration"):
+                    try:
+                        metadata[current_key] = int(value.strip())
+                    except ValueError:
+                        metadata[current_key] = value.strip()
+                elif current_key == "caption":
+                    lines = [l.strip() for l in value.split("\n") if l.strip()]
+                    metadata["caption"] = " ".join(lines)
+                elif current_key in ("genres", "keyscale", "language", "timesignature", "lyrics"):
+                    metadata[current_key] = value.strip()
+            current_key, value_lines = None, []
+
+        for line in reasoning.split("\n"):
+            if line.strip().startswith("<"):
+                continue
+            if line and not line[0].isspace() and ":" in line:
+                flush()
+                k, v = line.split(":", 1)
+                current_key = k.strip().lower()
+                if v.strip():
+                    value_lines.append(v)
+            elif line.startswith((" ", "\t")) and current_key:
+                value_lines.append(line)
+        flush()
+        return metadata, audio_codes

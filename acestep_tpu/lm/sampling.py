@@ -1,0 +1,157 @@
+"""Device-side sampling for the 5 Hz planner LM.
+
+Replaces the reference's nano-vllm sampler + logit-space CFG loop
+(`llm_inference.py:2414-2533`, `nanovllm/layers/sampler.py`) with jitted JAX
+programs:
+
+- `cfg_combine`: uncond + scale·(cond − uncond) in float32 (ref :2505-2510)
+- `sample`: temperature / top-k / top-p over full logits
+- `sample_allow` / `sample_block`: FSM-constrained sampling via gather /
+  scatter-mask — the device-side counterpart of the FSM's StepSpec
+- `generate_codes_scan`: the WHOLE audio-code phase as one lax.scan over the
+  KV-cache decode step — no host round-trips for the ~5·duration tokens that
+  dominate LM time (the nano-vllm CUDA-graph loop equivalent, but one compiled
+  program).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from acestep_tpu.config import Qwen3Config
+from acestep_tpu.models import qwen3
+
+NEG = jnp.finfo(jnp.float32).min
+
+
+def cfg_combine(cond: jax.Array, uncond: jax.Array, scale: float) -> jax.Array:
+    return (
+        uncond.astype(jnp.float32) + scale * (cond.astype(jnp.float32) - uncond.astype(jnp.float32))
+    )
+
+
+def _filter_top_k(logits: jax.Array, top_k: int) -> jax.Array:
+    if top_k <= 0:
+        return logits
+    kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+    return jnp.where(logits < kth, NEG, logits)
+
+
+def _filter_top_p(logits: jax.Array, top_p: float) -> jax.Array:
+    if top_p >= 1.0:
+        return logits
+    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # keep tokens until cumulative prob exceeds top_p (always keep the top one)
+    cutoff_mask = cum - probs < top_p
+    min_keep = jnp.sum(cutoff_mask, axis=-1, keepdims=True).clip(min=1)
+    threshold = jnp.take_along_axis(sorted_logits, min_keep - 1, axis=-1)
+    return jnp.where(logits < threshold, NEG, logits)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "top_p"))
+def sample(
+    logits: jax.Array,  # (B, V) float32
+    key: jax.Array,
+    temperature: float = 1.0,
+    *,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jax.Array:
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1)
+    t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+    scaled = logits / t
+    scaled = _filter_top_k(scaled, top_k)
+    scaled = _filter_top_p(scaled, top_p)
+    sampled = jax.random.categorical(key, scaled, axis=-1)
+    return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "top_p"))
+def sample_allow(
+    logits: jax.Array,  # (B, V)
+    allow_ids: jax.Array,  # (B, A) int32, padded with -1
+    key: jax.Array,
+    temperature: float = 1.0,
+    *,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jax.Array:
+    """Sample among a small allowed set: gather → sample → scatter back."""
+    safe_ids = jnp.maximum(allow_ids, 0)
+    sub = jnp.take_along_axis(logits.astype(jnp.float32), safe_ids, axis=-1)
+    sub = jnp.where(allow_ids >= 0, sub, NEG)
+    idx = sample(sub, key, temperature, top_k=top_k, top_p=top_p)
+    return jnp.take_along_axis(safe_ids, idx[:, None], axis=-1)[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "top_p"))
+def sample_block(
+    logits: jax.Array,  # (B, V)
+    block_ids: jax.Array,  # (B, A) int32, padded with -1
+    key: jax.Array,
+    temperature: float = 1.0,
+    *,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jax.Array:
+    logits = logits.astype(jnp.float32)
+    b, v = logits.shape
+    safe_ids = jnp.where(block_ids >= 0, block_ids, v - 1)
+    penalty = jnp.where(block_ids >= 0, NEG, 0.0)
+    row = jnp.zeros_like(logits)
+    row = jax.vmap(lambda r, i, p: r.at[i].add(p))(row, safe_ids, penalty)
+    return sample(logits + row, key, temperature, top_k=top_k, top_p=top_p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "code_start", "n_codes", "top_k", "top_p", "cfg_scale"),
+)
+def generate_codes_scan(
+    params,
+    cfg: Qwen3Config,
+    first_tokens: jax.Array,  # (R,) tokens to feed first (R = B or 2B w/ CFG)
+    positions: jax.Array,  # (R,) their positions
+    cache: qwen3.KVCache,
+    key: jax.Array,
+    *,
+    n_steps: int,
+    code_start: int,
+    n_codes: int,
+    temperature: float = 0.85,
+    top_k: int = 0,
+    top_p: float = 0.9,
+    cfg_scale: float = 1.0,
+) -> Tuple[jax.Array, qwen3.KVCache]:
+    """Generate `n_steps` audio-code tokens fully on device.
+
+    With cfg_scale > 1, rows are [cond(B), uncond(B)] in one decode batch —
+    the lockstep CFG decode of ref `_generate_with_cfg_custom` (:2414-2533) —
+    and sampled tokens are fed to both halves.
+    """
+    r = first_tokens.shape[0]
+    use_cfg = cfg_scale > 1.0
+    b = r // 2 if use_cfg else r
+
+    def step(carry, k):
+        toks, pos, cache = carry
+        logits, cache = qwen3.decode_step(params, cfg, toks, pos, cache)
+        code_logits = jax.lax.dynamic_slice_in_dim(logits, code_start, n_codes, axis=-1)
+        if use_cfg:
+            code_logits = cfg_combine(code_logits[:b], code_logits[b:], cfg_scale)
+        idx = sample(code_logits, k, temperature, top_k=top_k, top_p=top_p)
+        new_tok = (idx + code_start).astype(toks.dtype)
+        if use_cfg:
+            new_tok = jnp.concatenate([new_tok, new_tok])
+        return (new_tok, pos + 1, cache), idx + code_start
+
+    keys = jax.random.split(key, n_steps)
+    (final_tok, _, cache), toks = jax.lax.scan(step, (first_tokens, positions, cache), keys)
+    return toks.T, cache  # (B or 2B? -> (R?...)) tokens per step transposed to (R, n_steps)

@@ -138,7 +138,8 @@ def attention_block(
     *,
     cos: Optional[jax.Array] = None,
     sin: Optional[jax.Array] = None,
-    mask: Optional[jax.Array] = None,
+    kv_mask: Optional[jax.Array] = None,
+    window: Optional[int] = None,
     kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     enc: Optional[jax.Array] = None,
 ) -> jax.Array:
@@ -156,7 +157,7 @@ def attention_block(
         if cos is not None:
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-    out = attention(q, k, v, mask=mask, scale=cfg.head_dim**-0.5)
+    out = attention(q, k, v, kv_mask=kv_mask, window=window, scale=cfg.head_dim**-0.5)
     return linear(p["o_proj"], out.reshape(x.shape[0], x.shape[1], -1))
 
 
@@ -171,10 +172,13 @@ def encoder_layer(
     x: jax.Array,
     cos: jax.Array,
     sin: jax.Array,
-    mask: Optional[jax.Array],
+    kv_mask: Optional[jax.Array],
+    window: Optional[int] = None,
 ) -> jax.Array:
     h = rms_norm(p["input_layernorm"]["weight"], x, cfg.rms_norm_eps)
-    x = x + attention_block(p["self_attn"], cfg, h, cos=cos, sin=sin, mask=mask)
+    x = x + attention_block(
+        p["self_attn"], cfg, h, cos=cos, sin=sin, kv_mask=kv_mask, window=window
+    )
     h = rms_norm(p["post_attention_layernorm"]["weight"], x, cfg.rms_norm_eps)
     return x + mlp_swiglu(p["mlp"], h)
 
@@ -193,24 +197,20 @@ def encoder_stack(
     """
     l = x.shape[1]
     cos, sin = rope_cos_sin(l, cfg.head_dim, cfg.rope_theta)
-    full_mask = make_attention_bias(l, kv_mask=seq_mask)
-    if cfg.use_sliding_window:
-        sliding_mask = make_attention_bias(l, kv_mask=seq_mask, window=cfg.sliding_window)
-    else:
-        sliding_mask = full_mask
+    win = cfg.sliding_window if cfg.use_sliding_window else None
 
     if isinstance(layers, dict):
         def pair(h, pair_params):
             p_s, p_f = pair_params
-            h = encoder_layer(p_s, cfg, h, cos, sin, sliding_mask)
-            h = encoder_layer(p_f, cfg, h, cos, sin, full_mask)
+            h = encoder_layer(p_s, cfg, h, cos, sin, seq_mask, win)
+            h = encoder_layer(p_f, cfg, h, cos, sin, seq_mask, None)
             return h, None
 
         x, _ = jax.lax.scan(pair, x, (layers["sliding"], layers["full"]))
     else:
         for i, lp in enumerate(layers):
-            m = sliding_mask if cfg.layer_type(i) == "sliding_attention" else full_mask
-            x = encoder_layer(lp, cfg, x, cos, sin, m)
+            w = win if cfg.layer_type(i) == "sliding_attention" else None
+            x = encoder_layer(lp, cfg, x, cos, sin, seq_mask, w)
     return rms_norm(norm_w, x, cfg.rms_norm_eps)
 
 
@@ -322,8 +322,9 @@ def dit_layer(
     cos: jax.Array,
     sin: jax.Array,
     tproj: jax.Array,  # (B, 6, D)
-    self_mask: Optional[jax.Array],
-    cross_mask: Optional[jax.Array],
+    self_kv_mask: Optional[jax.Array],
+    window: Optional[int],
+    cross_kv_mask: Optional[jax.Array],
     cross_kv: Tuple[jax.Array, jax.Array],
 ) -> jax.Array:
     """AdaLN-zero DiT layer (ref AceStepDiTLayer :440-536)."""
@@ -334,11 +335,13 @@ def dit_layer(
 
     h = rms_norm(p["self_attn_norm"]["weight"], x, cfg.rms_norm_eps)
     h = h * (1 + scale_msa) + shift_msa
-    h = attention_block(p["self_attn"], cfg, h, cos=cos, sin=sin, mask=self_mask)
+    h = attention_block(
+        p["self_attn"], cfg, h, cos=cos, sin=sin, kv_mask=self_kv_mask, window=window
+    )
     x = x + h * gate_msa
 
     h = rms_norm(p["cross_attn_norm"]["weight"], x, cfg.rms_norm_eps)
-    x = x + attention_block(p["cross_attn"], cfg, h, mask=cross_mask, kv=cross_kv)
+    x = x + attention_block(p["cross_attn"], cfg, h, kv_mask=cross_kv_mask, kv=cross_kv)
 
     h = rms_norm(p["mlp_norm"]["weight"], x, cfg.rms_norm_eps)
     h = h * (1 + c_scale) + c_shift
@@ -396,18 +399,14 @@ def dit_forward(
             pm = jnp.pad(pm, ((0, 0), (0, pad)))
         patched_mask = jnp.max(pm.reshape(pm.shape[0], l, cfg.patch_size), axis=-1)
 
-    full_mask = make_attention_bias(l, kv_mask=patched_mask)
-    sliding_mask = make_attention_bias(l, kv_mask=patched_mask, window=cfg.sliding_window)
-    cross_mask = None
-    if encoder_mask is not None:
-        cross_mask = encoder_mask.astype(bool)[:, None, None, :]
+    win = cfg.sliding_window if cfg.use_sliding_window else None
 
     layers = p["layers"]
     if isinstance(layers, dict):
         def pair(hc, xs):
             p_s, kv_s, p_f, kv_f = xs
-            hc = dit_layer(p_s, cfg, hc, cos, sin, tproj, sliding_mask, cross_mask, kv_s)
-            hc = dit_layer(p_f, cfg, hc, cos, sin, tproj, full_mask, cross_mask, kv_f)
+            hc = dit_layer(p_s, cfg, hc, cos, sin, tproj, patched_mask, win, encoder_mask, kv_s)
+            hc = dit_layer(p_f, cfg, hc, cos, sin, tproj, patched_mask, None, encoder_mask, kv_f)
             return hc, None
 
         h, _ = jax.lax.scan(
@@ -416,8 +415,8 @@ def dit_forward(
         )
     else:
         for i, lp in enumerate(layers):
-            m = sliding_mask if cfg.layer_type(i) == "sliding_attention" else full_mask
-            h = dit_layer(lp, cfg, h, cos, sin, tproj, m, cross_mask, cross_kvs[i])
+            w = win if cfg.layer_type(i) == "sliding_attention" else None
+            h = dit_layer(lp, cfg, h, cos, sin, tproj, patched_mask, w, encoder_mask, cross_kvs[i])
 
     mod = p["scale_shift_table"].astype(jnp.float32) + temb.astype(jnp.float32)[:, None]
     shift, scale = [m.astype(h.dtype) for m in jnp.split(mod, 2, axis=1)]

@@ -53,7 +53,7 @@ def _layer_forward(
     x: jax.Array,
     cos: jax.Array,
     sin: jax.Array,
-    mask: Optional[jax.Array],
+    kv_mask: Optional[jax.Array],
     cache_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
 ):
     """One Qwen3 decoder layer. Returns (x, (k, v)) — new K/V for caching."""
@@ -71,7 +71,7 @@ def _layer_forward(
         k_all, v_all = cache_kv
     else:
         k_all, v_all = k, v
-    o = attention(q, k_all, v_all, mask=mask, scale=cfg.head_dim**-0.5)
+    o = attention(q, k_all, v_all, kv_mask=kv_mask, causal=True, scale=cfg.head_dim**-0.5)
     o = linear(a["o_proj"], o.reshape(x.shape[0], x.shape[1], -1))
     x = x + o
     h = rms_norm(p["post_attention_layernorm"]["weight"], x, cfg.rms_norm_eps)
@@ -89,9 +89,8 @@ def forward_hidden(
     x = params["embed_tokens"]["weight"][input_ids]
     l = x.shape[1]
     cos, sin = rope_cos_sin(l, cfg.head_dim, cfg.rope_theta)
-    mask = make_attention_bias(l, kv_mask=attention_mask, causal=True)
     for lp in params["layers"]:
-        x, _ = _layer_forward(lp, cfg, x, cos, sin, mask)
+        x, _ = _layer_forward(lp, cfg, x, cos, sin, attention_mask)
     return rms_norm(params["norm"]["weight"], x, cfg.rms_norm_eps)
 
 
@@ -125,11 +124,10 @@ def prefill(
     b, l = input_ids.shape
     x = params["embed_tokens"]["weight"][input_ids]
     cos, sin = rope_cos_sin(l, cfg.head_dim, cfg.rope_theta)
-    mask = make_attention_bias(l, kv_mask=prompt_mask, causal=True)
 
     new_k, new_v = [], []
     for lp in params["layers"]:
-        x, (k, v) = _layer_forward(lp, cfg, x, cos, sin, mask)
+        x, (k, v) = _layer_forward(lp, cfg, x, cos, sin, prompt_mask)
         new_k.append(k)
         new_v.append(v)
     x = rms_norm(params["norm"]["weight"], x, cfg.rms_norm_eps)

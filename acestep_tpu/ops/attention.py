@@ -1,21 +1,45 @@
 """Grouped-query attention with geometric (causal / sliding-window) and padding masks.
 
-This is the XLA-fused reference path. The Pallas flash-attention kernel in
-`acestep_tpu.ops.pallas_attention` implements the same interface for the hot
-DiT shapes; `attention()` dispatches to it when enabled.
+Two execution paths behind one interface:
+- Pallas flash attention (`acestep_tpu.ops.pallas_attention`) — used on TPU for
+  large sequences; sliding-window layers do O(L·w) work.
+- XLA einsum + fp32 softmax — fallback (CPU tests, tiny sequences, explicit
+  4-D masks).
 
 Mask semantics reproduce the reference's `create_4d_mask`
 (`modeling_acestep_v15_turbo.py:53-132`): boolean "allowed" geometry
-(causal and/or |i-j|<=window) AND-ed with a key-padding mask, converted to an
-additive bias at softmax time.
+(causal and/or |i-j|<=window) AND-ed with a key-padding mask.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+_FLASH_MIN_LEN = 256
+_flash_override: Optional[bool] = None
+
+
+def set_flash_enabled(value: Optional[bool]) -> None:
+    """Force flash attention on/off (None = auto: TPU and big enough)."""
+    global _flash_override
+    _flash_override = value
+
+
+def _flash_wanted(lq: int, lk: int, head_dim: int) -> bool:
+    if _flash_override is not None:
+        return _flash_override
+    if os.environ.get("ACESTEP_TPU_NO_FLASH", "0") == "1":
+        return False
+    if head_dim % 128 or min(lq, lk) < _FLASH_MIN_LEN:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def make_attention_bias(
@@ -47,7 +71,7 @@ def make_attention_bias(
     return geom
 
 
-def attention(
+def attention_xla(
     q: jax.Array,  # (B, Lq, Nq, H)
     k: jax.Array,  # (B, Lk, Nkv, H)
     v: jax.Array,  # (B, Lk, Nkv, H)
@@ -55,7 +79,7 @@ def attention(
     mask: Optional[jax.Array] = None,  # (B|1, 1, Lq, Lk) bool — True = attend
     scale: Optional[float] = None,
 ) -> jax.Array:
-    """GQA attention, fp32 softmax, returns (B, Lq, Nq, H) in q.dtype."""
+    """GQA attention via einsum, fp32 softmax; returns (B, Lq, Nq, H) in q.dtype."""
     b, lq, nq, h = q.shape
     _, lk, nkv, _ = k.shape
     groups = nq // nkv
@@ -67,10 +91,31 @@ def attention(
     scores = scores * scale
     if mask is not None:
         neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=scores.dtype)
-        # mask (B|1,1,Lq,Lk) -> (B|1,1,1,Lq,Lk) to broadcast over (Nkv,G)
         scores = jnp.where(mask[:, :, None, :, :], scores, neg)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
         "bngqs,bsnh->bqngh", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     return out.reshape(b, lq, nq, h).astype(q.dtype)
+
+
+def attention(
+    q: jax.Array,  # (B, Lq, Nq, H)
+    k: jax.Array,  # (B, Lk, Nkv, H)
+    v: jax.Array,  # (B, Lk, Nkv, H)
+    *,
+    mask: Optional[jax.Array] = None,  # explicit 4-D mask → forces XLA path
+    kv_mask: Optional[jax.Array] = None,  # (B, Lk) key-padding
+    window: Optional[int] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Structured-mask attention; dispatches to Pallas flash or XLA einsum."""
+    lq, lk = q.shape[1], k.shape[1]
+    if mask is None and _flash_wanted(lq, lk, q.shape[-1]):
+        from acestep_tpu.ops.pallas_attention import flash_attention
+
+        return flash_attention(q, k, v, kv_mask, scale=scale, window=window, causal=causal)
+    if mask is None and (kv_mask is not None or window is not None or causal):
+        mask = make_attention_bias(lq, lk, kv_mask=kv_mask, window=window, causal=causal)
+    return attention_xla(q, k, v, mask=mask, scale=scale)

@@ -397,10 +397,14 @@ class AceStepHandler:
         latents: jax.Array,  # (B, T, 64)
         *,
         use_tiled: bool = True,
-        chunk_frames: int = 512,
+        chunk_frames: int = 2048,
     ) -> np.ndarray:
-        """Latents → float32 audio (B, 2, L) with clip guard (ref generate_music_decode)."""
-        z = latents.astype(jnp.float32)
+        """Latents → float32 audio (B, 2, L) with clip guard (ref generate_music_decode).
+
+        Decode runs in bfloat16 (the reference's CUDA VAE dtype policy,
+        `memory_utils.py:157-166`); Snake activations stay fp32 internally.
+        """
+        z = latents.astype(self.dtype)
         if use_tiled and z.shape[1] > chunk_frames:
             wav = vae.tiled_decode(
                 self.vae_params, self.vae_config, z, chunk_frames=chunk_frames,

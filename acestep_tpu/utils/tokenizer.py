@@ -24,7 +24,9 @@ class ByteFallbackTokenizer:
         return ids
 
     def decode(self, ids) -> str:
-        return bytes(max(0, int(i) - 3) for i in ids if int(i) > 2).decode("utf-8", "ignore")
+        return bytes(
+            int(i) - 3 for i in ids if 2 < int(i) < 259
+        ).decode("utf-8", "ignore")
 
     def __call__(self, text: str, max_length: Optional[int] = None):
         ids = self.encode(text, max_length)

@@ -1,0 +1,175 @@
+"""Tests for the constrained FSM decoder, sampling ops, and LLMHandler."""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acestep_tpu.config import Qwen3Config
+from acestep_tpu.lm import sampling
+from acestep_tpu.lm.constrained import ConstrainedDecoderFSM
+from acestep_tpu.lm.handler import LLMHandler
+from acestep_tpu.utils.tokenizer import ByteFallbackTokenizer
+
+TOK = ByteFallbackTokenizer()
+
+
+def drive_fsm(fsm, pick=lambda ids: ids[0], max_steps=2000):
+    """Drive the FSM with a deterministic chooser; returns decoded text."""
+    out = []
+    for _ in range(max_steps):
+        if fsm.finished:
+            break
+        spec = fsm.step_spec()
+        if spec.kind == "force":
+            t = spec.token
+        elif spec.kind == "eos":
+            t = spec.token
+        elif spec.kind == "allow":
+            t = pick(spec.ids)
+        elif spec.kind == "block":
+            t = TOK.encode("x")[0]  # arbitrary non-blocked token
+            assert t not in (spec.ids or [])
+        elif spec.kind == "codes":
+            t = fsm.code_token_start  # never hit with byte tokenizer
+        else:
+            t = TOK.encode("y")[0]
+        fsm.advance(t)
+        out.append(t)
+    return TOK.decode(out)
+
+
+def test_fsm_produces_valid_cot_format():
+    fsm = ConstrainedDecoderFSM(TOK)
+    fsm.reset(phase="cot", stop_at_reasoning=True)
+    text = drive_fsm(fsm)
+    assert fsm.finished
+    m = re.match(
+        r"<think>\nbpm: (\d+)\ncaption: (.+)\nduration: (\d+)\nkeyscale: (.+)\n"
+        r"language: (\w+)\ntimesignature: (\d)\n</think>",
+        text,
+        re.DOTALL,
+    )
+    assert m, text
+    assert 30 <= int(m.group(1)) <= 300
+    assert 10 <= int(m.group(3)) <= 600
+    assert int(m.group(6)) in (2, 3, 4, 6)
+
+
+def test_fsm_user_metadata_injection():
+    fsm = ConstrainedDecoderFSM(TOK)
+    fsm.reset(
+        phase="cot",
+        stop_at_reasoning=True,
+        user_metadata={"bpm": "120", "duration": "45", "keyscale": "G major"},
+    )
+    text = drive_fsm(fsm)
+    assert "bpm: 120\n" in text
+    assert "duration: 45\n" in text
+    assert "keyscale: G major\n" in text
+    assert fsm.parsed_duration == 45.0
+    assert fsm.codes_budget() == 225
+
+
+def test_fsm_value_constrained_to_valid_set():
+    fsm = ConstrainedDecoderFSM(TOK)
+    fsm.reset(phase="cot", stop_at_reasoning=True)
+    # pick the LAST allowed id each time — still must produce valid values
+    text = drive_fsm(fsm, pick=lambda ids: ids[-1])
+    m = re.search(r"bpm: (\d+)\n", text)
+    assert m and 30 <= int(m.group(1)) <= 300
+    m = re.search(r"timesignature: (\d)\n", text)
+    assert m and int(m.group(1)) in (2, 3, 4, 6)
+    m = re.search(r"keyscale: (.+)\nlanguage", text)
+    from acestep_tpu.utils.constants import VALID_KEYSCALES
+    assert m and m.group(1) in VALID_KEYSCALES
+
+
+def test_sampling_allow_block():
+    logits = jnp.asarray(np.linspace(0, 1, 50)[None].astype(np.float32))
+    allow = jnp.asarray([[3, 7, -1, -1]])
+    tok = sampling.sample_allow(logits, allow, jax.random.PRNGKey(0), temperature=0.0)
+    assert int(tok[0]) == 7  # greedy among {3, 7}
+
+    block = jnp.asarray([[49, 48, -1, -1]])
+    tok = sampling.sample_block(logits, block, jax.random.PRNGKey(0), temperature=0.0)
+    assert int(tok[0]) == 47  # greedy excluding blocked top-2
+
+
+def test_cfg_combine():
+    cond = jnp.asarray([[1.0, 2.0]])
+    uncond = jnp.asarray([[0.0, 3.0]])
+    out = sampling.cfg_combine(cond, uncond, 2.0)
+    np.testing.assert_allclose(np.asarray(out), [[2.0, 1.0]])
+
+
+def test_top_p_keeps_top_token():
+    logits = jnp.asarray([[10.0, 1.0, 0.5, 0.1]])
+    tok = sampling.sample(logits, jax.random.PRNGKey(0), 1.0, top_k=0, top_p=0.01)
+    assert int(tok[0]) == 0
+
+
+TINY_LM = Qwen3Config(
+    vocab_size=300,
+    hidden_size=32,
+    intermediate_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=8,
+)
+
+
+@pytest.fixture(scope="module")
+def lm_handler():
+    h = LLMHandler(TINY_LM, dtype=jnp.float32)
+    h.initialize(random_init=True)
+    return h
+
+
+def test_llm_handler_cot_generation(lm_handler):
+    out = lm_handler.generate_with_stop_condition(
+        "energetic synthwave", "[Instrumental]",
+        temperature=0.8, stop_at_reasoning=True, seed=0,
+    )
+    md = out["metadata"]
+    assert "<think>" in out["cot_text"]
+    assert isinstance(md.get("bpm"), int) and 30 <= md["bpm"] <= 300
+    assert isinstance(md.get("duration"), int) and 10 <= md["duration"] <= 600
+    assert md.get("timesignature") in ("2", "3", "4", "6")
+    assert "lm_cot_time_cost" in out["time_costs"]
+
+
+def test_llm_handler_full_generation_with_codes(lm_handler):
+    out = lm_handler.generate_with_stop_condition(
+        "calm piano", "", temperature=0.8, target_duration=3.0, seed=1,
+    )
+    assert len(out["codes"]) == 15  # 3 s × 5 codes/s
+    assert all(0 <= c < 64000 for c in out["codes"])
+    assert out["audio_codes"].startswith("<|audio_code_")
+
+
+def test_llm_handler_user_metadata(lm_handler):
+    out = lm_handler.generate_with_stop_condition(
+        "rock", "", stop_at_reasoning=True,
+        user_metadata={"bpm": "140", "duration": "60"}, seed=2,
+    )
+    assert out["metadata"]["bpm"] == 140
+    assert out["metadata"]["duration"] == 60
+
+
+def test_parse_lm_output():
+    text = (
+        "<think>\nbpm: 95\ncaption: A haunting melody.\nduration: 120\n"
+        "keyscale: D minor\nlanguage: en\ntimesignature: 4\n</think>\n"
+        "<|audio_code_1|><|audio_code_2|>"
+    )
+    md, codes = LLMHandler.parse_lm_output(text)
+    assert md["bpm"] == 95
+    assert md["duration"] == 120
+    assert md["keyscale"] == "D minor"
+    assert md["caption"] == "A haunting melody."
+    assert codes == "<|audio_code_1|><|audio_code_2|>"

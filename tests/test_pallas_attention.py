@@ -1,0 +1,58 @@
+"""Pallas flash attention vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acestep_tpu.ops.attention import attention, make_attention_bias
+from acestep_tpu.ops.pallas_attention import flash_attention
+
+
+def _rand(shape, seed):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal(shape).astype(np.float32))
+
+
+def _ref(q, k, v, kv_mask=None, window=None, causal=False):
+    mask = make_attention_bias(
+        q.shape[1], k.shape[1], kv_mask=kv_mask, window=window, causal=causal
+    )
+    return attention(q, k, v, mask=mask)
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        dict(),  # full bidirectional
+        dict(window=64),  # sliding window
+        dict(causal=True),  # causal (LM)
+        dict(causal=True, window=64),
+    ],
+)
+def test_flash_matches_reference(case):
+    B, L, Nq, Nkv, H = 2, 384, 4, 2, 128
+    q, k, v = _rand((B, L, Nq, H), 0), _rand((B, L, Nkv, H), 1), _rand((B, L, Nkv, H), 2)
+    got = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True, **case)
+    want = _ref(q, k, v, **case)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_with_padding_mask_and_unaligned_length():
+    B, Lq, Lk, Nq, Nkv, H = 1, 200, 200, 4, 2, 128
+    q, k, v = _rand((B, Lq, Nq, H), 3), _rand((B, Lk, Nkv, H), 4), _rand((B, Lk, Nkv, H), 5)
+    kv_mask = np.ones((B, Lk), np.int32)
+    kv_mask[:, 150:] = 0
+    kv_mask = jnp.asarray(kv_mask)
+    got = flash_attention(q, k, v, kv_mask, block_q=128, block_k=128, interpret=True)
+    want = _ref(q, k, v, kv_mask=kv_mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_cross_attention_different_lengths():
+    B, Lq, Lk, Nq, Nkv, H = 2, 256, 130, 4, 2, 128
+    q, k, v = _rand((B, Lq, Nq, H), 6), _rand((B, Lk, Nkv, H), 7), _rand((B, Lk, Nkv, H), 8)
+    kv_mask = jnp.asarray(np.concatenate([np.ones((B, 100)), np.zeros((B, 30))], 1).astype(np.int32))
+    got = flash_attention(q, k, v, kv_mask, block_q=128, block_k=128, interpret=True)
+    want = _ref(q, k, v, kv_mask=kv_mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
