@@ -1,0 +1,200 @@
+"""Command-line interface: generate / serve / train / profile.
+
+Role parity with the reference's launchers (`cli.py`, `acestep_v15_pipeline.py`
+console scripts, `train.py`, `profile_inference.py`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _add_common_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--checkpoint-dir", default=os.environ.get("ACESTEP_CONFIG_PATH"))
+    p.add_argument("--lm-checkpoint-dir", default=os.environ.get("ACESTEP_LM_MODEL_PATH"))
+    p.add_argument("--random-init", action="store_true", help="dev mode: random weights")
+
+
+def cmd_generate(args) -> int:
+    from acestep_tpu.lm.handler import LLMHandler
+    from acestep_tpu.pipeline.handler import AceStepHandler
+    from acestep_tpu.service.inference import generate_music
+    from acestep_tpu.service.params import GenerationConfig, GenerationParams
+
+    dit = AceStepHandler()
+    print(dit.initialize_service(args.checkpoint_dir, random_init=args.random_init or None))
+    llm = None
+    if args.thinking:
+        llm = LLMHandler()
+        print(llm.initialize(args.lm_checkpoint_dir, random_init=args.random_init or None))
+
+    params = GenerationParams(
+        caption=args.caption,
+        lyrics=args.lyrics,
+        duration=args.duration,
+        task_type=args.task,
+        thinking=args.thinking,
+        seed=args.seed,
+        inference_steps=args.steps,
+        shift=args.shift,
+    )
+    cfg = GenerationConfig(
+        batch_size=args.batch_size,
+        audio_format=args.format,
+        output_dir=args.output_dir,
+        use_random_seed=args.seed < 0,
+    )
+    result = generate_music(dit, llm, params, cfg)
+    print(result.status_message)
+    if not result.success:
+        print(result.error, file=sys.stderr)
+        return 1
+    for a in result.audios:
+        print("  ", a["path"])
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from acestep_tpu.lm.handler import LLMHandler
+    from acestep_tpu.pipeline.handler import AceStepHandler
+    from acestep_tpu.service.api_server import serve
+
+    dit = AceStepHandler()
+    print(dit.initialize_service(args.checkpoint_dir, random_init=args.random_init or None))
+    llm = LLMHandler()
+    print(llm.initialize(args.lm_checkpoint_dir, random_init=args.random_init or None))
+    server = serve(dit, llm, args.host, args.port, args.api_key, args.output_dir)
+    print(f"listening on {args.host}:{args.port}")
+    server.serve_forever()
+    return 0
+
+
+def cmd_train(args) -> int:
+    from acestep_tpu.pipeline.handler import AceStepHandler
+    from acestep_tpu.training.dataset import PreprocessedDataset
+    from acestep_tpu.training.trainer import LoRAConfig, LoRATrainer, TrainingConfig
+
+    handler = AceStepHandler()
+    print(handler.initialize_service(args.checkpoint_dir, random_init=args.random_init or None))
+    # LoRA trains against the unstacked layout; rebuild it for training.
+    from acestep_tpu.params import init_acestep_params
+    import jax
+
+    base = init_acestep_params(jax.random.PRNGKey(0), handler.config, handler.dtype) \
+        if args.random_init else handler.params
+    if isinstance(base["decoder"]["layers"], dict):
+        print("note: training uses the unstacked parameter layout")
+
+    ds = PreprocessedDataset(args.dataset_dir)
+    trainer = LoRATrainer(
+        base,
+        handler.config,
+        LoRAConfig(rank=args.rank, alpha=args.alpha),
+        TrainingConfig(
+            learning_rate=args.lr,
+            max_steps=args.max_steps,
+            batch_size=args.batch_size,
+            output_dir=args.output_dir,
+            resume_from=args.resume_from,
+        ),
+    )
+    for step, loss, msg in trainer.train(ds.batches(args.batch_size)):
+        if step % 10 == 0 or "[checkpoint]" in msg:
+            print(msg)
+    print(f"done: adapter at {os.path.join(args.output_dir, 'adapter.npz')}")
+    return 0
+
+
+def cmd_profile(args) -> int:
+    """Benchmark matrix: Duration × Batch × Steps → Wall/DiT/VAE seconds
+    (ref `profile_inference.py --mode benchmark`, docs/en/BENCHMARK.md table)."""
+    from acestep_tpu.pipeline.handler import AceStepHandler
+
+    handler = AceStepHandler()
+    print(handler.initialize_service(args.checkpoint_dir, random_init=args.random_init or None))
+
+    durations = [int(d) for d in args.durations.split(",")]
+    batches = [int(b) for b in args.batches.split(",")]
+    rows = []
+    print(f"{'Dur(s)':>7} {'Batch':>6} {'Steps':>6} {'Wall(s)':>8} {'DiT(s)':>8} {'VAE(s)':>8} {'audio_s/s':>10}")
+    for d in durations:
+        for b in batches:
+            kwargs = dict(
+                captions=["profiling run"] * b, lyrics=["[Instrumental]"] * b,
+                audio_duration=float(d), batch_size=b,
+                seeds=list(range(b)), use_random_seed=False,
+            )
+            handler.generate_music(**kwargs)  # warmup/compile
+            t0 = time.time()
+            out = handler.generate_music(**kwargs)
+            wall = time.time() - t0
+            tc = out["time_costs"]
+            rows.append({
+                "duration": d, "batch": b, "steps": out["num_steps"], "wall": wall,
+                "dit": tc["diffusion_time_cost"], "vae": tc.get("vae_decode_time_cost", 0),
+                "throughput": b * d / wall,
+            })
+            r = rows[-1]
+            print(f"{d:>7} {b:>6} {r['steps']:>6} {r['wall']:>8.2f} {r['dit']:>8.2f} {r['vae']:>8.2f} {r['throughput']:>10.2f}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(rows, f, indent=2)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="acestep-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="generate music from text")
+    _add_common_model_args(g)
+    g.add_argument("--caption", required=True)
+    g.add_argument("--lyrics", default="[Instrumental]")
+    g.add_argument("--duration", type=float, default=30.0)
+    g.add_argument("--task", default="text2music")
+    g.add_argument("--thinking", action="store_true")
+    g.add_argument("--seed", type=int, default=-1)
+    g.add_argument("--steps", type=int, default=8)
+    g.add_argument("--shift", type=float, default=3.0)
+    g.add_argument("--batch-size", type=int, default=1)
+    g.add_argument("--format", default="flac")
+    g.add_argument("--output-dir", default="./outputs")
+    g.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser("serve", help="start the REST job API server")
+    _add_common_model_args(s)
+    s.add_argument("--host", default="0.0.0.0")
+    s.add_argument("--port", type=int, default=8001)
+    s.add_argument("--api-key", default=os.environ.get("ACESTEP_API_KEY"))
+    s.add_argument("--output-dir", default="./outputs")
+    s.set_defaults(fn=cmd_serve)
+
+    t = sub.add_parser("train", help="LoRA fine-tune from preprocessed tensors")
+    _add_common_model_args(t)
+    t.add_argument("--dataset-dir", required=True)
+    t.add_argument("--output-dir", default="./lora_output")
+    t.add_argument("--rank", type=int, default=32)
+    t.add_argument("--alpha", type=float, default=32.0)
+    t.add_argument("--lr", type=float, default=1e-4)
+    t.add_argument("--max-steps", type=int, default=1000)
+    t.add_argument("--batch-size", type=int, default=1)
+    t.add_argument("--resume-from", default=None)
+    t.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("profile", help="benchmark matrix (duration × batch)")
+    _add_common_model_args(p)
+    p.add_argument("--durations", default="30,60,120")
+    p.add_argument("--batches", default="1,2")
+    p.add_argument("--json-out", default=None)
+    p.set_defaults(fn=cmd_profile)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -32,10 +32,9 @@ def conv1d(
         padding=[(padding, padding)],
         rhs_dilation=(dilation,),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
+        y = y + bias.astype(y.dtype)
     return y.astype(x.dtype)
 
 
@@ -70,9 +69,12 @@ def conv_transpose1d(
         w_prev = kf[3 * half :]  # (s/2, Ci, Co) → output r<s/2 from x[t-1]
         w_next = kf[:half]  # (s/2, Ci, Co) → output r>=s/2 from x[t+1]
 
-        a = jnp.einsum("blc,rcd->blrd", x, w_mid, preferred_element_type=jnp.float32)
-        p_ = jnp.einsum("blc,rcd->blrd", x, w_prev, preferred_element_type=jnp.float32)
-        n_ = jnp.einsum("blc,rcd->blrd", x, w_next, preferred_element_type=jnp.float32)
+        # Outputs stay in x.dtype (bf16 on TPU; MXU still accumulates fp32
+        # internally) — fp32 outputs here would materialize multi-GB
+        # temporaries at 48 kHz rates.
+        a = jnp.einsum("blc,rcd->blrd", x, w_mid)
+        p_ = jnp.einsum("blc,rcd->blrd", x, w_prev)
+        n_ = jnp.einsum("blc,rcd->blrd", x, w_next)
 
         # x[t-1] contribution lands in the low half of block t.
         p_shift = jnp.pad(p_[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
@@ -90,8 +92,7 @@ def conv_transpose1d(
             padding=[(k - 1 - padding, k - 1 - padding)],
             lhs_dilation=(stride,),
             dimension_numbers=_DN,
-            preferred_element_type=jnp.float32,
         )
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
+        y = y + bias.astype(y.dtype)
     return y.astype(x.dtype)

@@ -75,6 +75,40 @@ class AceStepHandler:
         self.initialized = False
         self._last_time_costs: Dict[str, float] = {}
 
+        from acestep_tpu.pipeline.lora_manager import LoRARegistry
+
+        self.lora = LoRARegistry()
+
+    # ------------------------------------------------------------------
+    # LoRA lifecycle (ref lora_manager.py + core/lora/*)
+    # ------------------------------------------------------------------
+
+    def load_lora(self, name: str, path: str) -> Dict[str, Any]:
+        return self.lora.load(name, path)
+
+    def unload_lora(self, name: str) -> bool:
+        return self.lora.unload(name)
+
+    def toggle_lora(self, name: str, enabled: Optional[bool] = None) -> bool:
+        return self.lora.toggle(name, enabled)
+
+    def set_lora_scale(self, name: str, scale: float) -> None:
+        self.lora.set_scale(name, scale)
+
+    def lora_status(self) -> Dict[str, Any]:
+        return self.lora.status()
+
+    def _effective_params(self) -> Dict[str, Any]:
+        """Model params with enabled LoRA adapters applied to the decoder."""
+        if not self.lora.status():
+            return self.params
+        return {
+            **self.params,
+            "decoder": self.lora.effective_decoder(
+                self.params["decoder"], self.config.num_hidden_layers
+            ),
+        }
+
     # ------------------------------------------------------------------
     # Initialization (ref init_service_orchestrator.py:15-140)
     # ------------------------------------------------------------------
@@ -544,7 +578,7 @@ class AceStepHandler:
         # DiT denoise (single compiled trajectory)
         t0 = time.time()
         outputs = dit.generate_audio(
-            self.params,
+            self._effective_params(),
             self.config,
             text_hidden_states=text_hidden.astype(self.dtype),
             text_attention_mask=jnp.asarray(text_mask),

@@ -1,0 +1,323 @@
+"""REST async-job API server — stdlib http.server implementation.
+
+Endpoint surface mirrors the reference's FastAPI server
+(`acestep/api_server.py`: /release_task :2460, /query_result :2674,
+/health :2794, /v1/stats :2803, /v1/models :2816, /create_random_sample :2853,
+/format_input :2882, /v1/audio :3226) with the same async-job semantics:
+POST a task → task_id + queue position; poll /query_result for status
+0 (queued/running) / 1 (succeeded) / 2 (failed). FastAPI is not available in
+this environment, so the server is a ThreadingHTTPServer + one worker thread
+(the reference also runs a single queue worker, `ACESTEP_QUEUE_WORKERS=1`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import time
+import traceback
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
+
+from acestep_tpu.service.inference import (
+    create_sample,
+    format_sample,
+    generate_music,
+)
+from acestep_tpu.service.params import GenerationConfig, GenerationParams
+
+JOB_TTL_SECONDS = 3600
+MAX_QUEUE = 200
+
+
+class JobStore:
+    """In-memory job store with age-based GC (ref _JobStore :816-941)."""
+
+    def __init__(self):
+        self._jobs: Dict[str, Dict[str, Any]] = {}
+        self._lock = threading.Lock()
+        self._durations: List[float] = []
+
+    def create(self, payload: Dict[str, Any]) -> str:
+        task_id = uuid.uuid4().hex
+        with self._lock:
+            self._jobs[task_id] = {
+                "status": "queued",
+                "created": time.time(),
+                "payload": payload,
+                "progress": 0.0,
+                "result": None,
+                "error": None,
+            }
+        return task_id
+
+    def get(self, task_id: str) -> Optional[Dict[str, Any]]:
+        with self._lock:
+            return self._jobs.get(task_id)
+
+    def mark(self, task_id: str, **kw) -> None:
+        with self._lock:
+            if task_id in self._jobs:
+                self._jobs[task_id].update(kw)
+
+    def record_duration(self, seconds: float) -> None:
+        with self._lock:
+            self._durations.append(seconds)
+            self._durations = self._durations[-50:]
+
+    def eta(self) -> float:
+        with self._lock:
+            return sum(self._durations) / len(self._durations) if self._durations else 30.0
+
+    def gc(self) -> None:
+        now = time.time()
+        with self._lock:
+            dead = [k for k, v in self._jobs.items() if now - v["created"] > JOB_TTL_SECONDS]
+            for k in dead:
+                del self._jobs[k]
+
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            by_status: Dict[str, int] = {}
+            for v in self._jobs.values():
+                by_status[v["status"]] = by_status.get(v["status"], 0) + 1
+            return {"jobs": len(self._jobs), "by_status": by_status, "avg_job_seconds": self.eta()}
+
+
+class ApiService:
+    """Holds handlers, the job queue, and the worker thread."""
+
+    def __init__(self, dit_handler, llm_handler, output_dir: str = "./outputs"):
+        self.dit_handler = dit_handler
+        self.llm_handler = llm_handler
+        self.output_dir = output_dir
+        self.store = JobStore()
+        self.queue: "queue.Queue[str]" = queue.Queue(maxsize=MAX_QUEUE)
+        self._worker = threading.Thread(target=self._worker_loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        task_id = self.store.create(payload)
+        pos = self.queue.qsize()
+        self.queue.put(task_id)
+        return {"task_id": task_id, "queue_position": pos}
+
+    def _worker_loop(self) -> None:
+        while True:
+            task_id = self.queue.get()
+            job = self.store.get(task_id)
+            if job is None:
+                continue
+            self.store.mark(task_id, status="running", progress=0.05)
+            t0 = time.time()
+            try:
+                payload = job["payload"]
+                params = _params_from_payload(payload)
+                cfg = _config_from_payload(payload)
+                cfg.output_dir = self.output_dir
+                result = generate_music(self.dit_handler, self.llm_handler, params, cfg)
+                if result.success:
+                    self.store.mark(
+                        task_id,
+                        status="succeeded",
+                        progress=1.0,
+                        result={
+                            "audio_paths": [a.get("path") for a in result.audios],
+                            "keys": [a.get("key") for a in result.audios],
+                            "seeds": [a.get("seed") for a in result.audios],
+                            "metas": result.audios[0].get("metas") if result.audios else None,
+                            "extra": {
+                                k: v
+                                for k, v in result.extra_outputs.items()
+                                if k in ("time_costs", "lm_metadata", "audio_codes")
+                            },
+                        },
+                    )
+                else:
+                    self.store.mark(task_id, status="failed", error=result.error)
+            except Exception as e:  # noqa: BLE001 — job must fail, not the server
+                self.store.mark(task_id, status="failed", error=f"{e}\n{traceback.format_exc()}")
+            finally:
+                self.store.record_duration(time.time() - t0)
+                self.store.gc()
+
+
+_PARAM_ALIASES = {
+    "prompt": "caption",
+    "audio_duration": "duration",
+    "key_scale": "keyscale",
+    "time_signature": "timesignature",
+}
+
+
+def _params_from_payload(payload: Dict[str, Any]) -> GenerationParams:
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(GenerationParams)}
+    kw = {}
+    for k, v in payload.items():
+        k = _PARAM_ALIASES.get(k, k)
+        if k in fields and v is not None:
+            kw[k] = v
+    return GenerationParams(**kw)
+
+
+def _config_from_payload(payload: Dict[str, Any]) -> GenerationConfig:
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(GenerationConfig)}
+    kw = {k: v for k, v in payload.items() if k in fields and v is not None}
+    return GenerationConfig(**kw)
+
+
+def make_handler(service: ApiService, api_key: Optional[str] = None):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj: Any) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _auth_ok(self) -> bool:
+            if not api_key:
+                return True
+            auth = self.headers.get("Authorization", "")
+            return auth == f"Bearer {api_key}" or self.headers.get("X-API-Key") == api_key
+
+        def _read_body(self) -> Dict[str, Any]:
+            length = int(self.headers.get("Content-Length", 0))
+            if length == 0:
+                return {}
+            raw = self.rfile.read(length)
+            try:
+                return json.loads(raw)
+            except json.JSONDecodeError:
+                return {}
+
+        def do_GET(self):  # noqa: N802
+            url = urlparse(self.path)
+            if url.path == "/health":
+                return self._json(200, {"status": "ok", "initialized": service.dit_handler.initialized})
+            if url.path == "/v1/stats":
+                return self._json(200, {"queue_depth": service.queue.qsize(), **service.store.stats()})
+            if url.path == "/v1/models":
+                return self._json(
+                    200,
+                    {
+                        "models": [
+                            {
+                                "id": "acestep-v15-tpu",
+                                "version": service.dit_handler.config.model_version,
+                                "tasks": ["text2music", "repaint", "cover", "extract", "lego", "complete"],
+                            }
+                        ]
+                    },
+                )
+            if url.path == "/v1/audio":
+                q = parse_qs(url.query)
+                path = (q.get("path") or [""])[0]
+                full = os.path.abspath(path)
+                root = os.path.abspath(service.output_dir)
+                if not full.startswith(root) or not os.path.exists(full):
+                    return self._json(404, {"error": "not found"})
+                with open(full, "rb") as f:
+                    data = f.read()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
+            return self._json(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):  # noqa: N802
+            if not self._auth_ok():
+                return self._json(401, {"error": "unauthorized"})
+            url = urlparse(self.path)
+            body = self._read_body()
+            if url.path == "/release_task":
+                try:
+                    resp = service.submit(body)
+                    return self._json(200, resp)
+                except queue.Full:
+                    return self._json(429, {"error": "queue full"})
+            if url.path == "/query_result":
+                ids = body.get("task_ids") or ([body["task_id"]] if "task_id" in body else [])
+                results = []
+                for tid in ids:
+                    job = service.store.get(tid)
+                    if job is None:
+                        results.append({"task_id": tid, "status": 2, "error": "unknown task"})
+                        continue
+                    status = {"queued": 0, "running": 0, "succeeded": 1, "failed": 2}[job["status"]]
+                    results.append(
+                        {
+                            "task_id": tid,
+                            "status": status,
+                            "progress": job["progress"],
+                            "result": job["result"],
+                            "error": job["error"],
+                        }
+                    )
+                return self._json(200, {"results": results})
+            if url.path == "/create_random_sample":
+                out = create_sample(service.llm_handler, body.get("query", ""))
+                return self._json(200, out)
+            if url.path == "/format_input":
+                out = format_sample(service.llm_handler, body.get("input", body.get("text", "")))
+                return self._json(200, out)
+            return self._json(404, {"error": "unknown endpoint"})
+
+    return Handler
+
+
+def serve(
+    dit_handler,
+    llm_handler,
+    host: str = "127.0.0.1",
+    port: int = 8001,
+    api_key: Optional[str] = None,
+    output_dir: str = "./outputs",
+) -> ThreadingHTTPServer:
+    """Start the API server (returns the server; call serve_forever() or poll)."""
+    service = ApiService(dit_handler, llm_handler, output_dir)
+    server = ThreadingHTTPServer((host, port), make_handler(service, api_key))
+    server.service = service  # type: ignore[attr-defined]
+    return server
+
+
+def main():  # pragma: no cover — CLI entry
+    import argparse
+
+    from acestep_tpu.lm.handler import LLMHandler
+    from acestep_tpu.pipeline.handler import AceStepHandler
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint-dir", default=os.environ.get("ACESTEP_CONFIG_PATH"))
+    ap.add_argument("--lm-checkpoint-dir", default=os.environ.get("ACESTEP_LM_MODEL_PATH"))
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8001)
+    ap.add_argument("--api-key", default=os.environ.get("ACESTEP_API_KEY"))
+    ap.add_argument("--output-dir", default="./outputs")
+    args = ap.parse_args()
+
+    dit = AceStepHandler()
+    dit.initialize_service(args.checkpoint_dir)
+    llm = LLMHandler()
+    llm.initialize(args.lm_checkpoint_dir)
+    server = serve(dit, llm, args.host, args.port, args.api_key, args.output_dir)
+    print(f"listening on {args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,225 @@
+"""`generate_music` — the single orchestration entry every API/UI path uses.
+
+Mirrors the reference's `acestep/inference.py:309-776`: LM phase (CoT metadata
++ audio codes when `thinking`) → metadata merge → DiT phase → normalize →
+save with a deterministic UUID. LM-only APIs (`understand_music`,
+`create_sample`, `format_sample`, ref :779-1253) are thin wrappers over the
+LLMHandler.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import traceback
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from acestep_tpu.service.params import (
+    GenerationConfig,
+    GenerationParams,
+    GenerationResult,
+    UnderstandResult,
+)
+from acestep_tpu.utils import audio as audio_utils
+from acestep_tpu.utils.constants import DURATION_MAX, DURATION_MIN
+
+
+def _merge_metadata_from_lm(params: GenerationParams, lm_meta: Dict[str, Any]) -> Dict[str, Any]:
+    """Fill user-missing fields from the LM CoT (ref inference.py:262-306)."""
+    merged: Dict[str, Any] = {}
+    merged["bpm"] = params.bpm if params.bpm else lm_meta.get("bpm", "N/A")
+    merged["keyscale"] = params.keyscale or lm_meta.get("keyscale", "N/A")
+    merged["timesignature"] = params.timesignature or lm_meta.get("timesignature", "N/A")
+    duration = params.duration if params.duration and params.duration > 0 else lm_meta.get("duration")
+    try:
+        duration = float(duration)
+    except (TypeError, ValueError):
+        duration = 30.0
+    merged["duration"] = max(DURATION_MIN, min(duration, DURATION_MAX))
+    caption = lm_meta.get("caption") if params.use_cot_caption else None
+    merged["caption"] = caption or params.caption
+    language = lm_meta.get("language") if params.use_cot_language else None
+    merged["language"] = language or params.vocal_language
+    return merged
+
+
+def generate_music(
+    dit_handler,
+    llm_handler,
+    params: GenerationParams,
+    config: Optional[GenerationConfig] = None,
+    save_audio: bool = True,
+) -> GenerationResult:
+    """Full pipeline (ref inference.py:309-776). Returns GenerationResult."""
+    config = config or GenerationConfig()
+    t_start = time.time()
+    time_costs: Dict[str, float] = {}
+    extra: Dict[str, Any] = {}
+
+    try:
+        lyrics = "[Instrumental]" if params.instrumental and not params.lyrics else params.lyrics
+
+        # ------------------ LM phase ------------------
+        lm_meta: Dict[str, Any] = {}
+        audio_codes = params.audio_codes or ""
+        if params.thinking and llm_handler is not None and llm_handler.initialized:
+            user_metadata = {
+                "bpm": str(params.cot_bpm or params.bpm) if (params.cot_bpm or params.bpm) else None,
+                "keyscale": params.cot_keyscale or params.keyscale or None,
+                "timesignature": params.cot_timesignature or params.timesignature or None,
+                "duration": (
+                    str(int(params.cot_duration or params.duration))
+                    if (params.cot_duration or params.duration) and (params.cot_duration or params.duration) > 0
+                    else None
+                ),
+                "language": None,
+            }
+            lm_out = llm_handler.generate_with_stop_condition(
+                caption=params.caption,
+                lyrics=lyrics,
+                temperature=params.lm_temperature,
+                cfg_scale=params.lm_cfg_scale,
+                top_k=params.lm_top_k,
+                top_p=params.lm_top_p,
+                negative_prompt=params.lm_negative_prompt,
+                user_metadata=user_metadata if params.use_cot_metas else None,
+                target_duration=params.duration if params.duration > 0 else None,
+                use_constrained_decoding=params.use_constrained_decoding,
+                seed=max(params.seed, 0),
+            )
+            lm_meta = lm_out["metadata"]
+            if not audio_codes:
+                audio_codes = lm_out.get("audio_codes", "")
+            extra["lm_metadata"] = lm_meta
+            extra["cot_text"] = lm_out.get("cot_text", "")
+            time_costs.update(lm_out.get("time_costs", {}))
+
+        merged = _merge_metadata_from_lm(params, lm_meta)
+        metas_str = (
+            f"- bpm: {merged['bpm']}\n"
+            f"- timesignature: {merged['timesignature']}\n"
+            f"- keyscale: {merged['keyscale']}\n"
+            f"- duration: {int(merged['duration'])} seconds\n"
+        )
+
+        # ------------------ DiT phase ------------------
+        b = config.batch_size
+        reference_audio = None
+        if params.reference_audio:
+            reference_audio = audio_utils.load_audio(params.reference_audio)
+        target_latents = None
+        if params.src_audio:
+            src = audio_utils.load_audio(params.src_audio)
+            z = dit_handler.encode_reference_audio(src)
+            target_latents = np.repeat(z[None], b, axis=0)
+
+        repaint = params.task_type in ("repaint", "lego") and params.repainting_end != 0
+        rep_end = params.repainting_end
+        if repaint and rep_end is not None and rep_end < 0:
+            rep_end = merged["duration"]
+
+        out = dit_handler.generate_music(
+            captions=[merged["caption"]] * b,
+            lyrics=[lyrics] * b,
+            batch_size=b,
+            metas=[metas_str] * b,
+            vocal_languages=[merged["language"]] * b,
+            audio_duration=merged["duration"],
+            task_type=params.task_type,
+            instructions=[params.instruction] * b if params.instruction else None,
+            seeds=config.seeds if config.seeds is not None else (params.seed if params.seed >= 0 else None),
+            use_random_seed=config.use_random_seed and params.seed < 0 and config.seeds is None,
+            inference_steps=(None if params.inference_steps == 8 else params.inference_steps),
+            shift=params.shift if params.shift else 3.0,
+            timesteps=params.timesteps,
+            infer_method=params.infer_method,
+            guidance_scale=params.guidance_scale if params.inference_steps > 8 else 1.0,
+            use_adg=params.use_adg,
+            cfg_interval_start=params.cfg_interval_start,
+            cfg_interval_end=params.cfg_interval_end,
+            audio_code_strings=[audio_codes or None] * b,
+            target_latents=target_latents,
+            reference_audios=[reference_audio] * b if reference_audio is not None else None,
+            repainting_start=[params.repainting_start] * b if repaint else None,
+            repainting_end=[rep_end] * b if repaint else None,
+            audio_cover_strength=params.audio_cover_strength,
+            cover_noise_strength=params.cover_noise_strength,
+            latent_shift=params.latent_shift,
+            latent_rescale=params.latent_rescale,
+        )
+        time_costs.update(out["time_costs"])
+
+        # ------------------ save ------------------
+        audios: List[Dict[str, Any]] = []
+        wavs = out["audios"]
+        os.makedirs(config.output_dir, exist_ok=True)
+        for i in range(wavs.shape[0]):
+            wav = wavs[i]
+            if params.enable_normalization:
+                wav = audio_utils.peak_normalize(wav, params.normalization_db)
+            entry: Dict[str, Any] = {
+                "params": params.to_dict(),
+                "seed": out["seeds"][i],
+                "key": audio_utils.deterministic_uuid(
+                    {**params.to_dict(), "seed": out["seeds"][i], "index": i}
+                ),
+            }
+            if save_audio:
+                path = os.path.join(config.output_dir, entry["key"])
+                entry["path"] = audio_utils.save_audio(path, wav, fmt=config.audio_format)
+            else:
+                entry["audio"] = wav
+            entry["metas"] = metas_str
+            audios.append(entry)
+
+        time_costs["pipeline_total_time_cost"] = time.time() - t_start
+        extra["time_costs"] = time_costs
+        extra["latents_shape"] = list(out["latents"].shape)
+        extra["audio_codes"] = audio_codes
+        return GenerationResult(
+            audios=audios,
+            status_message=f"Generated {len(audios)} audio(s) in {time_costs['pipeline_total_time_cost']:.2f}s",
+            extra_outputs=extra,
+            success=True,
+        )
+    except Exception as e:  # noqa: BLE001 — job servers need failure payloads
+        return GenerationResult(
+            audios=[],
+            status_message="Generation failed",
+            extra_outputs=extra,
+            success=False,
+            error=f"{e}\n{traceback.format_exc()}",
+        )
+
+
+def understand_music(llm_handler, audio_codes: str, **kw) -> UnderstandResult:
+    """Codes → metadata/lyrics (ref inference.py:779)."""
+    try:
+        out = llm_handler.understand_audio_from_codes(audio_codes, **kw)
+        md = out["metadata"]
+        return UnderstandResult(
+            caption=md.get("caption", ""),
+            lyrics=md.get("lyrics", ""),
+            bpm=md.get("bpm"),
+            duration=md.get("duration"),
+            keyscale=md.get("keyscale", ""),
+            language=md.get("language", ""),
+            timesignature=str(md.get("timesignature", "")),
+            success=True,
+        )
+    except Exception as e:  # noqa: BLE001
+        return UnderstandResult(success=False, error=str(e))
+
+
+def create_sample(llm_handler, query: str = "", **kw) -> Dict[str, Any]:
+    """Random/inspired sample creation (ref inference.py:951)."""
+    out = llm_handler.create_sample_from_query(query or "Create a random music sample.", **kw)
+    return {"metadata": out["metadata"], "text": out["text"], "success": True}
+
+
+def format_sample(llm_handler, user_input: str, **kw) -> Dict[str, Any]:
+    """Format freeform input into caption/lyrics (ref inference.py:1125)."""
+    out = llm_handler.format_sample_from_input(user_input, **kw)
+    return {"metadata": out["metadata"], "text": out["text"], "success": True}

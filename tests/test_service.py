@@ -1,0 +1,136 @@
+"""Service layer tests: generate_music orchestration + REST job API."""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from acestep_tpu.config import AceStepConfig, OobleckConfig, Qwen3Config
+from acestep_tpu.lm.handler import LLMHandler
+from acestep_tpu.pipeline.handler import AceStepHandler
+from acestep_tpu.service.inference import generate_music, understand_music
+from acestep_tpu.service.params import GenerationConfig, GenerationParams
+
+TINY_DIT = AceStepConfig(
+    hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, head_dim=16, sliding_window=8,
+    text_hidden_dim=32, num_lyric_encoder_hidden_layers=2,
+    num_timbre_encoder_hidden_layers=1, num_attention_pooler_hidden_layers=1,
+    fsq_dim=64, timbre_fix_frame=10,
+)
+TINY_VAE = OobleckConfig(
+    encoder_hidden_size=16, downsampling_ratios=(2, 4, 4), channel_multiples=(1, 2, 4),
+    decoder_channels=16, decoder_input_channels=64, audio_channels=2, sampling_rate=800,
+)
+TINY_TEXT = Qwen3Config(
+    vocab_size=300, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+)
+TINY_LM = TINY_TEXT
+
+
+@pytest.fixture(scope="module")
+def handlers():
+    import acestep_tpu.pipeline.handler as H
+
+    H.LATENT_BUCKETS = (64, 128)
+    H.TEXT_BUCKETS = (32, 64)
+    H.LYRIC_BUCKETS = (32, 64)
+    dit = AceStepHandler(TINY_DIT, TINY_VAE, TINY_TEXT, dtype=jnp.float32)
+    dit.initialize_service(random_init=True)
+    llm = LLMHandler(TINY_LM, dtype=jnp.float32)
+    llm.initialize(random_init=True)
+    return dit, llm
+
+
+def test_generate_music_end_to_end(handlers, tmp_path):
+    dit, llm = handlers
+    params = GenerationParams(
+        caption="upbeat jazz", lyrics="[Instrumental]", duration=2.0,
+        thinking=True, seed=4,
+    )
+    cfg = GenerationConfig(batch_size=1, audio_format="wav", output_dir=str(tmp_path),
+                           use_random_seed=False)
+    result = generate_music(dit, llm, params, cfg)
+    assert result.success, result.error
+    assert len(result.audios) == 1
+    assert result.audios[0]["path"].endswith(".wav")
+    import os
+
+    assert os.path.exists(result.audios[0]["path"])
+    assert "time_costs" in result.extra_outputs
+    assert "lm_metadata" in result.extra_outputs
+
+
+def test_generate_music_without_thinking(handlers, tmp_path):
+    dit, llm = handlers
+    params = GenerationParams(caption="piano", duration=2.0, thinking=False, seed=1)
+    cfg = GenerationConfig(batch_size=1, audio_format="wav", output_dir=str(tmp_path),
+                           use_random_seed=False)
+    result = generate_music(dit, None, params, cfg)
+    assert result.success, result.error
+    assert "lm_metadata" not in result.extra_outputs
+
+
+def test_generate_music_failure_payload(handlers):
+    dit, llm = handlers
+    params = GenerationParams(caption="x", duration=2.0, thinking=False,
+                              src_audio="/nonexistent/file.wav")
+    result = generate_music(dit, None, params, GenerationConfig(batch_size=1))
+    assert not result.success
+    assert result.error
+
+
+def test_understand_music(handlers):
+    _, llm = handlers
+    res = understand_music(llm, "<|audio_code_1|><|audio_code_2|>", max_new_tokens=16)
+    assert res.success
+
+
+def test_api_server_job_flow(handlers, tmp_path):
+    dit, llm = handlers
+    from acestep_tpu.service.api_server import serve
+    import threading
+
+    server = serve(dit, llm, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    def get(path):
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+            return json.loads(r.read())
+
+    assert get("/health")["status"] == "ok"
+    assert get("/v1/models")["models"][0]["id"] == "acestep-v15-tpu"
+
+    resp = post("/release_task", {
+        "caption": "test song", "duration": 2.0, "thinking": False,
+        "batch_size": 1, "audio_format": "wav", "seed": 3,
+    })
+    task_id = resp["task_id"]
+
+    status = None
+    for _ in range(120):
+        out = post("/query_result", {"task_ids": [task_id]})
+        status = out["results"][0]
+        if status["status"] in (1, 2):
+            break
+        time.sleep(0.5)
+    assert status["status"] == 1, status
+    assert status["result"]["audio_paths"][0].endswith(".wav")
+    assert get("/v1/stats")["jobs"] >= 1
+    server.shutdown()
