@@ -426,17 +426,38 @@ class AceStepHandler:
         )
         return np.asarray(z[0], np.float32)
 
+    @functools.cached_property
+    def _postprocess_jit(self):
+        def post(wav, target_gain):
+            # wav (B, L, 2) → peak-normalized int16 PCM (B, 2, L).
+            wavf = wav.astype(jnp.float32)
+            peak = jnp.max(jnp.abs(wavf), axis=(1, 2), keepdims=True)
+            scale = jnp.where(
+                target_gain > 0,
+                target_gain / jnp.maximum(peak, 1e-9),  # normalize to target
+                1.0 / jnp.maximum(peak, 1.0),  # clip guard only
+            )
+            pcm = jnp.clip(wavf * scale, -1.0, 1.0) * 32767.0
+            return jnp.round(pcm).astype(jnp.int16).transpose(0, 2, 1)
+
+        return jax.jit(post)
+
     def decode_latents(
         self,
         latents: jax.Array,  # (B, T, 64)
         *,
         use_tiled: bool = True,
         chunk_frames: int = 2048,
+        normalize_db: Optional[float] = None,
+        return_int16: bool = False,
     ) -> np.ndarray:
-        """Latents → float32 audio (B, 2, L) with clip guard (ref generate_music_decode).
+        """Latents → audio (B, 2, L): float32 in [-1,1] or int16 PCM.
 
         Decode runs in bfloat16 (the reference's CUDA VAE dtype policy,
         `memory_utils.py:157-166`); Snake activations stay fp32 internally.
+        Peak normalization / clip guard (ref generate_music_decode.py:197-200,
+        audio_utils.normalize_audio) runs ON DEVICE and the host transfer is
+        int16 PCM — 4× less traffic than fp32 waveforms.
         """
         z = latents.astype(self.dtype)
         if use_tiled and z.shape[1] > chunk_frames:
@@ -446,10 +467,11 @@ class AceStepHandler:
             )
         else:
             wav = self._vae_decode_jit(self.vae_params, latents=z)
-        wav = np.asarray(wav, np.float32).transpose(0, 2, 1)  # (B, 2, L)
-        peak = np.max(np.abs(wav), axis=(1, 2), keepdims=True)
-        scale = np.where(peak > 1.0, peak, 1.0)
-        return wav / scale
+        gain = 10.0 ** (normalize_db / 20.0) if normalize_db is not None else -1.0
+        pcm = np.asarray(self._postprocess_jit(wav, jnp.float32(gain)))
+        if return_int16:
+            return pcm
+        return pcm.astype(np.float32) / 32767.0
 
     # ------------------------------------------------------------------
     # generate_music (ref generate_music.py:22-190 + service_generate.py:20-146)
@@ -486,6 +508,8 @@ class AceStepHandler:
         latent_shift: float = 0.0,
         latent_rescale: float = 1.0,
         decode_audio: bool = True,
+        normalize_db: Optional[float] = None,
+        return_int16: bool = False,
     ) -> Dict[str, Any]:
         """Run the DiT-side generation pipeline. Returns latents + audio + timings."""
         assert self.initialized, "call initialize_service() first"
@@ -637,7 +661,7 @@ class AceStepHandler:
 
         if decode_audio:
             t0 = time.time()
-            wavs = self.decode_latents(pred)
+            wavs = self.decode_latents(pred, normalize_db=normalize_db, return_int16=return_int16)
             time_costs["vae_decode_time_cost"] = time.time() - t0
             result["audios"] = wavs
 

@@ -69,9 +69,12 @@ class JobStore:
             self._durations.append(seconds)
             self._durations = self._durations[-50:]
 
+    def _eta_locked(self) -> float:
+        return sum(self._durations) / len(self._durations) if self._durations else 30.0
+
     def eta(self) -> float:
         with self._lock:
-            return sum(self._durations) / len(self._durations) if self._durations else 30.0
+            return self._eta_locked()
 
     def gc(self) -> None:
         now = time.time()
@@ -85,7 +88,11 @@ class JobStore:
             by_status: Dict[str, int] = {}
             for v in self._jobs.values():
                 by_status[v["status"]] = by_status.get(v["status"], 0) + 1
-            return {"jobs": len(self._jobs), "by_status": by_status, "avg_job_seconds": self.eta()}
+            return {
+                "jobs": len(self._jobs),
+                "by_status": by_status,
+                "avg_job_seconds": self._eta_locked(),
+            }
 
 
 class ApiService:
@@ -275,6 +282,35 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
             if url.path == "/format_input":
                 out = format_sample(service.llm_handler, body.get("input", body.get("text", "")))
                 return self._json(200, out)
+            if url.path == "/v1/chat/completions":
+                from acestep_tpu.service.openrouter import handle_chat_completions
+
+                out = handle_chat_completions(
+                    service.dit_handler, service.llm_handler, body, service.output_dir
+                )
+                return self._json(200, out)
+            # LoRA lifecycle (ref api_server.py:3014-3104)
+            if url.path.startswith("/v1/lora/"):
+                op = url.path.rsplit("/", 1)[-1]
+                h = service.dit_handler
+                try:
+                    if op == "load":
+                        meta = h.load_lora(body["name"], body["path"])
+                        return self._json(200, {"success": True, "meta": meta})
+                    if op == "unload":
+                        return self._json(200, {"success": h.unload_lora(body["name"])})
+                    if op == "toggle":
+                        en = h.toggle_lora(body["name"], body.get("enabled"))
+                        return self._json(200, {"success": True, "enabled": en})
+                    if op == "scale":
+                        h.set_lora_scale(body["name"], float(body["scale"]))
+                        return self._json(200, {"success": True})
+                    if op == "status":
+                        return self._json(200, {"success": True, "adapters": h.lora_status()})
+                except KeyError as e:
+                    return self._json(400, {"success": False, "error": f"missing/unknown: {e}"})
+                except Exception as e:  # noqa: BLE001
+                    return self._json(500, {"success": False, "error": str(e)})
             return self._json(404, {"error": "unknown endpoint"})
 
     return Handler

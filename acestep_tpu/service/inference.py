@@ -148,6 +148,8 @@ def generate_music(
             cover_noise_strength=params.cover_noise_strength,
             latent_shift=params.latent_shift,
             latent_rescale=params.latent_rescale,
+            normalize_db=params.normalization_db if params.enable_normalization else None,
+            return_int16=True,
         )
         time_costs.update(out["time_costs"])
 
@@ -156,9 +158,7 @@ def generate_music(
         wavs = out["audios"]
         os.makedirs(config.output_dir, exist_ok=True)
         for i in range(wavs.shape[0]):
-            wav = wavs[i]
-            if params.enable_normalization:
-                wav = audio_utils.peak_normalize(wav, params.normalization_db)
+            wav = wavs[i]  # int16 PCM, already normalized on device
             entry: Dict[str, Any] = {
                 "params": params.to_dict(),
                 "seed": out["seeds"][i],

@@ -1,0 +1,143 @@
+"""OpenAI chat-completions-compatible façade over the generation pipeline.
+
+Role parity with the reference's OpenRouter adapter
+(`acestep/openrouter_adapter.py:199-773`, server at
+`openrouter/openrouter_api_server.py`): parse chat messages (text prompts and
+optional base64 audio parts) into a GenerationParams, run generation, return
+a chat completion whose content embeds base64 audio. Mounted as extra routes
+on the stdlib API server.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import re
+import time
+import uuid
+from typing import Any, Dict, List, Optional, Tuple
+
+from acestep_tpu.service.params import GenerationConfig, GenerationParams
+
+_DURATION_RE = re.compile(r"(\d+)\s*(?:s\b|sec|seconds?)", re.IGNORECASE)
+_BPM_RE = re.compile(r"(\d+)\s*bpm", re.IGNORECASE)
+_LYRICS_RE = re.compile(r"(?:#+\s*lyrics?|\[lyrics?\])\s*\n(.*)", re.IGNORECASE | re.DOTALL)
+
+
+def parse_chat_messages(messages: List[Dict[str, Any]]) -> Tuple[GenerationParams, Optional[bytes]]:
+    """Chat messages → GenerationParams (+ optional uploaded audio bytes)."""
+    caption_parts: List[str] = []
+    lyrics = ""
+    audio_bytes: Optional[bytes] = None
+
+    for msg in messages:
+        if msg.get("role") != "user":
+            continue
+        content = msg.get("content")
+        parts = content if isinstance(content, list) else [{"type": "text", "text": str(content)}]
+        for part in parts:
+            if part.get("type") == "text":
+                text = part.get("text", "")
+                m = _LYRICS_RE.search(text)
+                if m:
+                    lyrics = m.group(1).strip()
+                    text = text[: m.start()].strip()
+                caption_parts.append(text)
+            elif part.get("type") in ("input_audio", "audio"):
+                data = part.get("input_audio", part.get("audio", {}))
+                b64 = data.get("data") if isinstance(data, dict) else data
+                if b64:
+                    audio_bytes = base64.b64decode(b64)
+
+    caption = " ".join(p for p in caption_parts if p).strip()
+    params = GenerationParams(caption=caption, lyrics=lyrics)
+    m = _DURATION_RE.search(caption)
+    if m:
+        params.duration = float(m.group(1))
+    m = _BPM_RE.search(caption)
+    if m:
+        params.bpm = int(m.group(1))
+    if lyrics:
+        params.instrumental = False
+    return params, audio_bytes
+
+
+def chat_completion_response(
+    model: str,
+    result,
+    *,
+    include_audio_base64: bool = True,
+) -> Dict[str, Any]:
+    """GenerationResult → OpenAI chat.completion payload with audio content."""
+    content: List[Dict[str, Any]] = []
+    if result.success:
+        meta = result.extra_outputs.get("lm_metadata", {})
+        text = result.status_message
+        if meta:
+            text += "\n" + json.dumps(meta)
+        content.append({"type": "text", "text": text})
+        for a in result.audios:
+            path = a.get("path")
+            if include_audio_base64 and path:
+                with open(path, "rb") as f:
+                    b64 = base64.b64encode(f.read()).decode()
+                content.append({
+                    "type": "audio",
+                    "audio": {"data": b64, "format": path.rsplit(".", 1)[-1]},
+                })
+            elif path:
+                content.append({"type": "text", "text": f"audio: {path}"})
+    else:
+        content.append({"type": "text", "text": f"error: {result.error}"})
+
+    return {
+        "id": f"chatcmpl-{uuid.uuid4().hex[:24]}",
+        "object": "chat.completion",
+        "created": int(time.time()),
+        "model": model,
+        "choices": [
+            {
+                "index": 0,
+                "message": {"role": "assistant", "content": content},
+                "finish_reason": "stop" if result.success else "error",
+            }
+        ],
+        "usage": {"prompt_tokens": 0, "completion_tokens": 0, "total_tokens": 0},
+    }
+
+
+def handle_chat_completions(
+    dit_handler, llm_handler, body: Dict[str, Any], output_dir: str
+) -> Dict[str, Any]:
+    """POST /v1/chat/completions implementation."""
+    from acestep_tpu.service.inference import generate_music
+
+    messages = body.get("messages", [])
+    model = body.get("model", "acestep-v15-tpu")
+    params, audio_bytes = parse_chat_messages(messages)
+    if audio_bytes:
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+            f.write(audio_bytes)
+            params.reference_audio = f.name
+        params.task_type = "cover"
+    params.thinking = bool(body.get("thinking", True)) and llm_handler is not None
+    cfg = GenerationConfig(batch_size=1, audio_format="wav", output_dir=output_dir)
+    result = generate_music(dit_handler, llm_handler, params, cfg)
+    return chat_completion_response(model, result)
+
+
+def models_response() -> Dict[str, Any]:
+    return {
+        "object": "list",
+        "data": [
+            {
+                "id": "acestep-v15-tpu",
+                "object": "model",
+                "created": 0,
+                "owned_by": "acestep-tpu",
+                "capabilities": {"audio_generation": True},
+            }
+        ],
+    }

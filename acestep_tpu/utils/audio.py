@@ -53,9 +53,12 @@ def to_stereo(audio: np.ndarray) -> np.ndarray:
 
 
 def save_wav(path: str, audio: np.ndarray, sample_rate: int = 48_000) -> str:
-    """Save (C, L) float audio as 16-bit PCM WAV via stdlib."""
-    audio = np.clip(audio, -1.0, 1.0)
-    pcm = (audio.T * 32767.0).astype(np.int16)  # (L, C)
+    """Save (C, L) audio (float in [-1,1] or int16 PCM) as 16-bit WAV via stdlib."""
+    if audio.dtype == np.int16:
+        pcm = audio.T
+    else:
+        audio = np.clip(audio, -1.0, 1.0)
+        pcm = (audio.T * 32767.0).astype(np.int16)  # (L, C)
     with wave.open(path, "wb") as w:
         w.setnchannels(pcm.shape[1])
         w.setsampwidth(2)
@@ -81,7 +84,10 @@ def save_audio(
     if fmt == "wav32":
         from scipy.io import wavfile
 
-        wavfile.write(path_base + ".wav", sample_rate, audio.T.astype(np.float32))
+        f32 = audio.T.astype(np.float32)
+        if audio.dtype == np.int16:
+            f32 = f32 / 32767.0
+        wavfile.write(path_base + ".wav", sample_rate, f32)
         return path_base + ".wav"
 
     ff = _ffmpeg()

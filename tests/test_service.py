@@ -101,18 +101,24 @@ def test_api_server_job_flow(handlers, tmp_path):
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
 
+    import http.client
+
     def post(path, payload):
-        req = urllib.request.Request(
-            f"http://127.0.0.1:{port}{path}",
-            data=json.dumps(payload).encode(),
-            headers={"Content-Type": "application/json"},
-        )
-        with urllib.request.urlopen(req) as r:
-            return json.loads(r.read())
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", path, body=json.dumps(payload),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        data = json.loads(resp.read())
+        conn.close()
+        return data
 
     def get(path):
-        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
-            return json.loads(r.read())
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", path)
+        resp = conn.getresponse()
+        data = json.loads(resp.read())
+        conn.close()
+        return data
 
     assert get("/health")["status"] == "ok"
     assert get("/v1/models")["models"][0]["id"] == "acestep-v15-tpu"

@@ -1,0 +1,148 @@
+"""Training subsystem tests: LoRA math, dataset, trainer loop, checkpoints."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acestep_tpu.config import AceStepConfig
+from acestep_tpu.params import init_acestep_params
+from acestep_tpu.training.dataset import PreprocessedDataset, save_sample, write_manifest
+from acestep_tpu.training.lora import apply_lora, init_lora_params, merge_lora
+from acestep_tpu.training.trainer import (
+    LoRAConfig,
+    LoRATrainer,
+    TrainingConfig,
+    load_adapter,
+)
+
+TINY = AceStepConfig(
+    hidden_size=32,
+    intermediate_size=64,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=8,
+    sliding_window=4,
+    text_hidden_dim=16,
+    num_lyric_encoder_hidden_layers=2,
+    num_timbre_encoder_hidden_layers=1,
+    num_attention_pooler_hidden_layers=1,
+    fsq_dim=32,
+    timbre_fix_frame=8,
+)
+
+
+@pytest.fixture(scope="module")
+def base_params():
+    return init_acestep_params(jax.random.PRNGKey(0), TINY, jnp.float32)
+
+
+def test_lora_init_targets_and_identity(base_params):
+    lora = init_lora_params(jax.random.PRNGKey(1), base_params["decoder"], rank=4)
+    # decoder: 2 layers × (self 4 + cross 4 + mlp 3) = 22 targets
+    assert len(lora) == 22
+    # B init zero → adapted == base
+    adapted = apply_lora(base_params["decoder"], lora, alpha=8.0, rank=4)
+    k0 = base_params["decoder"]["layers"][0]["self_attn"]["q_proj"]["kernel"]
+    k1 = adapted["layers"][0]["self_attn"]["q_proj"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+
+
+def test_lora_apply_changes_weights(base_params):
+    lora = init_lora_params(jax.random.PRNGKey(2), base_params["decoder"], rank=4)
+    path = next(iter(lora))
+    lora[path]["b"] = jnp.ones_like(lora[path]["b"])
+    adapted = apply_lora(base_params["decoder"], lora, alpha=8.0, rank=4)
+    node_base, node_adapted = base_params["decoder"], adapted
+    for p in path.split("/"):
+        node_base = node_base[int(p)] if isinstance(node_base, list) else node_base[p]
+        node_adapted = node_adapted[int(p)] if isinstance(node_adapted, list) else node_adapted[p]
+    assert np.abs(np.asarray(node_adapted) - np.asarray(node_base)).max() > 0
+
+
+def _make_dataset(tmp_path, n=3, t=20, l=12):
+    os.makedirs(tmp_path, exist_ok=True)
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(n):
+        sample = {
+            "target_latents": rng.standard_normal((t, 64)).astype(np.float32),
+            "encoder_hidden_states": rng.standard_normal((l, TINY.hidden_size)).astype(np.float32),
+            "encoder_attention_mask": np.ones((l,), np.int32),
+            "context_latents": rng.standard_normal((t, 128)).astype(np.float32),
+            "attention_mask": np.ones((t,), np.int32),
+        }
+        fname = f"sample_{i}.npz"
+        save_sample(os.path.join(tmp_path, fname), sample)
+        entries.append({"file": fname})
+    write_manifest(str(tmp_path), entries)
+    return str(tmp_path)
+
+
+def test_dataset_batching(tmp_path):
+    ds_dir = _make_dataset(tmp_path)
+    ds = PreprocessedDataset(ds_dir)
+    assert len(ds) == 3
+    batch = next(ds.batches(2, shuffle=False, pad_multiple=8))
+    assert batch["target_latents"].shape == (2, 24, 64)
+    assert batch["encoder_hidden_states"].shape[0] == 2
+    assert batch["attention_mask"][:, :20].all()
+    assert not batch["attention_mask"][:, 20:].any()
+
+
+def test_trainer_loss_decreases_and_checkpoints(base_params, tmp_path):
+    ds_dir = _make_dataset(tmp_path / "data")
+    os.makedirs(ds_dir, exist_ok=True)
+    ds = PreprocessedDataset(ds_dir)
+    out_dir = str(tmp_path / "run")
+    trainer = LoRATrainer(
+        base_params,
+        TINY,
+        LoRAConfig(rank=4, alpha=8.0),
+        TrainingConfig(
+            learning_rate=1e-2, max_steps=6, checkpoint_every=3, log_every=2,
+            output_dir=out_dir, warmup_steps=1,
+        ),
+    )
+    losses = [loss for _, loss, _ in trainer.train(ds.batches(2, shuffle=False))]
+    assert len(losses) == 6
+    assert all(np.isfinite(losses))
+    assert os.path.exists(os.path.join(out_dir, "adapter.npz"))
+    assert os.path.exists(os.path.join(out_dir, "metrics.jsonl"))
+
+    lora, meta = load_adapter(os.path.join(out_dir, "adapter.npz"))
+    assert meta["rank"] == 4 and meta["step"] == 6
+    assert len(lora) == 22
+
+    # resume restores step counter
+    ckpts = sorted(os.listdir(os.path.join(out_dir, "checkpoints")))
+    trainer2 = LoRATrainer(base_params, TINY, LoRAConfig(rank=4, alpha=8.0),
+                           TrainingConfig(output_dir=out_dir, max_steps=6))
+    trainer2.load_checkpoint(os.path.join(out_dir, "checkpoints", ckpts[-1]))
+    assert trainer2.step == 6
+
+
+def test_stacked_lora_registry_matches_unstacked(base_params, tmp_path):
+    """Serving-side stacked application == training-side unstacked application."""
+    from acestep_tpu.models import dit
+    from acestep_tpu.pipeline.lora_manager import apply_lora_stacked
+
+    lora = init_lora_params(jax.random.PRNGKey(3), base_params["decoder"], rank=4)
+    for path in lora:
+        lora[path]["b"] = jax.random.normal(jax.random.PRNGKey(hash(path) % 2**31), lora[path]["b"].shape) * 0.1
+
+    plain = apply_lora(base_params["decoder"], lora, alpha=8.0, rank=4)
+    stacked_base = dit.stack_acestep_params(base_params, TINY)["decoder"]
+    stacked_applied = apply_lora_stacked(stacked_base, lora, n_layers=2, alpha=8.0, rank=4)
+
+    # compare layer 0 (sliding group idx 0) q_proj kernel
+    a = np.asarray(plain["layers"][0]["self_attn"]["q_proj"]["kernel"])
+    b = np.asarray(stacked_applied["layers"]["sliding"][ "self_attn"]["q_proj"]["kernel"][0])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    a1 = np.asarray(plain["layers"][1]["mlp"]["down_proj"]["kernel"])
+    b1 = np.asarray(stacked_applied["layers"]["full"]["mlp"]["down_proj"]["kernel"][0])
+    np.testing.assert_allclose(a1, b1, atol=1e-6)
