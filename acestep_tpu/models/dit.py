@@ -425,6 +425,85 @@ def dit_forward(
     return h[:, :orig_len, :]
 
 
+def _layer_params_at(layers, cfg: AceStepConfig, idx: int) -> Params:
+    """Fetch one layer's params from either list or stacked layout."""
+    if isinstance(layers, dict):
+        parity = "sliding" if idx % 2 == 0 else "full"
+        return jax.tree.map(lambda x: x[idx // 2], layers[parity])
+    return layers[idx]
+
+
+def dit_cross_attention_capture(
+    p: Params,  # decoder params (list or stacked layout)
+    cfg: AceStepConfig,
+    xt: jax.Array,  # (B, T, 64)
+    timestep: jax.Array,  # (B,)
+    context_latents: jax.Array,  # (B, T, 128)
+    encoder_hidden_states: jax.Array,  # (B, L_enc, D) — RAW encoder output
+    encoder_mask: Optional[jax.Array],
+    capture_layers: Sequence[int],
+) -> Dict[int, jax.Array]:
+    """Run the decoder up to max(capture_layers), returning cross-attention
+    probabilities {layer: (B, heads, L_enc, L_patched)} for LRC alignment.
+
+    The "attention capture" escape hatch from fused attention (SURVEY §7.3;
+    ref decoder output_attentions + custom_layers_config early-exit,
+    `modeling_acestep_v15_turbo.py:1450-1483`, used by `lyric_timestamp.py:77-91`).
+    Note: returns attention transposed to (text, audio) orientation like the
+    reference's `.transpose(-1, -2)`.
+    """
+    temb_t, proj_t = timestep_embedding(p["time_embed"], timestep)
+    temb_r, proj_r = timestep_embedding(p["time_embed_r"], timestep - timestep)
+    tproj = proj_t + proj_r
+
+    enc = linear(p["condition_embedder"], encoder_hidden_states)
+
+    h = jnp.concatenate([context_latents, xt], axis=-1)
+    pad = (-h.shape[1]) % cfg.patch_size
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+    h = conv1d(h, p["proj_in"]["kernel"], p["proj_in"].get("bias"), stride=cfg.patch_size)
+    l = h.shape[1]
+    cos, sin = rope_cos_sin(l, cfg.head_dim, cfg.rope_theta)
+    win = cfg.sliding_window if cfg.use_sliding_window else None
+
+    captured: Dict[int, jax.Array] = {}
+    max_layer = max(capture_layers)
+    for i in range(max_layer + 1):
+        lp = _layer_params_at(p["layers"], cfg, i)
+        if i in capture_layers:
+            # Recompute the cross-attn scores from the pre-cross hidden state.
+            mod = lp["scale_shift_table"].astype(jnp.float32) + tproj.astype(jnp.float32)
+            shift_msa, scale_msa, gate_msa, _, _, _ = [
+                m.astype(h.dtype) for m in jnp.split(mod, 6, axis=1)
+            ]
+            hn = rms_norm(lp["self_attn_norm"]["weight"], h, cfg.rms_norm_eps)
+            hn = hn * (1 + scale_msa) + shift_msa
+            w = win if cfg.layer_type(i) == "sliding_attention" else None
+            attn_out = attention_block(
+                lp["self_attn"], cfg, hn, cos=cos, sin=sin, window=w
+            )
+            h_mid = h + attn_out * gate_msa
+            hq = rms_norm(lp["cross_attn_norm"]["weight"], h_mid, cfg.rms_norm_eps)
+            ca = lp["cross_attn"]
+            q = _split_heads(linear(ca["q_proj"], hq), cfg.num_attention_heads, cfg.head_dim)
+            q = rms_norm(ca["q_norm"]["weight"], q, cfg.rms_norm_eps)
+            k, _ = cross_attention_kv(ca, cfg, enc)
+            groups = cfg.num_attention_heads // cfg.num_key_value_heads
+            kq = jnp.repeat(k, groups, axis=2)
+            scores = jnp.einsum("bqnh,bsnh->bnqs", q.astype(jnp.float32), kq.astype(jnp.float32))
+            scores = scores * (cfg.head_dim**-0.5)
+            if encoder_mask is not None:
+                neg = jnp.finfo(jnp.float32).min
+                scores = jnp.where(encoder_mask.astype(bool)[:, None, None, :], scores, neg)
+            probs = jax.nn.softmax(scores, axis=-1)
+            captured[i] = probs.transpose(0, 1, 3, 2)  # (B, heads, L_enc, L_audio)
+        kv = cross_attention_kv(lp["cross_attn"], cfg, enc)
+        w = win if cfg.layer_type(i) == "sliding_attention" else None
+        h = dit_layer(lp, cfg, h, cos, sin, tproj, None, w, encoder_mask, kv)
+    return captured
+
+
 # ---------------------------------------------------------------------------
 # Condition encoder + prepare_condition
 # ---------------------------------------------------------------------------
@@ -759,6 +838,7 @@ def generate_audio(
     cfg_interval_end: float = 1.0,
     infer_steps: Optional[int] = None,
     max_refs: int = 1,
+    return_condition: bool = False,
 ) -> Dict[str, Any]:
     """Full turbo/base generation (ref turbo generate_audio :1780-2001).
 
@@ -884,4 +964,11 @@ def generate_audio(
             cfg_interval_end=cfg_interval_end,
         )
 
-    return {"target_latents": xt, "num_steps": num_steps}
+    out = {"target_latents": xt, "num_steps": num_steps}
+    if return_condition:
+        out["condition"] = {
+            "encoder_hidden_states": enc,
+            "encoder_attention_mask": enc_mask,
+            "context_latents": context_latents,
+        }
+    return out

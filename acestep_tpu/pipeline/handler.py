@@ -474,6 +474,88 @@ class AceStepHandler:
         return pcm.astype(np.float32) / 32767.0
 
     # ------------------------------------------------------------------
+    # LRC lyric timestamps (ref lyric_timestamp.py:15-147)
+    # ------------------------------------------------------------------
+
+    # Default attention layer→heads map (ref handler.py:129).
+    custom_layers_config = {2: [6], 3: [10, 11], 4: [3], 5: [8, 9], 6: [8]}
+
+    def get_lyric_timestamps(
+        self,
+        pred_latents: np.ndarray,  # (1, T, 64)
+        condition: Dict[str, Any],  # from generate_music(return_condition=True)
+        lyric_token_ids: np.ndarray,  # (1, L) tokens of the formatted lyric prompt
+        lyrics_text: str,
+        total_duration_seconds: float,
+        *,
+        vocal_language: str = "en",
+        inference_steps: int = 8,
+        seed: int = 42,
+        custom_layers_config: Optional[Dict[int, List[int]]] = None,
+    ) -> Dict[str, Any]:
+        """Re-run one decoder step at t=1/steps with attention capture, DTW-align
+        cross-attention to lyric tokens, return LRC text + timestamps."""
+        from acestep_tpu.scoring.alignment import MusicStampsAligner, format_lrc
+
+        cfgmap = custom_layers_config or self.custom_layers_config
+        t_last = 1.0 / max(inference_steps, 1)
+        xt_np = pred_latents[:1]
+        # Latents were cropped to the exact duration; pad back to the bucketed
+        # context length for the capture forward.
+        t_ctx = condition["context_latents"].shape[1]
+        if xt_np.shape[1] < t_ctx:
+            xt_np = np.pad(xt_np, ((0, 0), (0, t_ctx - xt_np.shape[1]), (0, 0)))
+        b, t, d = xt_np.shape
+        noise = dit.prepare_noise((b, t, d), [seed], self.dtype)
+        xt = t_last * noise + (1.0 - t_last) * jnp.asarray(xt_np, self.dtype)
+
+        captured = dit.dit_cross_attention_capture(
+            self.params["decoder"],
+            self.config,
+            xt,
+            jnp.full((b,), t_last, jnp.float32),
+            jnp.asarray(condition["context_latents"][:1], self.dtype),
+            jnp.asarray(condition["encoder_hidden_states"][:1], self.dtype),
+            jnp.asarray(condition["encoder_attention_mask"][:1]),
+            sorted(cfgmap.keys()),
+        )
+        # Select configured heads; stack to (n_maps, L_enc, L_audio).
+        maps = []
+        for layer, heads in cfgmap.items():
+            probs = np.asarray(captured[layer][0], np.float32)  # (heads, L_enc, L_audio)
+            for h in heads:
+                if h < probs.shape[0]:
+                    maps.append(probs[h])
+        if not maps:
+            return {"success": False, "error": "no attention maps captured"}
+        attn = np.stack(maps)
+
+        # Lyric tokens occupy the head of the packed condition sequence
+        # (pack order lyric→timbre→text, ref AceStepConditionEncoder :1549-1550).
+        header = self.format_lyrics("", vocal_language).split("<|endoftext|>")[0]
+        from acestep_tpu.lm.constrained import _encode
+
+        header_len = len(_encode(self.text_tokenizer, header))
+        ids = [int(x) for x in np.asarray(lyric_token_ids).reshape(-1)]
+        n_lyric_valid = len(ids)
+        start = min(header_len, n_lyric_valid)
+        pure_ids = ids[start:]
+        attn_lyric = attn[:, start : start + len(pure_ids), :]
+
+        l_audio = attn.shape[-1]
+        fps = l_audio / max(total_duration_seconds, 1e-6)
+        aligner = MusicStampsAligner(self.text_tokenizer, frames_per_second=fps)
+        token_stamps = aligner.token_timestamps(attn_lyric, pure_ids)
+        sentences = [l for l in lyrics_text.split("\n") if l.strip()]
+        sent_stamps = aligner.sentence_timestamps(attn_lyric, pure_ids, sentences)
+        return {
+            "success": True,
+            "lrc_text": format_lrc(sent_stamps),
+            "token_timestamps": [s.__dict__ for s in token_stamps],
+            "sentence_timestamps": [s.__dict__ for s in sent_stamps],
+        }
+
+    # ------------------------------------------------------------------
     # generate_music (ref generate_music.py:22-190 + service_generate.py:20-146)
     # ------------------------------------------------------------------
 
@@ -510,6 +592,7 @@ class AceStepHandler:
         decode_audio: bool = True,
         normalize_db: Optional[float] = None,
         return_int16: bool = False,
+        return_condition: bool = False,
     ) -> Dict[str, Any]:
         """Run the DiT-side generation pipeline. Returns latents + audio + timings."""
         assert self.initialized, "call initialize_service() first"
@@ -630,6 +713,7 @@ class AceStepHandler:
             cfg_interval_end=cfg_interval_end,
             infer_steps=inference_steps,
             max_refs=1,
+            return_condition=return_condition,
         )
         pred = outputs["target_latents"]
         pred.block_until_ready()
@@ -658,6 +742,15 @@ class AceStepHandler:
             "spans": spans,
             "num_steps": outputs["num_steps"],
         }
+        if return_condition:
+            cond = outputs["condition"]
+            valid = int(np.asarray(lyric_mask[0]).sum())
+            result["condition"] = {
+                "encoder_hidden_states": np.asarray(cond["encoder_hidden_states"], np.float32),
+                "encoder_attention_mask": np.asarray(cond["encoder_attention_mask"]),
+                "context_latents": np.asarray(cond["context_latents"], np.float32),
+            }
+            result["lyric_token_ids"] = lyric_ids[:, :valid]
 
         if decode_audio:
             t0 = time.time()
