@@ -29,6 +29,7 @@ from acestep_tpu.service.inference import (
     generate_music,
 )
 from acestep_tpu.service.params import GenerationConfig, GenerationParams
+from acestep_tpu.utils.progress import ProgressEstimator
 
 JOB_TTL_SECONDS = 3600
 MAX_QUEUE = 200
@@ -103,6 +104,7 @@ class ApiService:
         self.llm_handler = llm_handler
         self.output_dir = output_dir
         self.store = JobStore()
+        self.progress = ProgressEstimator()
         self.queue: "queue.Queue[str]" = queue.Queue(maxsize=MAX_QUEUE)
         self._worker = threading.Thread(target=self._worker_loop, daemon=True)
         self._worker.start()
@@ -119,7 +121,16 @@ class ApiService:
             job = self.store.get(task_id)
             if job is None:
                 continue
-            self.store.mark(task_id, status="running", progress=0.05)
+            payload0 = job["payload"]
+            self.store.mark(
+                task_id, status="running", progress=0.05,
+                run_meta={
+                    "started_at": time.time(),
+                    "duration_s": float(payload0.get("duration", 30) or 30),
+                    "batch": int(payload0.get("batch_size", 1) or 1),
+                    "steps": int(payload0.get("inference_steps", 8) or 8),
+                },
+            )
             t0 = time.time()
             try:
                 payload = job["payload"]
@@ -128,6 +139,13 @@ class ApiService:
                 cfg.output_dir = self.output_dir
                 result = generate_music(self.dit_handler, self.llm_handler, params, cfg)
                 if result.success:
+                    tc = result.extra_outputs.get("time_costs", {})
+                    per_step = tc.get("diffusion_per_step_time_cost")
+                    if per_step:
+                        rm = job.get("run_meta") or self.store.get(task_id).get("run_meta") or {}
+                        self.progress.update(
+                            rm.get("duration_s", 30), rm.get("batch", 1), float(per_step)
+                        )
                     self.store.mark(
                         task_id,
                         status="succeeded",
@@ -212,6 +230,16 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
 
         def do_GET(self):  # noqa: N802
             url = urlparse(self.path)
+            if url.path in ("/", "/studio"):
+                from acestep_tpu.service.webui import STUDIO_HTML
+
+                body = STUDIO_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             if url.path == "/health":
                 return self._json(200, {"status": "ok", "initialized": service.dit_handler.initialized})
             if url.path == "/v1/stats":
@@ -266,11 +294,20 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                         results.append({"task_id": tid, "status": 2, "error": "unknown task"})
                         continue
                     status = {"queued": 0, "running": 0, "succeeded": 1, "failed": 2}[job["status"]]
+                    progress = job["progress"]
+                    rm = job.get("run_meta")
+                    if job["status"] == "running" and rm:
+                        progress = max(
+                            progress,
+                            service.progress.progress_fraction(
+                                rm["started_at"], rm["duration_s"], rm["batch"], rm["steps"]
+                            ),
+                        )
                     results.append(
                         {
                             "task_id": tid,
                             "status": status,
-                            "progress": job["progress"],
+                            "progress": progress,
                             "result": job["result"],
                             "error": job["error"],
                         }
