@@ -59,12 +59,27 @@ def encoder_block(p: Params, x: jax.Array, stride: int) -> jax.Array:
     )
 
 
+def _use_fused_res_units(c: int) -> bool:
+    import os
+
+    if os.environ.get("ACESTEP_TPU_NO_FUSED_VAE", "0") == "1":
+        return False
+    try:
+        return c <= 256 and jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def decoder_block(p: Params, x: jax.Array, stride: int) -> jax.Array:
     x = snake(p["snake1"], x)
     x = conv_transpose1d(
         x, p["conv_t1"]["kernel"], p["conv_t1"].get("bias"),
         stride=stride, padding=-(-stride // 2),
     )
+    if _use_fused_res_units(x.shape[-1]):
+        from acestep_tpu.ops.pallas_vae import res_units_pallas
+
+        return res_units_pallas(x, (p["res_unit1"], p["res_unit2"], p["res_unit3"]))
     x = residual_unit(p["res_unit1"], x, 1)
     x = residual_unit(p["res_unit2"], x, 3)
     return residual_unit(p["res_unit3"], x, 9)

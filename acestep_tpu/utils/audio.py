@@ -36,6 +36,12 @@ def clip_guard(audio: np.ndarray) -> np.ndarray:
 def resample(audio: np.ndarray, sr_in: int, sr_out: int, axis: int = -1) -> np.ndarray:
     if sr_in == sr_out:
         return audio
+    if axis in (-1, audio.ndim - 1) and audio.ndim == 2:
+        # Native polyphase resampler (native/acestep_audio.cpp) when built.
+        from acestep_tpu.utils import native_audio
+
+        if native_audio.available():
+            return native_audio.resample(audio.astype(np.float32), sr_in, sr_out)
     from scipy.signal import resample_poly
     from math import gcd
 

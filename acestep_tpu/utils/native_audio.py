@@ -1,0 +1,131 @@
+"""ctypes bindings for the native audio kernels (native/acestep_audio.cpp).
+
+Builds `libacestep_audio.so` on first use (g++); every entry point falls back
+to numpy/scipy when the native library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_lib = None
+_lib_lock = threading.Lock()
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib or None
+        so = os.path.join(_NATIVE_DIR, "libacestep_audio.so")
+        if not os.path.exists(so):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR], check=True, capture_output=True, timeout=120
+                )
+            except Exception:
+                _lib = False  # sentinel: don't retry
+                return None
+        try:
+            lib = ctypes.CDLL(so)
+            lib.as_peak.restype = ctypes.c_float
+            lib.as_peak.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+            lib.as_f32_to_i16.restype = None
+            lib.as_f32_to_i16.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+                ctypes.c_float, ctypes.POINTER(ctypes.c_int16),
+            ]
+            lib.as_i16_to_f32.restype = None
+            lib.as_i16_to_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.as_resample_poly.restype = ctypes.c_int64
+            lib.as_resample_poly.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ]
+            _lib = lib
+            return lib
+        except OSError:
+            _lib = False
+            return None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def peak(x: np.ndarray) -> float:
+    lib = _load()
+    xf = np.ascontiguousarray(x, np.float32)
+    if lib is None:
+        return float(np.max(np.abs(xf))) if xf.size else 0.0
+    return float(lib.as_peak(xf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), xf.size))
+
+
+def f32_to_i16(audio: np.ndarray, target_gain: float = -1.0) -> np.ndarray:
+    """(ch, n) float planar → (n, ch) int16 interleaved, normalized to target_gain."""
+    lib = _load()
+    a = np.ascontiguousarray(audio, np.float32)
+    ch, n = a.shape
+    if lib is None:
+        pk = float(np.max(np.abs(a))) if a.size else 0.0
+        if target_gain > 0 and pk > 1e-9:
+            scale = target_gain / pk
+        elif pk > 1.0:
+            scale = 1.0 / pk
+        else:
+            scale = 1.0
+        return np.round(np.clip(a.T * scale, -1, 1) * 32767).astype(np.int16)
+    out = np.empty((n, ch), np.int16)
+    lib.as_f32_to_i16(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, ch,
+        ctypes.c_float(target_gain), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    return out
+
+
+def i16_to_f32(pcm: np.ndarray) -> np.ndarray:
+    """(n, ch) int16 interleaved → (ch, n) float planar."""
+    lib = _load()
+    p = np.ascontiguousarray(pcm, np.int16)
+    n, ch = p.shape
+    if lib is None:
+        return (p.T.astype(np.float32)) / 32768.0
+    out = np.empty((ch, n), np.float32)
+    lib.as_i16_to_f32(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n, ch,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def resample(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """(ch, n) planar float resampling."""
+    if sr_in == sr_out:
+        return audio
+    lib = _load()
+    a = np.ascontiguousarray(audio, np.float32)
+    ch, n = a.shape
+    if lib is None:
+        from math import gcd
+
+        from scipy.signal import resample_poly
+
+        g = gcd(sr_in, sr_out)
+        return resample_poly(a, sr_out // g, sr_in // g, axis=1).astype(np.float32)
+    out_cap = int(np.ceil(n * sr_out / sr_in)) + 8
+    out = np.zeros((ch, out_cap), np.float32)
+    got = lib.as_resample_poly(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, ch, sr_in, sr_out,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out[:, :got]

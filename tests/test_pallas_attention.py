@@ -56,3 +56,32 @@ def test_flash_cross_attention_different_lengths():
     got = flash_attention(q, k, v, kv_mask, block_q=128, block_k=128, interpret=True)
     want = _ref(q, k, v, kv_mask=kv_mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_res_units_matches_sequential():
+    from acestep_tpu.models import vae as vae_mod
+    from acestep_tpu.ops.pallas_vae import res_units_pallas
+
+    rng = np.random.default_rng(9)
+    B, L, C = 1, 600, 128
+    x = jnp.asarray(rng.standard_normal((B, L, C)).astype(np.float32))
+
+    units = []
+    for u in range(3):
+        units.append({
+            "snake1": {"alpha": jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1),
+                       "beta": jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)},
+            "conv1": {"kernel": jnp.asarray(rng.standard_normal((7, C, C)).astype(np.float32) * 0.03),
+                      "bias": jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)},
+            "snake2": {"alpha": jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1),
+                       "beta": jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)},
+            "conv2": {"kernel": jnp.asarray(rng.standard_normal((1, C, C)).astype(np.float32) * 0.03),
+                      "bias": jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)},
+        })
+
+    ref = x
+    for u, d in enumerate((1, 3, 9)):
+        ref = vae_mod.residual_unit(units[u], ref, d)
+
+    got = res_units_pallas(x, units, tile=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3)
