@@ -99,12 +99,20 @@ class JobStore:
 class ApiService:
     """Holds handlers, the job queue, and the worker thread."""
 
-    def __init__(self, dit_handler, llm_handler, output_dir: str = "./outputs"):
+    def __init__(self, dit_handler, llm_handler, output_dir: str = "./outputs",
+                 extra_dit_handlers: Optional[Dict[str, Any]] = None):
         self.dit_handler = dit_handler
         self.llm_handler = llm_handler
+        # Multi-model registry (ref ACESTEP_CONFIG_PATH{,2,3}, api_server.py:1274-1291)
+        self.dit_handlers: Dict[str, Any] = {"default": dit_handler}
+        if extra_dit_handlers:
+            self.dit_handlers.update(extra_dit_handlers)
         self.output_dir = output_dir
         self.store = JobStore()
         self.progress = ProgressEstimator()
+        from acestep_tpu.service.train_api import TrainingService
+
+        self.training = TrainingService(dit_handler)
         self.queue: "queue.Queue[str]" = queue.Queue(maxsize=MAX_QUEUE)
         self._worker = threading.Thread(target=self._worker_loop, daemon=True)
         self._worker.start()
@@ -137,7 +145,9 @@ class ApiService:
                 params = _params_from_payload(payload)
                 cfg = _config_from_payload(payload)
                 cfg.output_dir = self.output_dir
-                result = generate_music(self.dit_handler, self.llm_handler, params, cfg)
+                model_name = payload.get("model", "default")
+                dit = self.dit_handlers.get(model_name, self.dit_handler)
+                result = generate_music(dit, self.llm_handler, params, cfg)
                 if result.success:
                     tc = result.extra_outputs.get("time_costs", {})
                     per_step = tc.get("diffusion_per_step_time_cost")
@@ -250,10 +260,11 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                     {
                         "models": [
                             {
-                                "id": "acestep-v15-tpu",
-                                "version": service.dit_handler.config.model_version,
+                                "id": "acestep-v15-tpu" if name == "default" else name,
+                                "version": h.config.model_version,
                                 "tasks": ["text2music", "repaint", "cover", "extract", "lego", "complete"],
                             }
+                            for name, h in service.dit_handlers.items()
                         ]
                     },
                 )
@@ -319,6 +330,31 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
             if url.path == "/format_input":
                 out = format_sample(service.llm_handler, body.get("input", body.get("text", "")))
                 return self._json(200, out)
+            if url.path == "/understand":
+                from acestep_tpu.service.inference import understand_music
+
+                res = understand_music(service.llm_handler, body.get("audio_codes", ""))
+                return self._json(200, res.to_dict())
+            # Training routes (ref acestep/api/train_api_*.py)
+            if url.path == "/v1/train/start":
+                try:
+                    return self._json(200, service.training.start_run(body))
+                except KeyError as e:
+                    return self._json(400, {"error": f"missing field: {e}"})
+            if url.path == "/v1/train/status":
+                st = service.training.status(body.get("run_id", ""))
+                if st is None:
+                    return self._json(404, {"error": "unknown run"})
+                return self._json(200, st)
+            if url.path == "/v1/train/stop":
+                return self._json(200, {"stopped": service.training.stop(body.get("run_id", ""))})
+            if url.path == "/v1/train/list":
+                return self._json(200, service.training.list_runs())
+            if url.path == "/v1/train/build_dataset":
+                try:
+                    return self._json(200, service.training.build_dataset(body))
+                except KeyError as e:
+                    return self._json(400, {"error": f"missing field: {e}"})
             if url.path == "/v1/chat/completions":
                 from acestep_tpu.service.openrouter import handle_chat_completions
 
@@ -360,9 +396,10 @@ def serve(
     port: int = 8001,
     api_key: Optional[str] = None,
     output_dir: str = "./outputs",
+    extra_dit_handlers: Optional[Dict[str, Any]] = None,
 ) -> ThreadingHTTPServer:
     """Start the API server (returns the server; call serve_forever() or poll)."""
-    service = ApiService(dit_handler, llm_handler, output_dir)
+    service = ApiService(dit_handler, llm_handler, output_dir, extra_dit_handlers)
     server = ThreadingHTTPServer((host, port), make_handler(service, api_key))
     server.service = service  # type: ignore[attr-defined]
     return server

@@ -1,0 +1,163 @@
+"""Training REST service: start/stop/status for LoRA runs + dataset building.
+
+Role parity with the reference's training REST (`acestep/api/train_api_*.py`:
+start LoRA/LoKR runs, dataset service, status/stop, export). Runs the trainer
+in a background thread; metrics stream from the trainer's JSONL file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import traceback
+from typing import Any, Dict, List, Optional
+
+
+class TrainingService:
+    def __init__(self, dit_handler):
+        self.dit_handler = dit_handler
+        self._runs: Dict[str, Dict[str, Any]] = {}
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------------
+
+    def start_run(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        import uuid
+
+        from acestep_tpu.training.dataset import PreprocessedDataset
+        from acestep_tpu.training.trainer import LoRAConfig, LoRATrainer, TrainingConfig
+
+        run_id = uuid.uuid4().hex[:12]
+        dataset_dir = payload["dataset_dir"]
+        output_dir = payload.get("output_dir", f"./lora_runs/{run_id}")
+
+        lcfg = LoRAConfig(
+            rank=int(payload.get("rank", 32)),
+            alpha=float(payload.get("alpha", 32.0)),
+        )
+        tcfg = TrainingConfig(
+            learning_rate=float(payload.get("learning_rate", 1e-4)),
+            max_steps=int(payload.get("max_steps", 1000)),
+            batch_size=int(payload.get("batch_size", 1)),
+            checkpoint_every=int(payload.get("checkpoint_every", 200)),
+            output_dir=output_dir,
+            resume_from=payload.get("resume_from"),
+            seed=int(payload.get("seed", 0)),
+        )
+
+        state = {
+            "status": "starting",
+            "step": 0,
+            "loss": None,
+            "started": time.time(),
+            "output_dir": output_dir,
+            "error": None,
+            "stop_requested": False,
+        }
+        with self._lock:
+            self._runs[run_id] = state
+
+        def worker():
+            try:
+                ds = PreprocessedDataset(dataset_dir)
+                # Training uses the unstacked parameter layout; the serving
+                # handler stacks params, so rebuild the decoder list view when
+                # needed (stacked → per-layer slices).
+                base = self._unstacked_params()
+                trainer = LoRATrainer(base, self.dit_handler.config, lcfg, tcfg)
+                state["status"] = "running"
+                for step, loss, _msg in trainer.train(ds.batches(tcfg.batch_size)):
+                    state["step"], state["loss"] = step, loss
+                    if state["stop_requested"]:
+                        trainer.save_checkpoint()
+                        break
+                state["status"] = "stopped" if state["stop_requested"] else "completed"
+                state["adapter_path"] = os.path.join(output_dir, "adapter.npz")
+            except Exception as e:  # noqa: BLE001 — surfaced via status API
+                state["status"] = "failed"
+                state["error"] = f"{e}\n{traceback.format_exc()}"
+
+        threading.Thread(target=worker, daemon=True).start()
+        return {"run_id": run_id, "output_dir": output_dir}
+
+    def _unstacked_params(self) -> Dict[str, Any]:
+        """Recover per-layer decoder params from the stacked serving layout."""
+        import jax
+
+        params = self.dit_handler.params
+        dec = params["decoder"]
+        if not isinstance(dec["layers"], dict):
+            return params
+        half = self.dit_handler.config.num_hidden_layers // 2
+        layers: List[Any] = []
+        for i in range(self.dit_handler.config.num_hidden_layers):
+            parity = "sliding" if i % 2 == 0 else "full"
+            layers.append(jax.tree.map(lambda x: x[i // 2], dec["layers"][parity]))
+        new_dec = dict(dec)
+        new_dec["layers"] = layers
+        return {**params, "decoder": new_dec}
+
+    def status(self, run_id: str) -> Optional[Dict[str, Any]]:
+        with self._lock:
+            state = self._runs.get(run_id)
+        if state is None:
+            return None
+        out = {k: v for k, v in state.items() if k != "stop_requested"}
+        metrics = os.path.join(state["output_dir"], "metrics.jsonl")
+        if os.path.exists(metrics):
+            with open(metrics) as f:
+                lines = f.readlines()[-20:]
+            out["recent_metrics"] = [json.loads(l) for l in lines if l.strip()]
+        return out
+
+    def stop(self, run_id: str) -> bool:
+        with self._lock:
+            state = self._runs.get(run_id)
+            if state is None:
+                return False
+            state["stop_requested"] = True
+        return True
+
+    def list_runs(self) -> Dict[str, Any]:
+        with self._lock:
+            return {
+                rid: {"status": s["status"], "step": s["step"], "loss": s["loss"]}
+                for rid, s in self._runs.items()
+            }
+
+    # ------------------------------------------------------------------
+
+    def build_dataset(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        """Preprocess an audio directory into training tensors
+        (ref dataset_builder preprocess-to-tensors flow)."""
+        from acestep_tpu.training.dataset import preprocess_audio_to_sample, save_sample, write_manifest
+        from acestep_tpu.utils import audio as audio_utils
+
+        audio_dir = payload["audio_dir"]
+        out_dir = payload.get("output_dir", audio_dir.rstrip("/") + "_tensors")
+        captions: Dict[str, str] = payload.get("captions", {})
+        lyrics: Dict[str, str] = payload.get("lyrics", {})
+        os.makedirs(out_dir, exist_ok=True)
+
+        entries = []
+        errors = {}
+        for fname in sorted(os.listdir(audio_dir)):
+            if not fname.lower().endswith((".wav", ".flac", ".mp3", ".ogg")):
+                continue
+            try:
+                audio = audio_utils.load_audio(os.path.join(audio_dir, fname))
+                sample = preprocess_audio_to_sample(
+                    self.dit_handler,
+                    audio,
+                    captions.get(fname, ""),
+                    lyrics.get(fname, "[Instrumental]"),
+                )
+                out_name = os.path.splitext(fname)[0] + ".npz"
+                save_sample(os.path.join(out_dir, out_name), sample)
+                entries.append({"file": out_name, "source": fname})
+            except Exception as e:  # noqa: BLE001
+                errors[fname] = str(e)
+        write_manifest(out_dir, entries)
+        return {"output_dir": out_dir, "samples": len(entries), "errors": errors}

@@ -140,3 +140,49 @@ def test_api_server_job_flow(handlers, tmp_path):
     assert status["result"]["audio_paths"][0].endswith(".wav")
     assert get("/v1/stats")["jobs"] >= 1
     server.shutdown()
+
+
+def test_training_api_flow(handlers, tmp_path):
+    """Dataset build -> LoRA run start/status/stop via the TrainingService."""
+    import os as _os
+    import time as _time
+
+    import numpy as _np
+
+    from acestep_tpu.service.train_api import TrainingService
+    from acestep_tpu.training.dataset import save_sample, write_manifest
+
+    dit, _ = handlers
+    svc = TrainingService(dit)
+
+    # build a tiny synthetic preprocessed dataset
+    ds_dir = str(tmp_path / "tensors")
+    _os.makedirs(ds_dir, exist_ok=True)
+    rng = _np.random.default_rng(0)
+    entries = []
+    for i in range(2):
+        sample = {
+            "target_latents": rng.standard_normal((16, 64)).astype(_np.float32),
+            "encoder_hidden_states": rng.standard_normal((8, TINY_DIT.hidden_size)).astype(_np.float32),
+            "encoder_attention_mask": _np.ones((8,), _np.int32),
+            "context_latents": rng.standard_normal((16, 128)).astype(_np.float32),
+            "attention_mask": _np.ones((16,), _np.int32),
+        }
+        save_sample(_os.path.join(ds_dir, f"s{i}.npz"), sample)
+        entries.append({"file": f"s{i}.npz"})
+    write_manifest(ds_dir, entries)
+
+    out = svc.start_run({
+        "dataset_dir": ds_dir, "max_steps": 3, "rank": 4,
+        "output_dir": str(tmp_path / "run"), "checkpoint_every": 3,
+    })
+    run_id = out["run_id"]
+    for _ in range(120):
+        st = svc.status(run_id)
+        if st["status"] in ("completed", "failed", "stopped"):
+            break
+        _time.sleep(1)
+    assert st["status"] == "completed", st.get("error")
+    assert st["step"] == 3
+    assert _os.path.exists(st["adapter_path"])
+    assert svc.list_runs()[run_id]["status"] == "completed"
