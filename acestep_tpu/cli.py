@@ -17,6 +17,7 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--checkpoint-dir", default=os.environ.get("ACESTEP_CONFIG_PATH"))
     p.add_argument("--lm-checkpoint-dir", default=os.environ.get("ACESTEP_LM_MODEL_PATH"))
     p.add_argument("--random-init", action="store_true", help="dev mode: random weights")
+    p.add_argument("--quantization", default=None, choices=[None, "int8"], help="DiT weight quantization")
 
 
 def cmd_generate(args) -> int:
@@ -26,7 +27,8 @@ def cmd_generate(args) -> int:
     from acestep_tpu.service.params import GenerationConfig, GenerationParams
 
     dit = AceStepHandler()
-    print(dit.initialize_service(args.checkpoint_dir, random_init=args.random_init or None))
+    print(dit.initialize_service(args.checkpoint_dir, random_init=args.random_init or None,
+                                 quantization=args.quantization))
     llm = None
     if args.thinking:
         llm = LLMHandler()

@@ -118,9 +118,14 @@ class AceStepHandler:
         checkpoint_dir: Optional[str] = None,
         *,
         random_init: Optional[bool] = None,
+        quantization: Optional[str] = None,
         seed: int = 0,
     ) -> str:
-        """Load checkpoints if available; otherwise random-init (dev mode)."""
+        """Load checkpoints if available; otherwise random-init (dev mode).
+
+        quantization="int8" applies weight-only INT8 to the DiT decoder
+        (torchao parity, ref init_service_loader.py:85-114 DiT-only filter).
+        """
         t0 = time.time()
         if random_init is None:
             random_init = checkpoint_dir is None or not os.path.isdir(checkpoint_dir)
@@ -138,6 +143,12 @@ class AceStepHandler:
 
         # Stack alternating layers for scan-based execution (compile-time win).
         self.params = dit.stack_acestep_params(self.params, self.config)
+
+        if quantization == "int8":
+            from acestep_tpu.ops.quant import quantize_decoder_params
+
+            self.params = {**self.params, "decoder": quantize_decoder_params(self.params["decoder"])}
+        self.quantization = quantization
 
         self.initialized = True
         return f"initialized in {time.time() - t0:.1f}s (random_init={random_init})"
@@ -447,7 +458,7 @@ class AceStepHandler:
         latents: jax.Array,  # (B, T, 64)
         *,
         use_tiled: bool = True,
-        chunk_frames: int = 2048,
+        chunk_frames: Optional[int] = None,
         normalize_db: Optional[float] = None,
         return_int16: bool = False,
     ) -> np.ndarray:
@@ -460,6 +471,10 @@ class AceStepHandler:
         int16 PCM — 4× less traffic than fp32 waveforms.
         """
         z = latents.astype(self.dtype)
+        if chunk_frames is None:
+            # Decode working set scales with batch × chunk; keep ≈ constant
+            # (ref memory_utils.py decode chunk-size policy, :48-83).
+            chunk_frames = max(256, min(2048, 4096 // max(z.shape[0], 1)))
         if use_tiled and z.shape[1] > chunk_frames:
             wav = vae.tiled_decode(
                 self.vae_params, self.vae_config, z, chunk_frames=chunk_frames,
