@@ -149,6 +149,9 @@ def cmd_profile(args) -> int:
 
 
 def main(argv=None) -> int:
+    from acestep_tpu.utils.env import load_dotenv
+
+    load_dotenv()  # .env → env vars (CLI args still take precedence)
     ap = argparse.ArgumentParser(prog="acestep-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

@@ -305,6 +305,20 @@ class AceStepHandler:
     def format_audio_codes(indices: Sequence[int]) -> str:
         return "".join(f"<|audio_code_{int(i)}|>" for i in indices)
 
+    def convert_audio_to_codes(self, audio: np.ndarray) -> str:
+        """Source audio (2, L) → serialized `<|audio_code_N|>` string
+        (ref audio_codes.py:68-99 convert_src_audio_to_codes)."""
+        z = self.encode_reference_audio(audio)  # (T, 64)
+        pw = self.config.pool_window_size
+        pad = (-z.shape[0]) % pw
+        if pad:
+            sil = self._silence_tiled(pad)
+            z = np.concatenate([z, sil[:pad]], axis=0)
+        quantized, indices = dit.audio_tokenize(
+            self.params["tokenizer"], self.config, jnp.asarray(z[None], self.dtype)
+        )
+        return self.format_audio_codes(np.asarray(indices[0]).tolist())
+
     def _default_meta(self) -> str:
         return "- bpm: N/A\n- timesignature: N/A\n- keyscale: N/A\n- duration: 30 seconds\n"
 
@@ -487,6 +501,35 @@ class AceStepHandler:
         if return_int16:
             return pcm
         return pcm.astype(np.float32) / 32767.0
+
+    # ------------------------------------------------------------------
+    # Multi-chip data parallelism (SURVEY §2.4 TPU-native equivalents)
+    # ------------------------------------------------------------------
+
+    def enable_data_parallel(self, mesh=None) -> None:
+        """Shard generation batches over a 'dp' mesh axis; params replicate.
+
+        XLA partitions the jitted denoise/decode programs automatically from
+        the input shardings — the ICI collectives replace the reference's
+        (unused) torch.distributed plumbing.
+        """
+        from acestep_tpu.parallel.mesh import make_mesh, shard_params_dp
+
+        self.mesh = mesh if mesh is not None else make_mesh(tp=1)
+        self.params = shard_params_dp(self.mesh, self.params)
+        self.vae_params = shard_params_dp(self.mesh, self.vae_params)
+        self.text_params = shard_params_dp(self.mesh, self.text_params)
+
+    def _shard_batch_array(self, x):
+        """Place a batch-leading array on the dp mesh (no-op without a mesh)."""
+        mesh = getattr(self, "mesh", None)
+        if mesh is None or not hasattr(x, "ndim"):
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if x.ndim == 0 or x.shape[0] % mesh.shape["dp"]:
+            return x
+        return jax.device_put(x, NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1)))))
 
     # ------------------------------------------------------------------
     # LRC lyric timestamps (ref lyric_timestamp.py:15-147)
@@ -699,18 +742,19 @@ class AceStepHandler:
 
         # DiT denoise (single compiled trajectory)
         t0 = time.time()
+        sb = self._shard_batch_array
         outputs = dit.generate_audio(
             self._effective_params(),
             self.config,
-            text_hidden_states=text_hidden.astype(self.dtype),
-            text_attention_mask=jnp.asarray(text_mask),
-            lyric_hidden_states=lyric_hidden.astype(self.dtype),
-            lyric_attention_mask=jnp.asarray(lyric_mask),
+            text_hidden_states=sb(text_hidden.astype(self.dtype)),
+            text_attention_mask=sb(jnp.asarray(text_mask)),
+            lyric_hidden_states=sb(lyric_hidden.astype(self.dtype)),
+            lyric_attention_mask=sb(jnp.asarray(lyric_mask)),
             refer_packed=refer_packed,
             refer_order_mask=refer_order,
-            src_latents=jnp.asarray(src_latents, self.dtype),
-            chunk_masks=jnp.asarray(chunk_masks[..., None].repeat(src_latents.shape[-1], -1), self.dtype),
-            is_covers=jnp.asarray(is_covers.astype(np.int32)),
+            src_latents=sb(jnp.asarray(src_latents, self.dtype)),
+            chunk_masks=sb(jnp.asarray(chunk_masks[..., None].repeat(src_latents.shape[-1], -1), self.dtype)),
+            is_covers=sb(jnp.asarray(is_covers.astype(np.int32))),
             silence_latent=jnp.asarray(silence_tiled[None], self.dtype),
             attention_mask=jnp.asarray(latent_mask),
             seeds=seed_list,

@@ -1,0 +1,78 @@
+"""Multi-chip sharding tests on the simulated 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acestep_tpu.config import AceStepConfig, OobleckConfig, Qwen3Config
+from acestep_tpu.parallel.mesh import make_mesh, shard_batch, shard_params_dp, shard_params_tp
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(dp=4, tp=2)
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    mesh1 = make_mesh(tp=1)
+    assert mesh1.shape["dp"] == len(jax.devices())
+
+
+def test_tp_plan_shards_kernels():
+    from acestep_tpu.params import init_acestep_params
+
+    cfg = AceStepConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        text_hidden_dim=32, num_lyric_encoder_hidden_layers=2,
+        num_timbre_encoder_hidden_layers=1, num_attention_pooler_hidden_layers=1,
+        fsq_dim=64, timbre_fix_frame=8,
+    )
+    mesh = make_mesh(dp=4, tp=2)
+    params = init_acestep_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    sharded = shard_params_tp(mesh, params)
+    q = sharded["decoder"]["layers"][0]["self_attn"]["q_proj"]["kernel"]
+    # colwise → output dim split over tp
+    assert "tp" in str(q.sharding.spec)
+    o = sharded["decoder"]["layers"][0]["self_attn"]["o_proj"]["kernel"]
+    assert str(o.sharding.spec.rank if False else o.sharding.spec)  # exists
+    norm = sharded["decoder"]["norm_out"]["weight"]
+    assert norm.sharding.is_fully_replicated
+
+
+def test_data_parallel_generation_on_mesh():
+    import acestep_tpu.pipeline.handler as H
+    from acestep_tpu.pipeline.handler import AceStepHandler
+
+    H.LATENT_BUCKETS = (64,)
+    H.TEXT_BUCKETS = (32,)
+    H.LYRIC_BUCKETS = (32,)
+    handler = AceStepHandler(
+        AceStepConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16, sliding_window=8,
+            text_hidden_dim=32, num_lyric_encoder_hidden_layers=2,
+            num_timbre_encoder_hidden_layers=1, num_attention_pooler_hidden_layers=1,
+            fsq_dim=64, timbre_fix_frame=8,
+        ),
+        OobleckConfig(
+            encoder_hidden_size=16, downsampling_ratios=(2, 4, 4), channel_multiples=(1, 2, 4),
+            decoder_channels=16, decoder_input_channels=64, audio_channels=2, sampling_rate=800,
+        ),
+        Qwen3Config(
+            vocab_size=300, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=8,
+        ),
+        dtype=jnp.float32,
+    )
+    handler.initialize_service(random_init=True)
+    handler.enable_data_parallel()
+    assert handler.mesh.shape["dp"] == 8
+
+    out = handler.generate_music(
+        captions="dp test", lyrics="[Instrumental]", audio_duration=2.0,
+        batch_size=8, seeds=list(range(8)), use_random_seed=False,
+        decode_audio=True,
+    )
+    assert out["latents"].shape[0] == 8
+    assert np.isfinite(out["latents"]).all()
+    assert out["audios"].shape[0] == 8
