@@ -58,15 +58,18 @@ def get_runtime_memory_config(hbm_gb: Optional[float] = None) -> RuntimeMemoryCo
             break
 
     working = free - (_LM_GB[lm_size] if lm_size else 0.0)
-    # Empirical working-set cost ≈ 6 MB per latent frame per batch item at
-    # bf16 incl. denoise activations + decode chunk.
-    frames_capacity = int(working * 1024 / 6)
-    if frames_capacity >= 8 * 4500:
+    # Empirical working-set cost ≈ 1.6 MB per latent batch-frame (bf16 denoise
+    # activations + tiled-decode chunk), calibrated on v5e-16GB: batch 2×60 s
+    # comfortable, batch 8×60 s OOM.
+    frames_capacity = int(working * 1024 / 1.6)
+    if frames_capacity >= 8 * 3000:
         batch, duration = 8, 600
-    elif frames_capacity >= 4 * 4500:
+    elif frames_capacity >= 4 * 3000:
         batch, duration = 4, 600
     elif frames_capacity >= 2 * 3000:
-        batch, duration = 2, 360
+        batch, duration = 2, 600
+    elif frames_capacity >= 3000:
+        batch, duration = 1, 600
     else:
         batch, duration = 1, 240
 

@@ -1,0 +1,110 @@
+"""Utils tests: memory config, local cache, progress estimates, env, audio I/O."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from acestep_tpu.utils import audio as audio_utils
+from acestep_tpu.utils.env import env_bool, env_int, load_dotenv
+from acestep_tpu.utils.local_cache import LocalCache
+from acestep_tpu.utils.memory_config import get_runtime_memory_config
+from acestep_tpu.utils.progress import ProgressEstimator
+
+
+def test_memory_config_tiers():
+    big = get_runtime_memory_config(hbm_gb=95)  # v5p-ish
+    assert big.max_batch_size == 8 and big.max_duration_s == 600
+    assert big.lm_size == "4B" and big.allow_thinking
+
+    small = get_runtime_memory_config(hbm_gb=16)  # v5e
+    assert 1 <= small.max_batch_size <= 2
+    assert small.lm_size in ("0.6B", "1.7B", "4B")
+
+    tiny = get_runtime_memory_config(hbm_gb=8)
+    assert tiny.max_batch_size == 1
+    assert not tiny.allow_thinking or tiny.lm_size is not None
+
+
+def test_memory_config_env_override(monkeypatch):
+    monkeypatch.setenv("ACESTEP_MAX_HBM_GB", "95")
+    cfg = get_runtime_memory_config()
+    assert cfg.hbm_gb == 95
+
+
+def test_local_cache(tmp_path):
+    cache = LocalCache(str(tmp_path / "c.sqlite3"))
+    cache.set("job:1", {"status": "done", "paths": ["a.wav"]})
+    assert cache.get("job:1")["status"] == "done"
+    assert cache.exists("job:1")
+    cache.set("ttl", 1, ex=0.05)
+    time.sleep(0.1)
+    assert cache.get("ttl") is None
+    cache.delete("job:1")
+    assert not cache.exists("job:1")
+
+
+def test_progress_estimator(tmp_path):
+    est = ProgressEstimator(str(tmp_path / "p.json"))
+    est.update(60, 2, 0.05)
+    assert est.estimate_per_step(60, 2) == pytest.approx(0.05)
+    est.update(60, 2, 0.15)  # moving average
+    assert 0.05 < est.estimate_per_step(60, 2) < 0.15
+    # persisted across instances
+    est2 = ProgressEstimator(str(tmp_path / "p.json"))
+    assert est2.estimate_per_step(60, 2) == est.estimate_per_step(60, 2)
+    frac = est2.progress_fraction(time.time() - 0.2, 60, 2, 8)
+    assert 0.0 < frac <= 0.99
+
+
+def test_dotenv(tmp_path, monkeypatch):
+    envfile = tmp_path / ".env"
+    envfile.write_text("ACESTEP_TEST_KEY=hello\nACESTEP_TEST_INT=7\n# comment\nACESTEP_TEST_BOOL=true\n")
+    monkeypatch.delenv("ACESTEP_TEST_KEY", raising=False)
+    vals = load_dotenv(str(envfile))
+    assert vals["ACESTEP_TEST_KEY"] == "hello"
+    assert os.environ["ACESTEP_TEST_KEY"] == "hello"
+    assert env_int("ACESTEP_TEST_INT", 0) == 7
+    assert env_bool("ACESTEP_TEST_BOOL")
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((2, 4800)) * 0.2).astype(np.float32)
+    path = audio_utils.save_wav(str(tmp_path / "t.wav"), audio, 48000)
+    back = audio_utils.load_audio(path)
+    assert back.shape == audio.shape
+    np.testing.assert_allclose(back, audio, atol=2e-4)
+
+
+def test_int16_passthrough_save(tmp_path):
+    pcm = (np.random.default_rng(1).integers(-3000, 3000, (2, 1000))).astype(np.int16)
+    path = audio_utils.save_wav(str(tmp_path / "i.wav"), pcm, 48000)
+    back = audio_utils.load_audio(path)
+    np.testing.assert_allclose(back * 32768.0, pcm, atol=1)
+
+
+def test_deterministic_uuid():
+    a = audio_utils.deterministic_uuid({"caption": "x", "seed": 1})
+    b = audio_utils.deterministic_uuid({"seed": 1, "caption": "x"})
+    c = audio_utils.deterministic_uuid({"caption": "x", "seed": 2})
+    assert a == b and a != c
+
+
+def test_native_audio_matches_numpy():
+    from acestep_tpu.utils import native_audio as na
+
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((2, 9600)) * 0.4).astype(np.float32)
+    pcm = na.f32_to_i16(x, 10 ** (-1 / 20))
+    assert pcm.shape == (9600, 2) and pcm.dtype == np.int16
+    peak_out = np.abs(pcm).max() / 32767.0
+    assert peak_out == pytest.approx(10 ** (-1 / 20), abs=2e-3)
+    back = na.i16_to_f32(pcm)
+    assert back.shape == x.shape
+    # resample a tone and verify frequency preservation
+    t = np.arange(9600) / 48000
+    tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)[None]
+    y = na.resample(tone, 48000, 24000)
+    assert abs(y.shape[1] - 4800) <= 1
