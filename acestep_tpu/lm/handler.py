@@ -303,22 +303,31 @@ class LLMHandler:
         use_constrained_decoding: bool = True,
         max_cot_tokens: int = 350,
         seed: int = 0,
+        batch_size: int = 1,
     ) -> Dict[str, Any]:
-        """Two-phase generation: CoT metadata, then duration-driven audio codes."""
+        """Two-phase generation: CoT metadata, then duration-driven audio codes.
+
+        batch_size > 1 generates a DISTINCT plan (CoT + codes) per batch item
+        in lockstep batched decoding (ref batch chunking, llm_inference.py:1123-1485).
+        Returns the first sample's fields plus per-sample lists under
+        "batch_metadata"/"batch_audio_codes".
+        """
         assert self.initialized, "call initialize() first"
         t0 = time.time()
         time_costs: Dict[str, float] = {}
+        b = max(1, batch_size)
 
         # ---------------- Phase 1: CoT ----------------
-        prompts = [self.build_formatted_prompt(caption, lyrics, generation_phase="cot")]
+        cond_prompt = self.build_formatted_prompt(caption, lyrics, generation_phase="cot")
+        prompts = [cond_prompt] * b
         use_cfg = cfg_scale > 1.0
         if use_cfg:
-            prompts.append(
+            prompts = prompts + [
                 self.build_formatted_prompt(
                     caption, lyrics, is_negative_prompt=True,
                     generation_phase="cot", negative_prompt=negative_prompt,
                 )
-            )
+            ] * b
         ids, mask, bucket = self._encode_prompts(prompts, budget=max_cot_tokens)
         r = ids.shape[0]
         cache = qwen3.KVCache.create(self.config, r, bucket + max_cot_tokens, self.dtype)
@@ -326,50 +335,63 @@ class LLMHandler:
             self.params, self.config, jnp.asarray(ids), jnp.asarray(mask), cache
         )
 
-        fsm = ConstrainedDecoderFSM(self.tokenizer, enabled=use_constrained_decoding,
-                                    max_duration=self.fsm.max_duration,
-                                    caption_max_tokens=min(512, max_cot_tokens // 3))
-        fsm.reset(phase="cot", stop_at_reasoning=True, user_metadata=user_metadata,
-                  target_duration=target_duration)
+        fsms = []
+        for i in range(b):
+            fsm = ConstrainedDecoderFSM(self.tokenizer, enabled=use_constrained_decoding,
+                                        max_duration=self.fsm.max_duration,
+                                        caption_max_tokens=min(512, max_cot_tokens // 3))
+            fsm.reset(phase="cot", stop_at_reasoning=True, user_metadata=user_metadata,
+                      target_duration=target_duration)
+            fsms.append(fsm)
         positions = np.asarray([mask[i].sum() for i in range(r)], np.int32)
         generated, _, _, _ = self._constrained_loop(
-            [fsm], logits, cache, positions,
+            fsms, logits, cache, positions,
             max_new_tokens=max_cot_tokens, temperature=temperature,
             top_k=top_k, top_p=top_p, cfg_scale=cfg_scale,
             key=jax.random.PRNGKey(seed),
         )
-        cot_text = self.tokenizer.decode(generated[0])
+        cot_texts = [self.tokenizer.decode(g) for g in generated]
         time_costs["lm_cot_time_cost"] = time.time() - t0
-        metadata, _ = self.parse_lm_output(cot_text)
+        metadatas = [self.parse_lm_output(t)[0] for t in cot_texts]
 
         if stop_at_reasoning:
             time_costs["lm_total_time_cost"] = time.time() - t0
-            return {"metadata": metadata, "cot_text": cot_text, "audio_codes": "",
+            return {"metadata": metadatas[0], "cot_text": cot_texts[0], "audio_codes": "",
+                    "batch_metadata": metadatas, "batch_cot_texts": cot_texts,
                     "time_costs": time_costs}
 
         # ---------------- Phase 2: codes ----------------
         t1 = time.time()
-        duration = target_duration or metadata.get("duration")
-        try:
-            duration = float(duration)
-        except (TypeError, ValueError):
-            duration = 30.0
-        duration = max(1.0, min(duration, self.fsm.max_duration))
-        n_codes = int(round(duration * 5))
+        durations = []
+        for md in metadatas:
+            duration = target_duration or md.get("duration")
+            try:
+                duration = float(duration)
+            except (TypeError, ValueError):
+                duration = 30.0
+            durations.append(max(1.0, min(duration, self.fsm.max_duration)))
+        n_codes_each = [int(round(d * 5)) for d in durations]
+        n_codes_max = max(n_codes_each)
 
-        codes = self._generate_codes(
-            caption, lyrics, cot_text, n_codes,
+        codes_batch = self._generate_codes(
+            caption, lyrics, cot_texts, n_codes_max,
             temperature=temperature, cfg_scale=cfg_scale, top_k=top_k, top_p=top_p,
             negative_prompt=negative_prompt, seed=seed,
         )
-        audio_codes = "".join(f"<|audio_code_{c}|>" for c in codes)
+        codes_batch = [c[: n_codes_each[i]] for i, c in enumerate(codes_batch)]
+        audio_codes_batch = [
+            "".join(f"<|audio_code_{c}|>" for c in codes) for codes in codes_batch
+        ]
         time_costs["lm_codes_time_cost"] = time.time() - t1
         time_costs["lm_total_time_cost"] = time.time() - t0
         return {
-            "metadata": metadata,
-            "cot_text": cot_text,
-            "audio_codes": audio_codes,
-            "codes": codes,
+            "metadata": metadatas[0],
+            "cot_text": cot_texts[0],
+            "audio_codes": audio_codes_batch[0],
+            "codes": codes_batch[0],
+            "batch_metadata": metadatas,
+            "batch_audio_codes": audio_codes_batch,
+            "batch_codes": codes_batch,
             "time_costs": time_costs,
         }
 
@@ -377,7 +399,7 @@ class LLMHandler:
         self,
         caption: str,
         lyrics: str,
-        cot_text: str,
+        cot_texts,
         n_codes: int,
         *,
         temperature: float,
@@ -386,18 +408,22 @@ class LLMHandler:
         top_p: float,
         negative_prompt: str,
         seed: int,
-    ) -> List[int]:
-        """Device-scan code generation. Falls back to host loop when the
-        tokenizer lacks native code tokens (dev mode)."""
-        prompts = [self.build_formatted_prompt_with_cot(caption, lyrics, cot_text)]
+    ) -> List[List[int]]:
+        """Device-scan code generation for a batch of CoT plans. Falls back to
+        pseudo-codes when the tokenizer lacks native code tokens (dev mode)."""
+        if isinstance(cot_texts, str):
+            cot_texts = [cot_texts]
+        b = len(cot_texts)
+        prompts = [self.build_formatted_prompt_with_cot(caption, lyrics, c) for c in cot_texts]
         use_cfg = cfg_scale > 1.0
         if use_cfg:
-            prompts.append(
+            prompts = prompts + [
                 self.build_formatted_prompt_with_cot(
-                    caption, lyrics, cot_text, is_negative_prompt=True,
+                    caption, lyrics, cot_texts[i], is_negative_prompt=True,
                     negative_prompt=negative_prompt,
                 )
-            )
+                for i in range(b)
+            ]
         ids, mask, bucket = self._encode_prompts(prompts, budget=n_codes + 8)
         r = ids.shape[0]
         cache = qwen3.KVCache.create(self.config, r, bucket + n_codes + 8, self.dtype)
@@ -409,13 +435,13 @@ class LLMHandler:
         code_start = self.fsm.code_token_start
         n_vocab_codes = self.fsm.num_code_tokens
         key = jax.random.PRNGKey(seed + 1)
-        b = 1
 
         if code_start < 0:
-            # Dev tokenizer: emit pseudo-codes deterministically from argmax bits.
-            lg = np.asarray(logits[:b])
+            # Dev tokenizer: emit pseudo-codes deterministically.
             rng = np.random.default_rng(seed)
-            return [int(x) for x in rng.integers(0, 64000, size=n_codes)]
+            return [
+                [int(x) for x in rng.integers(0, 64000, size=n_codes)] for _ in range(b)
+            ]
 
         # First code from prefill logits.
         key, sub = jax.random.split(key)
@@ -432,8 +458,10 @@ class LLMHandler:
             temperature=temperature, top_k=top_k, top_p=top_p,
             cfg_scale=cfg_scale if use_cfg else 1.0,
         )
-        out = [int(first[0])] + [int(t) - code_start for t in np.asarray(toks[0])]
-        return out
+        toks = np.asarray(toks)  # (b, n_codes-1)
+        return [
+            [int(first[i])] + [int(t) - code_start for t in toks[i]] for i in range(b)
+        ]
 
     # ------------------------------------------------------------------
     # LM-only task APIs (ref inference.py:779-1253 surface)

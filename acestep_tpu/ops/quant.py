@@ -91,7 +91,13 @@ def linear_int8(params: Dict[str, Any], x: jax.Array) -> jax.Array:
     """Apply an int8-quantized linear: params {kernel_int8, scale[, bias]}."""
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
+    m = x2.shape[0]
+    pad = (-m) % 256  # keep every call on the Pallas tile path
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
     y = int8_matmul(x2, params["kernel_int8"], params["scale"])
+    if pad:
+        y = y[:m]
     if "bias" in params and params["bias"] is not None:
         y = y + params["bias"].astype(y.dtype)
     return y.reshape(*shape[:-1], -1)

@@ -64,6 +64,7 @@ def generate_music(
         # ------------------ LM phase ------------------
         lm_meta: Dict[str, Any] = {}
         audio_codes = params.audio_codes or ""
+        batch_codes = None
         if params.thinking and llm_handler is not None and llm_handler.initialized:
             user_metadata = {
                 "bpm": str(params.cot_bpm or params.bpm) if (params.cot_bpm or params.bpm) else None,
@@ -76,6 +77,7 @@ def generate_music(
                 ),
                 "language": None,
             }
+            lm_batch = config.batch_size if config.allow_lm_batch else 1
             lm_out = llm_handler.generate_with_stop_condition(
                 caption=params.caption,
                 lyrics=lyrics,
@@ -88,10 +90,12 @@ def generate_music(
                 target_duration=params.duration if params.duration > 0 else None,
                 use_constrained_decoding=params.use_constrained_decoding,
                 seed=max(params.seed, 0),
+                batch_size=lm_batch,
             )
             lm_meta = lm_out["metadata"]
             if not audio_codes:
                 audio_codes = lm_out.get("audio_codes", "")
+            batch_codes = lm_out.get("batch_audio_codes")
             extra["lm_metadata"] = lm_meta
             extra["cot_text"] = lm_out.get("cot_text", "")
             time_costs.update(lm_out.get("time_costs", {}))
@@ -139,7 +143,11 @@ def generate_music(
             use_adg=params.use_adg,
             cfg_interval_start=params.cfg_interval_start,
             cfg_interval_end=params.cfg_interval_end,
-            audio_code_strings=[audio_codes or None] * b,
+            audio_code_strings=(
+                [c or None for c in batch_codes][:b] + [audio_codes or None] * max(0, b - len(batch_codes))
+                if batch_codes and not params.audio_codes
+                else [audio_codes or None] * b
+            ),
             target_latents=target_latents,
             reference_audios=[reference_audio] * b if reference_audio is not None else None,
             repainting_start=[params.repainting_start] * b if repaint else None,

@@ -28,7 +28,9 @@ def main():
     from acestep_tpu.pipeline.handler import AceStepHandler
 
     handler = AceStepHandler()
-    handler.initialize_service(random_init=True)
+    handler.initialize_service(
+        random_init=True, quantization=os.environ.get("BENCH_QUANT") or None
+    )
 
     kwargs = dict(
         captions=["an energetic synthwave track with driving bass"] * BATCH,

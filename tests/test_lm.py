@@ -173,3 +173,14 @@ def test_parse_lm_output():
     assert md["keyscale"] == "D minor"
     assert md["caption"] == "A haunting melody."
     assert codes == "<|audio_code_1|><|audio_code_2|>"
+
+
+def test_llm_handler_batch_generation(lm_handler):
+    out = lm_handler.generate_with_stop_condition(
+        "lofi beats", "", temperature=0.8, target_duration=2.0, seed=5, batch_size=3,
+    )
+    assert len(out["batch_codes"]) == 3
+    for codes in out["batch_codes"]:
+        assert len(codes) == 10  # 2 s × 5 codes/s
+    assert len(out["batch_metadata"]) == 3
+    assert out["codes"] == out["batch_codes"][0]
