@@ -152,6 +152,20 @@ class MusicStampsAligner:
         return out
 
 
+def alignment_confidence(attention: np.ndarray) -> float:
+    """Lyric alignment quality score in [0, 1] (ref lyric_score role):
+    mean per-token peak attention mass after normalization — diffuse
+    attention (poor alignment) scores low, sharp monotonic attention high."""
+    attn = np.asarray(attention, np.float64)
+    while attn.ndim > 2:
+        attn = attn.mean(axis=0)
+    attn = attn / np.maximum(attn.sum(axis=-1, keepdims=True), 1e-9)
+    peaks = attn.max(axis=-1)
+    uniform = 1.0 / attn.shape[-1]
+    score = (peaks - uniform) / (1.0 - uniform + 1e-9)
+    return float(np.clip(score.mean(), 0.0, 1.0))
+
+
 def format_lrc(stamps: Sequence[SentenceTimestamp]) -> str:
     """Sentence timestamps → LRC text (ref dit_alignment.format_lrc)."""
     lines = []

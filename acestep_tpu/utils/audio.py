@@ -146,6 +146,14 @@ def load_audio(path: str, target_sr: int = 48_000) -> np.ndarray:
     return audio
 
 
+def is_silence(audio: np.ndarray, threshold_db: float = -60.0) -> bool:
+    """True when peak level is below threshold_db dBFS (ref handler is_silence)."""
+    peak = float(np.max(np.abs(audio))) if audio.size else 0.0
+    if peak <= 0:
+        return True
+    return 20.0 * np.log10(peak) < threshold_db
+
+
 def deterministic_uuid(params: Dict[str, Any]) -> str:
     """Stable UUID from generation params (ref audio_utils.py:393)."""
     blob = json.dumps(params, sort_keys=True, default=str).encode()
