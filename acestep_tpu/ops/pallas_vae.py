@@ -83,23 +83,19 @@ def res_units_pallas(
     tile: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused 3-res-unit chain (public entry)."""
+    """Fused 3-res-unit chain (public entry).
+
+    Halo handling without overlapping blocks: the (padded) input is passed
+    three times with index maps (ti−1, ti, ti+1); the kernel assembles
+    tile+2·HALO rows from the neighbor blocks' edges, so no windowed copy of
+    the activation ever materializes in HBM.
+    """
     b, l, c = x.shape
     tile = min(tile, l if l % 8 == 0 else l + (-l) % 8)
     n_tiles = -(-l // tile)
     pad_r = n_tiles * tile - l
-    # Overlapping windows: materialize halo'd input where tile t's window is
-    # rows [t*tile, t*tile + tile + 2H) of the padded array. Blocks must be
-    # non-overlapping in BlockSpec terms, so pass the padded array in HBM-like
-    # ANY space and DMA slices manually? Simpler: build an index_map on a
-    # *window-strided* reshape: gather windows up front (cheap: one pad + XLA
-    # gather fuses into the DMA).
-    xp = jnp.pad(x, ((0, 0), (TOTAL_HALO, pad_r + TOTAL_HALO), (0, 0)))
-    t_in = tile + 2 * TOTAL_HALO
-    starts = jnp.arange(n_tiles) * tile
-    # (B, n_tiles, t_in, C) windows — overlapping copies (halo duplication only)
-    idx = starts[:, None] + jnp.arange(t_in)[None, :]
-    windows = xp[:, idx, :]  # (B, n_tiles, t_in, C)
+    xp = jnp.pad(x, ((0, 0), (0, pad_r), (0, 0)))
+    seq_len = l
 
     flat_params = []
     for u in range(3):
@@ -116,8 +112,19 @@ def res_units_pallas(
         ]
 
     grid = (b, n_tiles)
+    last = n_tiles - 1
     in_specs = [
-        pl.BlockSpec((1, 1, t_in, c), lambda bi, ti: (bi, ti, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, tile, c),
+            lambda bi, ti: (bi, jnp.maximum(ti - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, tile, c),
+            lambda bi, ti, _last=last: (bi, jnp.minimum(ti + 1, _last), 0),
+            memory_space=pltpu.VMEM,
+        ),
     ]
     for u in range(3):
         in_specs += [
@@ -131,64 +138,72 @@ def res_units_pallas(
             pl.BlockSpec((1, c), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
         ]
 
-    seq_len = l
+    t_in = tile + 2 * TOTAL_HALO
 
-    def kernel(x_ref, *refs):
+    def kernel(cur_ref, prev_ref, next_ref, *refs):
         out_ref = refs[-1]
         params = refs[:-1]
         ti = pl.program_id(1)
-        h = x_ref[0, 0]  # (t_in, C)
+
+        # Assemble tile + halo rows; zero halo at the grid boundary (sequence
+        # zero-padding semantics of the torch convs).
+        prev_tail = prev_ref[0, tile - TOTAL_HALO :, :]
+        next_head = next_ref[0, :TOTAL_HALO, :]
+        zero = jnp.zeros_like(prev_tail)
+        left = jnp.where(ti > 0, prev_tail, zero)
+        right = jnp.where(ti < pl.num_programs(1) - 1, next_head, zero)
+        h = jnp.concatenate([left, cur_ref[0], right], axis=0)  # (t_in, C)
+
         valid = t_in
-        offset = 0  # rows consumed from the left of the original window
+        offset = 0
         for u in range(3):
             (w1, b1, al1, be1, w2, b2, al2, be2) = params[u * 8 : (u + 1) * 8]
             d = DILATIONS[u]
             shrink = 3 * d
             new_valid = valid - 2 * shrink
 
-            # Sequential res units zero-pad their conv inputs at the SEQUENCE
-            # edges; zero the halo rows that fall outside [0, seq_len).
-            if u > 0:
-                row_global = (
-                    ti * tile - TOTAL_HALO + offset
-                    + jax.lax.broadcasted_iota(jnp.int32, (valid, 1), 0)
-                )
-                in_seq = (row_global >= 0) & (row_global < seq_len)
-                h = jnp.where(in_seq, h, jnp.zeros_like(h))
+            # Zero rows outside [0, seq_len) so every unit sees the same
+            # zero-padded input as the sequential reference chain.
+            row_global = (
+                ti * tile - TOTAL_HALO + offset
+                + jax.lax.broadcasted_iota(jnp.int32, (valid, 1), 0)
+            )
+            in_seq = (row_global >= 0) & (row_global < seq_len)
+            h = jnp.where(in_seq, h, jnp.zeros_like(h))
 
             hf = _snake_f32(h.astype(jnp.float32), al1[0], be1[0])
-            a16 = hf.astype(x_ref.dtype)
+            a16 = hf.astype(cur_ref.dtype)
 
-            acc = jnp.zeros((new_valid, c), jnp.float32)
-            for j in range(7):
-                seg = jax.lax.slice_in_dim(a16, j * d, j * d + new_valid, axis=0)
-                acc += jax.lax.dot_general(
-                    seg, w1[j], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            taps = jnp.concatenate(
+                [jax.lax.slice_in_dim(a16, j * d, j * d + new_valid, axis=0) for j in range(7)],
+                axis=1,
+            )
+            w1_flat = w1[:].reshape(7 * c, c)
+            acc = jax.lax.dot_general(
+                taps, w1_flat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             acc += b1[0]
 
             zf = _snake_f32(acc, al2[0], be2[0])
             z = jax.lax.dot_general(
-                zf.astype(x_ref.dtype), w2[:, :], (((1,), (0,)), ((), ())),
+                zf.astype(cur_ref.dtype), w2[:, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + b2[0]
 
             h_center = jax.lax.slice_in_dim(h, shrink, shrink + new_valid, axis=0)
-            h = (h_center.astype(jnp.float32) + z).astype(x_ref.dtype)
+            h = (h_center.astype(jnp.float32) + z).astype(cur_ref.dtype)
             valid = new_valid
             offset += shrink
-        out_ref[0, 0] = h
+        out_ref[0] = h
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, tile, c), lambda bi, ti: (bi, ti, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles, tile, c), x.dtype),
+        out_specs=pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile, c), x.dtype),
         interpret=interpret,
-    )(windows, *flat_params)
+    )(xp, xp, xp, *flat_params)
 
-    return out.reshape(b, n_tiles * tile, c)[:, :l, :]
+    return out[:, :l, :]
