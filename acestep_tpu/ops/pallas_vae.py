@@ -25,7 +25,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 DILATIONS = (1, 3, 9)
 HALO_PER_UNIT = tuple(3 * d for d in DILATIONS)
-TOTAL_HALO = sum(HALO_PER_UNIT)  # 39
+NEEDED_HALO = sum(HALO_PER_UNIT)  # 39
+TOTAL_HALO = 40  # sublane-aligned (>= NEEDED_HALO, multiple of 8)
 
 
 def _snake_f32(x_f32, alpha, beta):
@@ -174,15 +175,13 @@ def res_units_pallas(
             hf = _snake_f32(h.astype(jnp.float32), al1[0], be1[0])
             a16 = hf.astype(cur_ref.dtype)
 
-            taps = jnp.concatenate(
-                [jax.lax.slice_in_dim(a16, j * d, j * d + new_valid, axis=0) for j in range(7)],
-                axis=1,
-            )
-            w1_flat = w1[:].reshape(7 * c, c)
-            acc = jax.lax.dot_general(
-                taps, w1_flat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            acc = jnp.zeros((new_valid, c), jnp.float32)
+            for j in range(7):
+                seg = jax.lax.slice_in_dim(a16, j * d, j * d + new_valid, axis=0)
+                acc += jax.lax.dot_general(
+                    seg, w1[j], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             acc += b1[0]
 
             zf = _snake_f32(acc, al2[0], be2[0])
@@ -195,7 +194,9 @@ def res_units_pallas(
             h = (h_center.astype(jnp.float32) + z).astype(cur_ref.dtype)
             valid = new_valid
             offset += shrink
-        out_ref[0] = h
+        # h covers [ti*tile - (TOTAL_HALO - NEEDED_HALO), ...): slice the tile.
+        margin = TOTAL_HALO - NEEDED_HALO
+        out_ref[0] = jax.lax.slice_in_dim(h, margin, margin + tile, axis=0)
 
     out = pl.pallas_call(
         kernel,

@@ -18,7 +18,7 @@ BASELINE_AUDIO_SECONDS_PER_SEC = 90.0  # A100 headline: 180 s song in < 2 s
 
 DURATION_S = float(os.environ.get("BENCH_DURATION_S", 60))
 BATCH = int(os.environ.get("BENCH_BATCH", 2))
-REPS = int(os.environ.get("BENCH_REPS", 3))
+REPS = int(os.environ.get("BENCH_REPS", 5))
 
 
 def main():
