@@ -105,7 +105,15 @@ class LLMHandler:
             self.params = convert_torch_qwen3_state(state, self.config, self.dtype)
             self.tokenizer = load_tokenizer(checkpoint_dir)
 
-        self.fsm = ConstrainedDecoderFSM(self.tokenizer, max_duration=max_duration)
+        genres_vocab = None
+        if checkpoint_dir:
+            gpath = os.path.join(checkpoint_dir, "genres_vocab.txt")
+            if os.path.exists(gpath):
+                with open(gpath) as f:
+                    genres_vocab = [l.strip() for l in f if l.strip()]
+        self.genres_vocab = genres_vocab
+        self.fsm = ConstrainedDecoderFSM(self.tokenizer, max_duration=max_duration,
+                                         genres_vocab=genres_vocab)
         self.initialized = True
         return f"LM initialized in {time.time() - t0:.1f}s (random_init={random_init})"
 
@@ -339,6 +347,8 @@ class LLMHandler:
         for i in range(b):
             fsm = ConstrainedDecoderFSM(self.tokenizer, enabled=use_constrained_decoding,
                                         max_duration=self.fsm.max_duration,
+                                        genres_vocab=self.genres_vocab,
+                                        skip_genres=self.genres_vocab is None,
                                         caption_max_tokens=min(512, max_cot_tokens // 3))
             fsm.reset(phase="cot", stop_at_reasoning=True, user_metadata=user_metadata,
                       target_duration=target_duration)

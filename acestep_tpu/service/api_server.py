@@ -355,6 +355,17 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                     return self._json(200, service.training.build_dataset(body))
                 except KeyError as e:
                     return self._json(400, {"error": f"missing field: {e}"})
+            if url.path == "/v1/reinitialize":
+                # Reload checkpoints in place (ref api_server.py:3126).
+                try:
+                    msg = service.dit_handler.initialize_service(
+                        body.get("checkpoint_dir"),
+                        random_init=body.get("random_init"),
+                        quantization=body.get("quantization"),
+                    )
+                    return self._json(200, {"success": True, "message": msg})
+                except Exception as e:  # noqa: BLE001
+                    return self._json(500, {"success": False, "error": str(e)})
             if url.path == "/v1/chat/completions":
                 from acestep_tpu.service.openrouter import handle_chat_completions
 

@@ -86,3 +86,62 @@ def apply_lora(base_params: Any, lora: Dict[str, Any], *, alpha: float = 32.0, r
 def merge_lora(base_params: Any, lora: Dict[str, Any], **kw) -> Any:
     """Materialize merged weights (for export/serving without adapter overhead)."""
     return apply_lora(base_params, lora, **kw)
+
+
+# ---------------------------------------------------------------------------
+# LoKr: Kronecker-product adapters (reference LoKRTrainer via LyCORIS,
+# `acestep/training/trainer.py:1205-1713`). Delta = scale · (W1 ⊗ W2) with
+# W1 (a1, b1) small and W2 (a2, b2) = (in/a1, out/b1); W2 may itself be
+# low-rank (W2 = W2a @ W2b) as in LyCORIS' lokr w/ factorization.
+# ---------------------------------------------------------------------------
+
+
+def _kron_factors(dim: int, max_factor: int = 8) -> int:
+    """Largest divisor of `dim` that is ≤ max_factor (LyCORIS-style factor pick)."""
+    best = 1
+    for f in range(2, max_factor + 1):
+        if dim % f == 0:
+            best = f
+    return best
+
+
+def init_lokr_params(
+    key,
+    base_params: Any,
+    *,
+    rank: int = 8,
+    factor: int = 8,
+    targets: Sequence[str] = DEFAULT_TARGETS,
+    dtype=jnp.float32,
+) -> Dict[str, Any]:
+    """LoKr factors for each targeted kernel: {"w1": (a1, b1), "w2a": (a2, r),
+    "w2b": (r, b2)} with a1·a2 = in, b1·b2 = out. w2b zero-init ⇒ identity start."""
+    lokr: Dict[str, Any] = {}
+    pattern = re.compile(r"(" + "|".join(targets) + r")/kernel$")
+    for path, leaf in _walk_paths(base_params):
+        if pattern.search(path) and getattr(leaf, "ndim", 0) == 2:
+            d_in, d_out = leaf.shape
+            a1 = _kron_factors(d_in, factor)
+            b1 = _kron_factors(d_out, factor)
+            a2, b2 = d_in // a1, d_out // b1
+            key, k1, k2 = jax.random.split(key, 3)
+            lokr[path] = {
+                "w1": jax.random.normal(k1, (a1, b1), dtype) * 0.1,
+                "w2a": jax.random.normal(k2, (a2, rank), dtype) * (1.0 / rank),
+                "w2b": jnp.zeros((rank, b2), dtype),
+            }
+    return lokr
+
+
+def apply_lokr(base_params: Any, lokr: Dict[str, Any], *, scale: float = 1.0) -> Any:
+    """Overlay: kernel ← kernel + scale·kron(w1, w2a@w2b)."""
+    out = base_params
+    for path, fac in lokr.items():
+        parts = path.split("/")
+        node: Any = base_params
+        for p in parts:
+            node = node[int(p)] if isinstance(node, (list, tuple)) else node[p]
+        w2 = fac["w2a"] @ fac["w2b"]  # (a2, b2)
+        delta = jnp.kron(fac["w1"], w2).astype(node.dtype) * jnp.asarray(scale, node.dtype)
+        out = _set_path(out, parts, node + delta)
+    return out

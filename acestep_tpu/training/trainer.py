@@ -27,7 +27,13 @@ import optax
 
 from acestep_tpu.config import AceStepConfig
 from acestep_tpu.models import dit
-from acestep_tpu.training.lora import apply_lora, init_lora_params, merge_lora
+from acestep_tpu.training.lora import (
+    apply_lokr,
+    apply_lora,
+    init_lokr_params,
+    init_lora_params,
+    merge_lora,
+)
 from acestep_tpu.training.train_step import sample_timesteps
 
 
@@ -35,6 +41,8 @@ from acestep_tpu.training.train_step import sample_timesteps
 class LoRAConfig:
     rank: int = 32
     alpha: float = 32.0
+    adapter_type: str = "lora"  # "lora" | "lokr" (ref LoKRTrainer via LyCORIS)
+    lokr_factor: int = 8
     targets: Tuple[str, ...] = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
 
 
@@ -73,7 +81,10 @@ def decoder_flow_matching_loss(
     x0 = batch["target_latents"]
     b = x0.shape[0]
 
-    decoder = apply_lora(base_decoder, lora_params, alpha=lcfg.alpha, rank=lcfg.rank)
+    if lcfg.adapter_type == "lokr":
+        decoder = apply_lokr(base_decoder, lora_params)
+    else:
+        decoder = apply_lora(base_decoder, lora_params, alpha=lcfg.alpha, rank=lcfg.rank)
 
     enc = batch["encoder_hidden_states"]
     drop = jax.random.uniform(k_drop, (b, 1, 1)) < tcfg.cfg_ratio
@@ -113,9 +124,15 @@ class LoRATrainer:
         self.nonfinite_steps = 0
 
         key = jax.random.PRNGKey(self.tcfg.seed)
-        self.lora = init_lora_params(
-            key, base_params["decoder"], rank=self.lcfg.rank, targets=self.lcfg.targets
-        )
+        if self.lcfg.adapter_type == "lokr":
+            self.lora = init_lokr_params(
+                key, base_params["decoder"], rank=self.lcfg.rank,
+                factor=self.lcfg.lokr_factor, targets=self.lcfg.targets,
+            )
+        else:
+            self.lora = init_lora_params(
+                key, base_params["decoder"], rank=self.lcfg.rank, targets=self.lcfg.targets
+            )
         sched = optax.warmup_cosine_decay_schedule(
             0.0, self.tcfg.learning_rate, self.tcfg.warmup_steps,
             max(self.tcfg.max_steps, self.tcfg.warmup_steps + 1),
@@ -204,7 +221,8 @@ class LoRATrainer:
             os.path.join(self.tcfg.output_dir, "adapter.npz"),
             **{f"{p}|{f}": np.asarray(v) for p, ab in self.lora.items() for f, v in ab.items()},
             __meta__=np.asarray(
-                json.dumps({"rank": self.lcfg.rank, "alpha": self.lcfg.alpha, "step": self.step})
+                json.dumps({"rank": self.lcfg.rank, "alpha": self.lcfg.alpha,
+                            "adapter_type": self.lcfg.adapter_type, "step": self.step})
             ),
         )
         return path
@@ -220,11 +238,14 @@ class LoRATrainer:
         self.step = int(restored["step"])
 
     def export_merged(self) -> Dict[str, Any]:
-        """Merge LoRA into the base decoder (for adapter-free serving)."""
+        """Merge the adapter into the base decoder (for adapter-free serving)."""
         merged = dict(self.base)
-        merged["decoder"] = merge_lora(
-            self.base["decoder"], self.lora, alpha=self.lcfg.alpha, rank=self.lcfg.rank
-        )
+        if self.lcfg.adapter_type == "lokr":
+            merged["decoder"] = apply_lokr(self.base["decoder"], self.lora)
+        else:
+            merged["decoder"] = merge_lora(
+                self.base["decoder"], self.lora, alpha=self.lcfg.alpha, rank=self.lcfg.rank
+            )
         return merged
 
 

@@ -146,3 +146,34 @@ def test_stacked_lora_registry_matches_unstacked(base_params, tmp_path):
     a1 = np.asarray(plain["layers"][1]["mlp"]["down_proj"]["kernel"])
     b1 = np.asarray(stacked_applied["layers"]["full"]["mlp"]["down_proj"]["kernel"][0])
     np.testing.assert_allclose(a1, b1, atol=1e-6)
+
+
+def test_lokr_adapter_identity_and_training(base_params, tmp_path):
+    from acestep_tpu.training.lora import apply_lokr, init_lokr_params
+
+    lokr = init_lokr_params(jax.random.PRNGKey(5), base_params["decoder"], rank=2, factor=4)
+    assert len(lokr) == 22
+    # zero-init w2b → adapted == base
+    adapted = apply_lokr(base_params["decoder"], lokr)
+    k0 = np.asarray(base_params["decoder"]["layers"][0]["self_attn"]["q_proj"]["kernel"])
+    k1 = np.asarray(adapted["layers"][0]["self_attn"]["q_proj"]["kernel"])
+    np.testing.assert_array_equal(k0, k1)
+    # kron shapes valid after perturbation
+    p0 = next(iter(lokr))
+    lokr[p0]["w2b"] = jnp.ones_like(lokr[p0]["w2b"])
+    adapted2 = apply_lokr(base_params["decoder"], lokr)
+    node = adapted2
+    for p in p0.split("/"):
+        node = node[int(p)] if isinstance(node, list) else node[p]
+    assert np.abs(np.asarray(node) - k0).max() >= 0  # shape-compatible
+
+    ds_dir = _make_dataset(tmp_path / "lokr_data")
+    ds = PreprocessedDataset(ds_dir)
+    trainer = LoRATrainer(
+        base_params, TINY,
+        LoRAConfig(rank=2, adapter_type="lokr", lokr_factor=4),
+        TrainingConfig(learning_rate=1e-2, max_steps=2, checkpoint_every=2,
+                       output_dir=str(tmp_path / "lokr_run"), warmup_steps=1),
+    )
+    losses = [l for _, l, _ in trainer.train(ds.batches(2, shuffle=False))]
+    assert len(losses) == 2 and all(np.isfinite(losses))
