@@ -238,6 +238,60 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
             except json.JSONDecodeError:
                 return {}
 
+        def _stream_chat(self, body: Dict[str, Any]) -> None:
+            """SSE streaming chat completion: progress chunks while the job
+            runs, final chunk with audio (ref OpenRouter SSE progress)."""
+            import uuid as _uuid
+
+            from acestep_tpu.service.openrouter import (
+                chat_completion_response,
+                parse_chat_messages,
+            )
+
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            cid = f"chatcmpl-{_uuid.uuid4().hex[:24]}"
+
+            def emit(obj):
+                self.wfile.write(f"data: {json.dumps(obj)}\n\n".encode())
+                self.wfile.flush()
+
+            params, _ = parse_chat_messages(body.get("messages", []))
+            payload = {**params.to_dict(), "batch_size": 1, "audio_format": "wav",
+                       "thinking": bool(body.get("thinking", True))}
+            task = service.submit(payload)
+            emit({"id": cid, "object": "chat.completion.chunk",
+                  "choices": [{"delta": {"role": "assistant",
+                                          "content": f"queued {task['task_id']}"}, "index": 0}]})
+            while True:
+                time.sleep(1.0)
+                job = service.store.get(task["task_id"])
+                if job is None or job["status"] in ("succeeded", "failed"):
+                    break
+                emit({"id": cid, "object": "chat.completion.chunk",
+                      "choices": [{"delta": {"content": f"progress {job['progress']:.0%}"},
+                                    "index": 0}]})
+            if job and job["status"] == "succeeded":
+                import base64 as _b64
+
+                parts = []
+                for p in job["result"]["audio_paths"]:
+                    with open(p, "rb") as f:
+                        parts.append({"type": "audio",
+                                      "audio": {"data": _b64.b64encode(f.read()).decode(),
+                                                "format": p.rsplit(".", 1)[-1]}})
+                emit({"id": cid, "object": "chat.completion.chunk",
+                      "choices": [{"delta": {"content": parts}, "index": 0,
+                                    "finish_reason": "stop"}]})
+            else:
+                emit({"id": cid, "object": "chat.completion.chunk",
+                      "choices": [{"delta": {"content": f"error: {(job or {}).get('error', 'unknown')}"},
+                                    "index": 0, "finish_reason": "error"}]})
+            self.wfile.write(b"data: [DONE]\n\n")
+            self.wfile.flush()
+
         def do_GET(self):  # noqa: N802
             url = urlparse(self.path)
             if url.path in ("/", "/studio"):
@@ -369,6 +423,8 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
             if url.path == "/v1/chat/completions":
                 from acestep_tpu.service.openrouter import handle_chat_completions
 
+                if body.get("stream"):
+                    return self._stream_chat(body)
                 out = handle_chat_completions(
                     service.dit_handler, service.llm_handler, body, service.output_dir
                 )

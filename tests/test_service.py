@@ -186,3 +186,30 @@ def test_training_api_flow(handlers, tmp_path):
     assert st["step"] == 3
     assert _os.path.exists(st["adapter_path"])
     assert svc.list_runs()[run_id]["status"] == "completed"
+
+
+def test_chat_completions_streaming(handlers, tmp_path):
+    import http.client
+
+    dit, llm = handlers
+    from acestep_tpu.service.api_server import serve
+    import threading
+
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", "/v1/chat/completions", body=json.dumps({
+        "messages": [{"role": "user", "content": "tiny test, 2 seconds"}],
+        "stream": True, "thinking": False,
+    }), headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.getheader("Content-Type").startswith("text/event-stream")
+    raw = resp.read().decode()
+    assert "data: " in raw and "[DONE]" in raw
+    events = [json.loads(l[6:]) for l in raw.splitlines() if l.startswith("data: ") and l != "data: [DONE]"]
+    assert events[0]["object"] == "chat.completion.chunk"
+    last = events[-1]
+    assert last["choices"][0].get("finish_reason") in ("stop", "error")
+    server.shutdown()
