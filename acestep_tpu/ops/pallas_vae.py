@@ -30,10 +30,14 @@ TOTAL_HALO = 40  # sublane-aligned (>= NEEDED_HALO, multiple of 8)
 
 
 def _snake_f32(x_f32, alpha, beta):
+    # sin² via the range-reduced even polynomial (ops.basic.sin2_f32):
+    # math.sin on the VPU costs ~19 ms per full-rate activation at 48 kHz
+    # stereo scale and dominated this kernel; the polynomial runs at ALU rate.
+    from acestep_tpu.ops.basic import sin2_f32
+
     a = jnp.exp(alpha.astype(jnp.float32))
     b = jnp.exp(beta.astype(jnp.float32))
-    s = jnp.sin(a * x_f32)
-    return x_f32 + (1.0 / (b + 1e-9)) * (s * s)
+    return x_f32 + (1.0 / (b + 1e-9)) * sin2_f32(a * x_f32)
 
 
 def _res_units_kernel(

@@ -467,6 +467,12 @@ class AceStepHandler:
 
         return jax.jit(post)
 
+    @functools.cached_property
+    def _peak_jit(self):
+        return jax.jit(
+            lambda wav: jnp.max(jnp.abs(wav.astype(jnp.float32)), axis=(1, 2))
+        )
+
     def decode_latents(
         self,
         latents: jax.Array,  # (B, T, 64)
@@ -485,22 +491,122 @@ class AceStepHandler:
         int16 PCM — 4× less traffic than fp32 waveforms.
         """
         z = latents.astype(self.dtype)
+        b, t, _ = z.shape
+        hop = self.vae_config.hop_length
+
+        if getattr(self, "mesh", None) is not None:
+            # Sharded (dp-mesh) path: keep the single fused device program so
+            # XLA partitions decode + postprocess together.
+            if chunk_frames is None:
+                chunk_frames = max(256, min(2048, 4096 // max(b, 1)))
+            if use_tiled and t > chunk_frames:
+                wav = vae.tiled_decode(
+                    self.vae_params, self.vae_config, z, chunk_frames=chunk_frames,
+                    decode_fn=lambda p, c: self._vae_decode_jit(p, latents=c),
+                )
+            else:
+                wav = self._vae_decode_jit(self.vae_params, latents=z)
+            gain = 10.0 ** (normalize_db / 20.0) if normalize_db is not None else -1.0
+            pcm = np.asarray(self._postprocess_jit(wav, jnp.float32(gain)))
+            if return_int16:
+                return pcm
+            return pcm.astype(np.float32) / 32767.0
+
+        # Streaming overlap-discard decode: chunks dispatch asynchronously and
+        # each finished chunk's waveform rides device→host DMA while later
+        # chunks are still computing, hiding the transfer behind compute (the
+        # reference streams CUDA decode chunks similarly in
+        # vae_decode_chunks.py:13-166). Peak normalization (ref
+        # audio_utils.normalize_audio / generate_music_decode.py:197-200) needs
+        # the GLOBAL per-sample peak, so chunks transfer as raw bf16 (same
+        # 2 B/sample as int16 PCM) plus per-chunk peak scalars; the final
+        # scale → clip → int16 runs on host as chunks arrive.
+        ov = 16
         if chunk_frames is None:
-            # Decode working set scales with batch × chunk; keep ≈ constant
-            # (ref memory_utils.py decode chunk-size policy, :48-83).
-            chunk_frames = max(256, min(2048, 4096 // max(z.shape[0], 1)))
-        if use_tiled and z.shape[1] > chunk_frames:
-            wav = vae.tiled_decode(
-                self.vae_params, self.vae_config, z, chunk_frames=chunk_frames,
-                decode_fn=lambda p, c: self._vae_decode_jit(p, latents=c),
-            )
+            # ≈4 chunks for transfer/compute overlap, capped so the decode
+            # working set stays ≈ constant with batch (ref memory_utils.py
+            # decode chunk-size policy, :48-83).
+            core = max(192, min(512, -(-t // 4), 4096 // max(b, 1)))
+            core += (-core) % 8
         else:
-            wav = self._vae_decode_jit(self.vae_params, latents=z)
-        gain = 10.0 ** (normalize_db / 20.0) if normalize_db is not None else -1.0
-        pcm = np.asarray(self._postprocess_jit(wav, jnp.float32(gain)))
+            core = max(8, chunk_frames - 2 * ov)
+        n = -(-t // core) if (use_tiled and t > core) else 1
+
+        wav_chunks, peaks = self._decode_latents_dispatch(z, core, n, ov)
+        return self._decode_latents_finish(
+            wav_chunks, peaks, t, normalize_db=normalize_db, return_int16=return_int16
+        )
+
+    def _decode_latents_dispatch(self, z: jax.Array, core: int, n: int, ov: int):
+        """Enqueue the chunked decode + per-chunk peaks; returns device arrays.
+
+        Purely async — no host sync — so callers can overlap other readbacks
+        with the decode compute.
+        """
+        hop = self.vae_config.hop_length
+        t = z.shape[1]
+        wav_chunks = []
+        peaks = []
+        if n == 1:
+            w = self._vae_decode_jit(self.vae_params, latents=z)
+            wav_chunks.append(w)
+            peaks.append(self._peak_jit(w))
+        else:
+            pad_t = n * core - t
+            padded = jnp.pad(z, ((0, 0), (ov, pad_t + ov), (0, 0)), mode="edge")
+            for ci in range(n):
+                chunk = jax.lax.dynamic_slice_in_dim(
+                    padded, ci * core, core + 2 * ov, axis=1
+                )
+                w = self._vae_decode_jit(self.vae_params, latents=chunk)
+                # Last chunk: also trim decoded tail padding so it can't skew
+                # the global peak.
+                valid = core if ci < n - 1 else t - (n - 1) * core
+                w = jax.lax.slice_in_dim(w, ov * hop, (ov + valid) * hop, axis=1)
+                wav_chunks.append(w)
+                peaks.append(self._peak_jit(w))
+        # Single (n, B) peak array → one host readback instead of n RTTs.
+        peaks = jnp.stack(peaks)
+        for w in wav_chunks:
+            try:
+                w.copy_to_host_async()
+            except Exception:  # pragma: no cover - backend without async copy
+                pass
+        try:
+            peaks.copy_to_host_async()
+        except Exception:  # pragma: no cover
+            pass
+        return wav_chunks, peaks
+
+    def _decode_latents_finish(
+        self,
+        wav_chunks,
+        peaks,
+        t: int,
+        *,
+        normalize_db: Optional[float],
+        return_int16: bool,
+    ) -> np.ndarray:
+        hop = self.vae_config.hop_length
+        b = wav_chunks[0].shape[0]
+        peak = np.max(np.asarray(peaks, np.float32), axis=0)  # (B,)
+        if normalize_db is not None:
+            scale = (10.0 ** (normalize_db / 20.0)) / np.maximum(peak, 1e-9)
+        else:
+            scale = 1.0 / np.maximum(peak, 1.0)  # clip guard only
+        scale = scale.reshape(b, 1, 1).astype(np.float32)
+
+        out = np.empty((b, 2, t * hop), np.int16)
+        pos = 0
+        for w in wav_chunks:
+            arr = np.asarray(w).astype(np.float32)  # (B, Lc, 2)
+            take = min(arr.shape[1], t * hop - pos)
+            pcm = np.clip(arr[:, :take].transpose(0, 2, 1) * scale, -1.0, 1.0)
+            out[:, :, pos : pos + take] = np.round(pcm * 32767.0).astype(np.int16)
+            pos += take
         if return_int16:
-            return pcm
-        return pcm.astype(np.float32) / 32767.0
+            return out
+        return out.astype(np.float32) / 32767.0
 
     # ------------------------------------------------------------------
     # Multi-chip data parallelism (SURVEY §2.4 TPU-native equivalents)
@@ -775,18 +881,6 @@ class AceStepHandler:
             return_condition=return_condition,
         )
         pred = outputs["target_latents"]
-        pred.block_until_ready()
-        time_costs["diffusion_time_cost"] = time.time() - t0
-        time_costs["diffusion_per_step_time_cost"] = (
-            time_costs["diffusion_time_cost"] / max(outputs["num_steps"], 1)
-        )
-
-        # Validate (ref generate_music_decode.py:66-84)
-        pred_np = np.asarray(pred, np.float32)
-        if not np.isfinite(pred_np).all():
-            raise RuntimeError("Generation produced NaN or Inf latents.")
-        if pred_np.size and np.abs(pred_np).sum() == 0:
-            raise RuntimeError("Generation produced zero latents.")
 
         if latent_shift != 0.0 or latent_rescale != 1.0:
             pred = pred * latent_rescale + latent_shift
@@ -794,8 +888,36 @@ class AceStepHandler:
         # Crop to exact duration before decode
         pred = pred[:, :t_exact, :]
 
+        # Enqueue the chunked VAE decode BEFORE any host readback: the device
+        # queue is in-order, so the latents fetch below overlaps the decode
+        # compute instead of adding a serial round-trip.
+        decode_job = None
+        if decode_audio and getattr(self, "mesh", None) is None:
+            z = pred.astype(self.dtype)
+            ov = 16
+            core = max(192, min(512, -(-t_exact // 4), 4096 // max(b, 1)))
+            core += (-core) % 8
+            n = -(-t_exact // core) if t_exact > core else 1
+            decode_job = self._decode_latents_dispatch(z, core, n, ov)
+
+        try:
+            pred.copy_to_host_async()
+        except Exception:  # pragma: no cover
+            pass
+        pred_np = np.asarray(pred, np.float32)  # blocks until denoise done
+        time_costs["diffusion_time_cost"] = time.time() - t0
+        time_costs["diffusion_per_step_time_cost"] = (
+            time_costs["diffusion_time_cost"] / max(outputs["num_steps"], 1)
+        )
+
+        # Validate (ref generate_music_decode.py:66-84)
+        if not np.isfinite(pred_np).all():
+            raise RuntimeError("Generation produced NaN or Inf latents.")
+        if pred_np.size and np.abs(pred_np).sum() == 0:
+            raise RuntimeError("Generation produced zero latents.")
+
         result: Dict[str, Any] = {
-            "latents": np.asarray(pred, np.float32),
+            "latents": pred_np,
             "seeds": seed_list,
             "seed_str": seed_str,
             "spans": spans,
@@ -813,7 +935,15 @@ class AceStepHandler:
 
         if decode_audio:
             t0 = time.time()
-            wavs = self.decode_latents(pred, normalize_db=normalize_db, return_int16=return_int16)
+            if decode_job is not None:
+                wavs = self._decode_latents_finish(
+                    *decode_job, t_exact,
+                    normalize_db=normalize_db, return_int16=return_int16,
+                )
+            else:
+                wavs = self.decode_latents(
+                    pred, normalize_db=normalize_db, return_int16=return_int16
+                )
             time_costs["vae_decode_time_cost"] = time.time() - t0
             result["audios"] = wavs
 
