@@ -114,6 +114,10 @@ class LLMHandler:
         self.genres_vocab = genres_vocab
         self.fsm = ConstrainedDecoderFSM(self.tokenizer, max_duration=max_duration,
                                          genres_vocab=genres_vocab)
+        # Fresh per-initialization: entries are tied to these weights.
+        from acestep_tpu.lm.prefix_cache import PrefillCache
+
+        self.prefill_cache = PrefillCache()
         self.initialized = True
         return f"LM initialized in {time.time() - t0:.1f}s (random_init={random_init})"
 
@@ -219,6 +223,21 @@ class LLMHandler:
         bucket = pick_bucket(ids.shape[1], PROMPT_BUCKETS)
         ids, mask = tokenize_padded(self.tokenizer, prompts, max_prompt, bucket=bucket)
         return ids, mask, bucket
+
+    def _prefill(self, ids: np.ndarray, mask: np.ndarray, total_len: int):
+        """Prefill via the dedup/prefix cache (nano-vllm prefix-cache parity);
+        falls back to a plain batched prefill when disabled."""
+        from acestep_tpu.lm import prefix_cache
+
+        if prefix_cache.enabled() and getattr(self, "prefill_cache", None) is not None:
+            return self.prefill_cache.prefill(
+                self.params, self.config, np.asarray(ids), np.asarray(mask),
+                total_len, self.dtype,
+            )
+        cache = qwen3.KVCache.create(self.config, ids.shape[0], total_len, self.dtype)
+        return qwen3.prefill(
+            self.params, self.config, jnp.asarray(ids), jnp.asarray(mask), cache
+        )
 
     def _constrained_loop(
         self,
@@ -338,10 +357,7 @@ class LLMHandler:
             ] * b
         ids, mask, bucket = self._encode_prompts(prompts, budget=max_cot_tokens)
         r = ids.shape[0]
-        cache = qwen3.KVCache.create(self.config, r, bucket + max_cot_tokens, self.dtype)
-        logits, cache = qwen3.prefill(
-            self.params, self.config, jnp.asarray(ids), jnp.asarray(mask), cache
-        )
+        logits, cache = self._prefill(ids, mask, bucket + max_cot_tokens)
 
         fsms = []
         for i in range(b):
@@ -436,10 +452,7 @@ class LLMHandler:
             ]
         ids, mask, bucket = self._encode_prompts(prompts, budget=n_codes + 8)
         r = ids.shape[0]
-        cache = qwen3.KVCache.create(self.config, r, bucket + n_codes + 8, self.dtype)
-        logits, cache = qwen3.prefill(
-            self.params, self.config, jnp.asarray(ids), jnp.asarray(mask), cache
-        )
+        logits, cache = self._prefill(ids, mask, bucket + n_codes + 8)
         positions = np.asarray([mask[i].sum() for i in range(r)], np.int32)
 
         code_start = self.fsm.code_token_start
@@ -519,8 +532,7 @@ class LLMHandler:
     def _free_generate(self, prompt: str, *, temperature: float, max_new_tokens: int,
                        seed: int) -> str:
         ids, mask, bucket = self._encode_prompts([prompt], budget=max_new_tokens)
-        cache = qwen3.KVCache.create(self.config, 1, bucket + max_new_tokens, self.dtype)
-        logits, cache = qwen3.prefill(self.params, self.config, jnp.asarray(ids), jnp.asarray(mask), cache)
+        logits, cache = self._prefill(ids, mask, bucket + max_new_tokens)
         positions = np.asarray([mask[0].sum()], np.int32)
         key = jax.random.PRNGKey(seed)
         out: List[int] = []

@@ -307,7 +307,11 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
             if url.path == "/health":
                 return self._json(200, {"status": "ok", "initialized": service.dit_handler.initialized})
             if url.path == "/v1/stats":
-                return self._json(200, {"queue_depth": service.queue.qsize(), **service.store.stats()})
+                payload = {"queue_depth": service.queue.qsize(), **service.store.stats()}
+                lm = service.llm_handler
+                if lm is not None and getattr(lm, "prefill_cache", None) is not None:
+                    payload["lm_prefix_cache"] = lm.prefill_cache.stats()
+                return self._json(200, payload)
             if url.path == "/v1/models":
                 return self._json(
                     200,

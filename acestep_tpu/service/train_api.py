@@ -123,7 +123,10 @@ class TrainingService:
     def list_runs(self) -> Dict[str, Any]:
         with self._lock:
             return {
-                rid: {"status": s["status"], "step": s["step"], "loss": s["loss"]}
+                rid: {
+                    "status": s["status"], "step": s["step"], "loss": s["loss"],
+                    "output_dir": s.get("output_dir"), "error": s.get("error"),
+                }
                 for rid, s in self._runs.items()
             }
 

@@ -1,9 +1,10 @@
 """Built-in single-page studio UI served at `/` by the API server.
 
-Feature parity with the reference's Gradio generation surface (SURVEY §2.6:
+Feature parity with the reference's Gradio surface (SURVEY §2.6: generation
 mode radio Simple/Custom/Remix/Repaint/Extract/Lego/Complete, caption/lyrics,
-metadata, LM thinking controls, batch results with audio players) as a static
-page + the existing job API — no gradio dependency.
+metadata, LM thinking controls, batch results with audio players, plus the
+training tab driving the LoRA run/dataset endpoints) as a static page + the
+existing job/training APIs — no gradio dependency.
 """
 
 STUDIO_HTML = """<!DOCTYPE html>
@@ -38,6 +39,12 @@ STUDIO_HTML = """<!DOCTYPE html>
 <body>
 <h1>ACE-Step <span>TPU</span> Studio</h1>
 
+<fieldset class="modes"><legend>Tab</legend>
+  <label><input type="radio" name="tab" value="generate" checked> Generate</label>
+  <label><input type="radio" name="tab" value="training"> Training</label>
+</fieldset>
+
+<div id="tab-generate">
 <fieldset class="modes"><legend>Mode</legend>
   <label><input type="radio" name="mode" value="Simple" checked> Simple</label>
   <label><input type="radio" name="mode" value="Custom"> Custom</label>
@@ -81,11 +88,54 @@ STUDIO_HTML = """<!DOCTYPE html>
 <div id="status"></div>
 <progress id="bar" value="0" max="1" style="display:none"></progress>
 <div id="results"></div>
+</div>
+
+<div id="tab-training" style="display:none">
+<fieldset><legend>Build dataset</legend>
+  <div class="row">
+    <div><label>Audio directory (on server)</label><input type="text" id="ds_audio_dir" placeholder="/data/songs"></div>
+    <div><label>Output dataset dir</label><input type="text" id="ds_out_dir" placeholder="/data/dataset"></div>
+  </div>
+  <button id="build_ds">Build dataset</button>
+  <div id="ds_status" class="small"></div>
+</fieldset>
+
+<fieldset><legend>LoRA run</legend>
+  <div class="row">
+    <div><label>Dataset dir</label><input type="text" id="tr_dataset" placeholder="/data/dataset"></div>
+    <div><label>Output dir</label><input type="text" id="tr_out" placeholder="auto"></div>
+  </div>
+  <div class="row">
+    <div><label>Rank</label><input type="number" id="tr_rank" value="32"></div>
+    <div><label>Alpha</label><input type="number" id="tr_alpha" value="32"></div>
+    <div><label>LR</label><input type="text" id="tr_lr" value="1e-4"></div>
+    <div><label>Max steps</label><input type="number" id="tr_steps" value="1000"></div>
+  </div>
+  <div class="row">
+    <div><label>Batch</label><input type="number" id="tr_batch" value="1"></div>
+    <div><label>Checkpoint every</label><input type="number" id="tr_ckpt" value="200"></div>
+    <div><label>Seed</label><input type="number" id="tr_seed" value="0"></div>
+  </div>
+  <button id="tr_start">Start training</button>
+  <div id="tr_status" class="small"></div>
+</fieldset>
+
+<fieldset><legend>Runs</legend>
+  <button id="tr_refresh">Refresh</button>
+  <div id="tr_runs"></div>
+</fieldset>
+</div>
 
 <script>
 const MODE_TASK = {Simple:"text2music", Custom:"text2music", Remix:"cover",
                    Repaint:"repaint", Extract:"extract", Lego:"lego", Complete:"complete"};
 const $ = id => document.getElementById(id);
+document.querySelectorAll('input[name=tab]').forEach(r => r.onchange = () => {
+  const t = document.querySelector('input[name=tab]:checked').value;
+  $("tab-generate").style.display = (t === "generate") ? "block" : "none";
+  $("tab-training").style.display = (t === "training") ? "block" : "none";
+  if (t === "training") refreshRuns();
+});
 document.querySelectorAll('input[name=mode]').forEach(r => r.onchange = () => {
   $("repaintRow").style.display =
     (document.querySelector('input[name=mode]:checked').value === "Repaint") ? "flex" : "none";
@@ -143,6 +193,63 @@ $("go").onclick = async () => {
   } catch (e) { $("status").textContent = "error: " + e; }
   $("go").disabled = false; $("bar").style.display = "none";
 };
+
+// ---- Training tab (drives /v1/train/* — ref train UI tab parity) ----
+$("build_ds").onclick = async () => {
+  $("ds_status").textContent = "building…";
+  try {
+    const out = await post("/v1/train/build_dataset",
+      {audio_dir: $("ds_audio_dir").value, output_dir: $("ds_out_dir").value});
+    $("ds_status").textContent = JSON.stringify(out);
+    if (out.output_dir && !$("tr_dataset").value) $("tr_dataset").value = out.output_dir;
+  } catch (e) { $("ds_status").textContent = "error: " + e; }
+};
+$("tr_start").onclick = async () => {
+  $("tr_status").textContent = "starting…";
+  const payload = {
+    dataset_dir: $("tr_dataset").value,
+    rank: parseInt($("tr_rank").value), alpha: parseFloat($("tr_alpha").value),
+    learning_rate: parseFloat($("tr_lr").value), max_steps: parseInt($("tr_steps").value),
+    batch_size: parseInt($("tr_batch").value), checkpoint_every: parseInt($("tr_ckpt").value),
+    seed: parseInt($("tr_seed").value),
+  };
+  if ($("tr_out").value) payload.output_dir = $("tr_out").value;
+  try {
+    const out = await post("/v1/train/start", payload);
+    $("tr_status").textContent = out.run_id ? ("run started: " + out.run_id)
+                                            : JSON.stringify(out);
+    refreshRuns();
+  } catch (e) { $("tr_status").textContent = "error: " + e; }
+};
+async function refreshRuns() {
+  try {
+    const runs = await post("/v1/train/list", {});
+    const box = $("tr_runs"); box.innerHTML = "";
+    Object.entries(runs).forEach(([id, st]) => {
+      const div = document.createElement("div"); div.className = "result";
+      const line = document.createElement("div");
+      line.textContent = id + " — " + st.status + "  step " + (st.step || 0)
+        + (st.loss != null ? ("  loss " + Number(st.loss).toFixed(4)) : "")
+        + (st.error ? ("  error: " + String(st.error).slice(0, 120)) : "");
+      div.appendChild(line);
+      const small = document.createElement("div"); small.className = "small";
+      small.textContent = st.output_dir || "";
+      div.appendChild(small);
+      if (st.status === "running" || st.status === "starting") {
+        const stop = document.createElement("button");
+        stop.textContent = "Stop";
+        stop.onclick = async () => { await post("/v1/train/stop", {run_id: id}); refreshRuns(); };
+        div.appendChild(stop);
+      }
+      box.appendChild(div);
+    });
+    if (!Object.keys(runs).length) box.innerHTML = '<div class="small">no runs yet</div>';
+  } catch (e) { $("tr_runs").textContent = "error: " + e; }
+}
+$("tr_refresh").onclick = refreshRuns;
+setInterval(() => {
+  if (document.querySelector('input[name=tab]:checked').value === "training") refreshRuns();
+}, 4000);
 </script>
 </body>
 </html>

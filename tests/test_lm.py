@@ -184,3 +184,95 @@ def test_llm_handler_batch_generation(lm_handler):
         assert len(codes) == 10  # 2 s × 5 codes/s
     assert len(out["batch_metadata"]) == 3
     assert out["codes"] == out["batch_codes"][0]
+
+
+# ---------------------------------------------------------------------------
+# Prefill dedup + prefix cache (nano-vllm prefix-caching parity, SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def test_prefill_cache_dedup_matches_plain_prefill(lm_handler):
+    """Deduped prefill (2 unique rows broadcast to 4) must equal plain prefill."""
+    import numpy as np
+    from acestep_tpu.lm.prefix_cache import PrefillCache
+    from acestep_tpu.models import qwen3
+
+    h = lm_handler
+    p1 = h.build_formatted_prompt("warm piano", "")
+    p2 = h.build_formatted_prompt("dark techno", "")
+    ids, mask, bucket = h._encode_prompts([p1, p1, p2, p2], budget=16)
+    total = bucket + 16
+
+    cache_plain = qwen3.KVCache.create(h.config, 4, total, h.dtype)
+    logits_plain, cache_plain = qwen3.prefill(
+        h.params, h.config, jnp.asarray(ids), jnp.asarray(mask), cache_plain
+    )
+
+    pc = PrefillCache()
+    logits_c, cache_c = pc.prefill(h.params, h.config, ids, mask, total, h.dtype)
+    assert pc.stats()["dedup_rows_saved"] == 2
+    assert pc.stats()["misses"] == 2
+
+    np.testing.assert_allclose(
+        np.asarray(logits_c, np.float32), np.asarray(logits_plain, np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_c.k, np.float32), np.asarray(cache_plain.k, np.float32),
+        rtol=2e-4, atol=2e-4,
+    )
+    assert int(cache_c.length) == int(cache_plain.length)
+
+
+def test_prefill_cache_cross_request_hit(lm_handler):
+    """Second request with the same prompt reuses cached KV (no new prefill)."""
+    import numpy as np
+    from acestep_tpu.lm.prefix_cache import PrefillCache
+
+    h = lm_handler
+    prompt = h.build_formatted_prompt("lofi beats", "")
+    ids, mask, bucket = h._encode_prompts([prompt], budget=8)
+    total = bucket + 8
+
+    pc = PrefillCache()
+    logits1, cache1 = pc.prefill(h.params, h.config, ids, mask, total, h.dtype)
+    assert pc.stats()["misses"] == 1 and pc.stats()["hits"] == 0
+    logits2, cache2 = pc.prefill(h.params, h.config, ids, mask, total, h.dtype)
+    assert pc.stats()["hits"] == 1
+    np.testing.assert_array_equal(np.asarray(logits1), np.asarray(logits2))
+    np.testing.assert_array_equal(np.asarray(cache1.k), np.asarray(cache2.k))
+
+    # Different capacity must NOT hit (shapes are part of the key).
+    pc.prefill(h.params, h.config, ids, mask, total + 8, h.dtype)
+    assert pc.stats()["misses"] == 2
+
+
+def test_prefill_cache_lru_eviction(lm_handler):
+    from acestep_tpu.lm.prefix_cache import PrefillCache
+
+    h = lm_handler
+    prompt = h.build_formatted_prompt("ambient", "")
+    ids, mask, bucket = h._encode_prompts([prompt], budget=8)
+    pc = PrefillCache(max_bytes=1)  # everything evicts immediately
+    pc.prefill(h.params, h.config, ids, mask, bucket + 8, h.dtype)
+    assert pc.stats()["entries"] == 0
+    pc.prefill(h.params, h.config, ids, mask, bucket + 8, h.dtype)
+    assert pc.stats()["misses"] == 2  # no stale reuse after eviction
+
+
+def test_llm_handler_generation_unaffected_by_cache(lm_handler):
+    """End-to-end: same seed with and without the prefix cache → same codes."""
+    import os
+
+    out1 = lm_handler.generate_with_stop_condition(
+        "calm piano", "", temperature=0.8, target_duration=2.0, seed=5,
+    )
+    os.environ["ACESTEP_TPU_LM_PREFIX_CACHE"] = "0"
+    try:
+        out2 = lm_handler.generate_with_stop_condition(
+            "calm piano", "", temperature=0.8, target_duration=2.0, seed=5,
+        )
+    finally:
+        os.environ.pop("ACESTEP_TPU_LM_PREFIX_CACHE")
+    assert out1["codes"] == out2["codes"]
+    assert out1["cot_text"] == out2["cot_text"]
