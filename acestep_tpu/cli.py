@@ -131,9 +131,19 @@ def cmd_profile(args) -> int:
                 seeds=list(range(b)), use_random_seed=False,
             )
             handler.generate_music(**kwargs)  # warmup/compile
-            t0 = time.time()
-            out = handler.generate_music(**kwargs)
-            wall = time.time() - t0
+            if args.trace_dir:
+                # XLA/TPU trace viewable in TensorBoard/Perfetto — the
+                # torch.profiler-harness equivalent (ref modeling __main__).
+                import jax
+
+                with jax.profiler.trace(args.trace_dir):
+                    t0 = time.time()
+                    out = handler.generate_music(**kwargs)
+                    wall = time.time() - t0
+            else:
+                t0 = time.time()
+                out = handler.generate_music(**kwargs)
+                wall = time.time() - t0
             tc = out["time_costs"]
             rows.append({
                 "duration": d, "batch": b, "steps": out["num_steps"], "wall": wall,
@@ -195,6 +205,8 @@ def main(argv=None) -> int:
     p.add_argument("--durations", default="30,60,120")
     p.add_argument("--batches", default="1,2")
     p.add_argument("--json-out", default=None)
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler trace of each timed run")
     p.set_defaults(fn=cmd_profile)
 
     args = ap.parse_args(argv)

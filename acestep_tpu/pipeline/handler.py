@@ -532,10 +532,21 @@ class AceStepHandler:
             core = max(8, chunk_frames - 2 * ov)
         n = -(-t // core) if (use_tiled and t > core) else 1
 
-        wav_chunks, peaks = self._decode_latents_dispatch(z, core, n, ov)
-        return self._decode_latents_finish(
-            wav_chunks, peaks, t, normalize_db=normalize_db, return_int16=return_int16
-        )
+        # Graceful degradation on HBM exhaustion: halve the chunk size and
+        # retry (TPU equivalent of the reference's decode GPU→offload→CPU
+        # ladder, vae_decode_chunks.py:40-81).
+        while True:
+            try:
+                wav_chunks, peaks = self._decode_latents_dispatch(z, core, n, ov)
+                return self._decode_latents_finish(
+                    wav_chunks, peaks, t,
+                    normalize_db=normalize_db, return_int16=return_int16,
+                )
+            except Exception as e:  # noqa: BLE001
+                if "RESOURCE_EXHAUSTED" not in str(e) or core <= 64:
+                    raise
+                core = max(64, core // 2)
+                n = -(-t // core)
 
     def _decode_latents_dispatch(self, z: jax.Array, core: int, n: int, ov: int):
         """Enqueue the chunked decode + per-chunk peaks; returns device arrays.
@@ -936,10 +947,18 @@ class AceStepHandler:
         if decode_audio:
             t0 = time.time()
             if decode_job is not None:
-                wavs = self._decode_latents_finish(
-                    *decode_job, t_exact,
-                    normalize_db=normalize_db, return_int16=return_int16,
-                )
+                try:
+                    wavs = self._decode_latents_finish(
+                        *decode_job, t_exact,
+                        normalize_db=normalize_db, return_int16=return_int16,
+                    )
+                except Exception as e:  # noqa: BLE001 — HBM ladder fallback
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    wavs = self.decode_latents(
+                        pred, chunk_frames=128,
+                        normalize_db=normalize_db, return_int16=return_int16,
+                    )
             else:
                 wavs = self.decode_latents(
                     pred, normalize_db=normalize_db, return_int16=return_int16

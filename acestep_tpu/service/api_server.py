@@ -113,6 +113,11 @@ class ApiService:
         from acestep_tpu.service.train_api import TrainingService
 
         self.training = TrainingService(dit_handler)
+        from acestep_tpu.utils.logbuffer import install as _install_logbuffer
+
+        # Ring buffer served at /v1/logs (ref LogBuffer/StderrLogger,
+        # api_server.py:1173-1202).
+        self.logs = _install_logbuffer()
         self.queue: "queue.Queue[str]" = queue.Queue(maxsize=MAX_QUEUE)
         self._worker = threading.Thread(target=self._worker_loop, daemon=True)
         self._worker.start()
@@ -174,8 +179,10 @@ class ApiService:
                     )
                 else:
                     self.store.mark(task_id, status="failed", error=result.error)
+                    self.logs.append(f"job {task_id} failed: {result.error}")
             except Exception as e:  # noqa: BLE001 — job must fail, not the server
                 self.store.mark(task_id, status="failed", error=f"{e}\n{traceback.format_exc()}")
+                self.logs.append(f"job {task_id} crashed: {e}")
             finally:
                 self.store.record_duration(time.time() - t0)
                 self.store.gc()
@@ -312,6 +319,12 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 if lm is not None and getattr(lm, "prefill_cache", None) is not None:
                     payload["lm_prefix_cache"] = lm.prefill_cache.stats()
                 return self._json(200, payload)
+            if url.path == "/v1/logs":
+                try:
+                    n = int(url.query.split("n=")[1].split("&")[0]) if "n=" in url.query else 200
+                except Exception:
+                    n = 200
+                return self._json(200, {"lines": service.logs.tail(n)})
             if url.path == "/v1/models":
                 return self._json(
                     200,

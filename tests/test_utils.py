@@ -108,3 +108,20 @@ def test_native_audio_matches_numpy():
     tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)[None]
     y = na.resample(tone, 48000, 24000)
     assert abs(y.shape[1] - 4800) <= 1
+
+
+def test_log_ring_buffer():
+    import logging
+
+    from acestep_tpu.utils.logbuffer import LogRingBuffer
+
+    buf = LogRingBuffer(maxlen=3)
+    logging.getLogger("t.ring").addHandler(buf)
+    logging.getLogger("t.ring").warning("one")
+    buf.append("two")
+    for i in range(5):
+        buf.append(f"x{i}")
+    tail = buf.tail(10)
+    assert len(tail) == 3  # maxlen enforced
+    assert tail[-1]["line"] == "x4"
+    assert all("t" in e for e in tail)
