@@ -219,10 +219,10 @@ class LLMHandler:
         from acestep_tpu.utils.tokenizer import tokenize_padded
 
         max_prompt = self.max_model_len - budget
-        ids, mask = tokenize_padded(self.tokenizer, prompts, max_prompt, bucket=None)
-        bucket = pick_bucket(ids.shape[1], PROMPT_BUCKETS)
-        ids, mask = tokenize_padded(self.tokenizer, prompts, max_prompt, bucket=bucket)
-        return ids, mask, bucket
+        ids, mask = tokenize_padded(
+            self.tokenizer, prompts, max_prompt, buckets=PROMPT_BUCKETS
+        )
+        return ids, mask, ids.shape[1]
 
     def _prefill(self, ids: np.ndarray, mask: np.ndarray, total_len: int):
         """Prefill via the dedup/prefix cache (nano-vllm prefix-cache parity);

@@ -830,12 +830,12 @@ class AceStepHandler:
             SFT_GEN_PROMPT.format(instructions[i], captions[i], parsed_metas[i]) for i in range(b)
         ]
         lyric_texts = [self.format_lyrics(lyrics[i], vocal_languages[i]) for i in range(b)]
-        text_ids, text_mask = tokenize_padded(self.text_tokenizer, text_prompts, 256, bucket=None)
-        text_bucket = pick_bucket(text_ids.shape[1], TEXT_BUCKETS)
-        text_ids, text_mask = tokenize_padded(self.text_tokenizer, text_prompts, 256, bucket=text_bucket)
-        lyric_ids, lyric_mask = tokenize_padded(self.text_tokenizer, lyric_texts, 2048, bucket=None)
-        lyric_bucket = pick_bucket(lyric_ids.shape[1], LYRIC_BUCKETS)
-        lyric_ids, lyric_mask = tokenize_padded(self.text_tokenizer, lyric_texts, 2048, bucket=lyric_bucket)
+        text_ids, text_mask = tokenize_padded(
+            self.text_tokenizer, text_prompts, 256, buckets=TEXT_BUCKETS
+        )
+        lyric_ids, lyric_mask = tokenize_padded(
+            self.text_tokenizer, lyric_texts, 2048, buckets=LYRIC_BUCKETS
+        )
 
         t0 = time.time()
         text_hidden = self.infer_text_embeddings(text_ids)

@@ -50,11 +50,14 @@ def tokenize_padded(
     texts: List[str],
     max_length: int,
     bucket: Optional[int] = None,
+    buckets=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Tokenize a batch, truncate to max_length, right-pad to a static bucket.
 
     Returns (ids (B, L), mask (B, L)) with L = bucket or the padded batch max —
-    static bucketing keeps XLA recompilation bounded (SURVEY §7.3).
+    static bucketing keeps XLA recompilation bounded (SURVEY §7.3). Passing
+    `buckets` picks the bucket from the actual longest sequence in ONE pass
+    (callers previously tokenized twice: probe then pad).
     """
     seqs = []
     for t in texts:
@@ -64,6 +67,8 @@ def tokenize_padded(
             ids = tokenizer(t, truncation=True, max_length=max_length)["input_ids"]
         seqs.append(ids[:max_length])
     longest = max(len(s) for s in seqs) if seqs else 1
+    if buckets is not None:
+        bucket = pick_bucket(longest, buckets)
     if bucket is None:
         bucket = longest
     l = max(bucket, 1)

@@ -51,6 +51,9 @@ def main():
         t0 = time.time()
         out = handler.generate_music(**kwargs)
         times.append(time.time() - t0)
+        # Settle between reps: remote buffer deallocation from the previous
+        # run otherwise backlogs the tunnel and inflates the next run.
+        time.sleep(2.0)
 
     # The dev-environment TPU tunnel adds one-sided contention spikes (runs
     # only ever get SLOWER, up to 10-20x on a bad draw). p25 of the runs is a
