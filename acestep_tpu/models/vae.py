@@ -83,6 +83,14 @@ def _use_fused_res_units(c: int) -> bool:
 
 
 def decoder_block(p: Params, x: jax.Array, stride: int) -> jax.Array:
+    c_out = p["conv_t1"]["kernel"].shape[2]
+    if stride % 2 == 0 and _use_fused_res_units(c_out):
+        # Whole block (snake → conv_t → 3 res units) in one VMEM pass: the
+        # transposed conv's HBM temporaries and the upsampled activation
+        # round-trip disappear entirely.
+        from acestep_tpu.ops.pallas_vae import decoder_block_pallas
+
+        return decoder_block_pallas(x, p, stride)
     x = snake(p["snake1"], x)
     x = conv_transpose1d(
         x, p["conv_t1"]["kernel"], p["conv_t1"].get("bias"),

@@ -40,45 +40,50 @@ def _snake_f32(x_f32, alpha, beta):
     return x_f32 + (1.0 / (b + 1e-9)) * sin2_f32(a * x_f32)
 
 
-def _res_units_kernel(
-    x_ref,  # (1, tile + 2*TOTAL_HALO, C)
-    *refs,
-):
-    """refs layout: per unit (w1 (7,C,C), b1, a1, b1s, w2 (C,C), b2, a2, b2s) ×3, out_ref."""
-    out_ref = refs[-1]
-    params = refs[:-1]
+def _res_chain_body(h, params, c, dtype, *, row_base, seq_len, t_in):
+    """Shared 3-res-unit chain on a VMEM tile with halo.
 
-    h = x_ref[0]  # (T0, C) in x dtype
-    valid = h.shape[0]
+    `h` is (t_in, C); returns (t_in − 2·NEEDED_HALO, C). Rows whose global
+    index (row_base + i) falls outside [0, seq_len) are zeroed before each
+    unit — the zero-padding semantics of the sequential torch chain.
+    """
+    valid = t_in
+    offset = 0
     for u in range(3):
         (w1, b1, al1, be1, w2, b2, al2, be2) = params[u * 8 : (u + 1) * 8]
         d = DILATIONS[u]
         shrink = 3 * d
         new_valid = valid - 2 * shrink
 
-        hf = _snake_f32(h.astype(jnp.float32), al1[0], be1[0])
-        a16 = hf.astype(x_ref.dtype)
+        row_global = (
+            row_base + offset + jax.lax.broadcasted_iota(jnp.int32, (valid, 1), 0)
+        )
+        in_seq = (row_global >= 0) & (row_global < seq_len)
+        h = jnp.where(in_seq, h, jnp.zeros_like(h))
 
-        acc = jnp.zeros((new_valid, h.shape[1]), jnp.float32)
+        hf = _snake_f32(h.astype(jnp.float32), al1[0], be1[0])
+        a16 = hf.astype(dtype)
+
+        acc = jnp.zeros((new_valid, c), jnp.float32)
         for j in range(7):
-            off = j * d
-            seg = jax.lax.dynamic_slice_in_dim(a16, off, new_valid, axis=0)
+            seg = jax.lax.slice_in_dim(a16, j * d, j * d + new_valid, axis=0)
             acc += jax.lax.dot_general(
-                seg, w1[j], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                seg, w1[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-        acc += b1[0].astype(jnp.float32)
+        acc += b1[0]
 
         zf = _snake_f32(acc, al2[0], be2[0])
         z = jax.lax.dot_general(
-            zf.astype(x_ref.dtype), w2[:], (((1,), (0,)), ((), ())),
+            zf.astype(dtype), w2[:, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + b2[0].astype(jnp.float32)
+        ) + b2[0]
 
-        h_center = jax.lax.dynamic_slice_in_dim(h, shrink, new_valid, axis=0)
-        h = (h_center.astype(jnp.float32) + z).astype(x_ref.dtype)
+        h_center = jax.lax.slice_in_dim(h, shrink, shrink + new_valid, axis=0)
+        h = (h_center.astype(jnp.float32) + z).astype(dtype)
         valid = new_valid
-
-    out_ref[0] = h
+        offset += shrink
+    return h
 
 
 def res_units_pallas(
@@ -159,46 +164,10 @@ def res_units_pallas(
         right = jnp.where(ti < pl.num_programs(1) - 1, next_head, zero)
         h = jnp.concatenate([left, cur_ref[0], right], axis=0)  # (t_in, C)
 
-        valid = t_in
-        offset = 0
-        for u in range(3):
-            (w1, b1, al1, be1, w2, b2, al2, be2) = params[u * 8 : (u + 1) * 8]
-            d = DILATIONS[u]
-            shrink = 3 * d
-            new_valid = valid - 2 * shrink
-
-            # Zero rows outside [0, seq_len) so every unit sees the same
-            # zero-padded input as the sequential reference chain.
-            row_global = (
-                ti * tile - TOTAL_HALO + offset
-                + jax.lax.broadcasted_iota(jnp.int32, (valid, 1), 0)
-            )
-            in_seq = (row_global >= 0) & (row_global < seq_len)
-            h = jnp.where(in_seq, h, jnp.zeros_like(h))
-
-            hf = _snake_f32(h.astype(jnp.float32), al1[0], be1[0])
-            a16 = hf.astype(cur_ref.dtype)
-
-            acc = jnp.zeros((new_valid, c), jnp.float32)
-            for j in range(7):
-                seg = jax.lax.slice_in_dim(a16, j * d, j * d + new_valid, axis=0)
-                acc += jax.lax.dot_general(
-                    seg, w1[j], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            acc += b1[0]
-
-            zf = _snake_f32(acc, al2[0], be2[0])
-            z = jax.lax.dot_general(
-                zf.astype(cur_ref.dtype), w2[:, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + b2[0]
-
-            h_center = jax.lax.slice_in_dim(h, shrink, shrink + new_valid, axis=0)
-            h = (h_center.astype(jnp.float32) + z).astype(cur_ref.dtype)
-            valid = new_valid
-            offset += shrink
-        # h covers [ti*tile - (TOTAL_HALO - NEEDED_HALO), ...): slice the tile.
+        h = _res_chain_body(
+            h, params, c, cur_ref.dtype,
+            row_base=ti * tile - TOTAL_HALO, seq_len=seq_len, t_in=t_in,
+        )
         margin = TOTAL_HALO - NEEDED_HALO
         out_ref[0] = jax.lax.slice_in_dim(h, margin, margin + tile, axis=0)
 
@@ -212,3 +181,173 @@ def res_units_pallas(
     )(xp, xp, xp, *flat_params)
 
     return out[:, :l, :]
+
+
+# ---------------------------------------------------------------------------
+# Fully fused decoder block: Snake → ConvTranspose(K=2s, pad s/2) → 3 res units
+# ---------------------------------------------------------------------------
+
+
+def _upsample_halo(s: int) -> int:
+    """Input halo rows per side: ≥ TOTAL_HALO/s + 1 (conv_t neighbor), ×8-aligned."""
+    need = -(-TOTAL_HALO // s) + 1
+    return -(-need // 8) * 8
+
+
+def decoder_block_pallas(
+    x: jax.Array,  # (B, L_in, C_in)
+    block_params: Dict[str, Any],
+    stride: int,
+    *,
+    tile_out: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """One whole Oobleck decoder block in a single VMEM pass.
+
+    vs the split path (XLA snake+conv_t, then `res_units_pallas`): the
+    transposed conv's einsum temporaries (≈6× the upsampled activation in HBM
+    churn) never materialize, and the upsampled activation itself is never
+    written to or re-read from HBM. The conv_t is computed as three dense
+    matmuls in the (rows, s·C_out) layout — output phase r lives in columns
+    [r·C_out, (r+1)·C_out), so neighbor contributions are lane-aligned column
+    slices and the phase→time unpack is one contiguous reshape.
+
+    Matches `models/vae.decoder_block` (torch ConvTranspose1d semantics,
+    ref diffusers AutoencoderOobleck / acestep/models/mlx/vae_model.py:119-142).
+    """
+    s = stride
+    assert s % 2 == 0, "Oobleck decoder strides are even"
+    b, l_in, ci = x.shape
+    co = block_params["conv_t1"]["kernel"].shape[2]
+    l_out = l_in * s
+
+    tile_out = min(tile_out, l_out if l_out % 8 == 0 else l_out + (-l_out) % 8)
+    tile_out -= tile_out % max(8, s)  # divisible by s and 8
+    tile_out = max(tile_out, max(8, s))
+    tile_in = tile_out // s
+    hin = _upsample_halo(s)
+    if hin > tile_in:  # tiny sequences: single tile covers everything
+        tile_in = -(-l_in // 8) * 8
+        tile_out = tile_in * s
+        hin = min(hin, tile_in)
+    margin_up = hin * s - TOTAL_HALO  # ≥ s by construction
+
+    n_tiles = -(-l_in // tile_in)
+    pad_r = n_tiles * tile_in - l_in
+    xp = jnp.pad(x, ((0, 0), (0, pad_r), (0, 0)))
+
+    # --- weight prep (host/XLA, once per call; tiny) ---
+    kf = block_params["conv_t1"]["kernel"].astype(x.dtype)  # (2s, Ci, Co)
+    half = s // 2
+    w_mid = jnp.transpose(kf[half : half + s], (1, 0, 2)).reshape(ci, s * co)
+    w_prev = jnp.transpose(kf[3 * half :], (1, 0, 2)).reshape(ci, half * co)
+    w_next = jnp.transpose(kf[:half], (1, 0, 2)).reshape(ci, half * co)
+    bias = block_params["conv_t1"].get("bias")
+    bias_tiled = (
+        jnp.tile(bias.astype(jnp.float32), s).reshape(1, s * co)
+        if bias is not None
+        else jnp.zeros((1, s * co), jnp.float32)
+    )
+    sn_a = block_params["snake1"]["alpha"].reshape(1, -1).astype(jnp.float32)
+    sn_b = block_params["snake1"]["beta"].reshape(1, -1).astype(jnp.float32)
+
+    unit_flat = []
+    for name in ("res_unit1", "res_unit2", "res_unit3"):
+        p = block_params[name]
+        unit_flat += [
+            p["conv1"]["kernel"].astype(x.dtype),
+            p["conv1"]["bias"].reshape(1, -1).astype(jnp.float32),
+            p["snake1"]["alpha"].reshape(1, -1).astype(jnp.float32),
+            p["snake1"]["beta"].reshape(1, -1).astype(jnp.float32),
+            p["conv2"]["kernel"][0].astype(x.dtype),
+            p["conv2"]["bias"].reshape(1, -1).astype(jnp.float32),
+            p["snake2"]["alpha"].reshape(1, -1).astype(jnp.float32),
+            p["snake2"]["beta"].reshape(1, -1).astype(jnp.float32),
+        ]
+
+    grid = (b, n_tiles)
+    last = n_tiles - 1
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda bi, ti, _nd=len(shape): (0,) * _nd, memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((1, tile_in, ci), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, tile_in, ci), lambda bi, ti: (bi, jnp.maximum(ti - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, tile_in, ci), lambda bi, ti, _last=last: (bi, jnp.minimum(ti + 1, _last), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        const_spec((ci, s * co)),
+        const_spec((ci, half * co)),
+        const_spec((ci, half * co)),
+        const_spec((1, s * co)),
+        const_spec((1, ci)),
+        const_spec((1, ci)),
+    ]
+    for _ in range(3):
+        in_specs += [
+            const_spec((7, co, co)), const_spec((1, co)), const_spec((1, co)),
+            const_spec((1, co)), const_spec((co, co)), const_spec((1, co)),
+            const_spec((1, co)), const_spec((1, co)),
+        ]
+
+    rows = tile_in + 2 * hin
+    t_up = tile_out + 2 * TOTAL_HALO
+    hc = half * co
+
+    def kernel(cur_ref, prev_ref, next_ref, wm_ref, wp_ref, wn_ref, bt_ref,
+               sa_ref, sb_ref, *refs):
+        out_ref = refs[-1]
+        unit_params = refs[:-1]
+        ti = pl.program_id(1)
+
+        prev_tail = prev_ref[0, tile_in - hin :, :]
+        next_head = next_ref[0, :hin, :]
+        zero = jnp.zeros_like(prev_tail)
+        left = jnp.where(ti > 0, prev_tail, zero)
+        right = jnp.where(ti < pl.num_programs(1) - 1, next_head, zero)
+        h_in = jnp.concatenate([left, cur_ref[0], right], axis=0)  # (rows, Ci)
+
+        # Zero rows outside the true input sequence, then Snake.
+        row_g = ti * tile_in - hin + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        h_in = jnp.where((row_g >= 0) & (row_g < l_in), h_in, jnp.zeros_like(h_in))
+        s16 = _snake_f32(h_in.astype(jnp.float32), sa_ref[0], sb_ref[0]).astype(cur_ref.dtype)
+
+        # Transposed conv in phase-column layout: (rows, s·Co).
+        a = jax.lax.dot_general(s16, wm_ref[:, :], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p_ = jax.lax.dot_general(s16, wp_ref[:, :], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        n_ = jax.lax.dot_general(s16, wn_ref[:, :], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # Output block t takes x[t−1]'s prev-taps (low phases) and x[t+1]'s
+        # next-taps (high phases). Edge garbage from the roll lands inside the
+        # trimmed margin (margin_up ≥ s).
+        p_sh = pltpu.roll(p_, 1, 0)
+        n_sh = pltpu.roll(n_, rows - 1, 0)
+        y = jnp.concatenate([a[:, :hc] + p_sh, a[:, hc:] + n_sh], axis=1) + bt_ref[0]
+        y = y.reshape(rows * s, co).astype(cur_ref.dtype)
+
+        h_up = jax.lax.slice_in_dim(y, margin_up, margin_up + t_up, axis=0)
+        h = _res_chain_body(
+            h_up, unit_params, co, cur_ref.dtype,
+            row_base=ti * tile_out - TOTAL_HALO, seq_len=l_out, t_in=t_up,
+        )
+        margin = TOTAL_HALO - NEEDED_HALO
+        out_ref[0] = jax.lax.slice_in_dim(h, margin, margin + tile_out, axis=0)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tile_out, co), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile_out, co), x.dtype),
+        interpret=interpret,
+    )(xp, xp, xp, w_mid, w_prev, w_next, bias_tiled, sn_a, sn_b, *unit_flat)
+
+    return out[:, :l_out, :]

@@ -115,3 +115,22 @@ def test_residual_unit_matches_torch(params):
     }
     got = np.asarray(vae.residual_unit(p, jnp.asarray(x), dil))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_decoder_block_matches_plain(params):
+    """decoder_block_pallas (interpret) ≡ snake→conv_t→res-units split path."""
+    import numpy as np
+
+    from acestep_tpu.ops.pallas_vae import decoder_block_pallas
+
+    rng = np.random.default_rng(3)
+    for ci_idx, stride in ((1, 2),):
+        bp = params["decoder"]["block"][len(TINY.downsampling_ratios) - 1]
+        ci = bp["conv_t1"]["kernel"].shape[1]
+        x = jnp.asarray(rng.standard_normal((2, 40, ci)), jnp.float32)
+        ref = vae.decoder_block(bp, x, TINY.downsampling_ratios[0])
+        got = decoder_block_pallas(x, bp, TINY.downsampling_ratios[0], interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=1e-4, atol=1e-4,
+        )
