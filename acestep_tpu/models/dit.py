@@ -583,7 +583,12 @@ def prepare_condition(
 
     is_c = is_covers.astype(bool)[:, None, None]
     src = jnp.where(is_c, lm_hints.astype(src_latents.dtype), src_latents)
-    context_latents = jnp.concatenate([src, chunk_masks.astype(src.dtype)], axis=-1)
+    # chunk_masks may arrive as (B, T) — the host uploads 2 bytes/frame and the
+    # ×64 channel expansion happens here on device.
+    cm = chunk_masks if chunk_masks.ndim == 3 else jnp.broadcast_to(
+        chunk_masks[..., None], src.shape
+    )
+    context_latents = jnp.concatenate([src, cm.astype(src.dtype)], axis=-1)
     return enc, enc_mask, context_latents
 
 

@@ -860,6 +860,13 @@ class AceStepHandler:
         # DiT denoise (single compiled trajectory)
         t0 = time.time()
         sb = self._shard_batch_array
+        silence_dev = jnp.asarray(silence_tiled[None], self.dtype)
+        if not any(has_code_hints) and target_latents is None:
+            # src ≡ tiled silence for every sample: broadcast the (1, T, 64)
+            # silence upload on device instead of shipping (B, T, 64) fp32.
+            src_dev = jnp.broadcast_to(silence_dev, (b,) + silence_dev.shape[1:])
+        else:
+            src_dev = jnp.asarray(src_latents, self.dtype)
         outputs = dit.generate_audio(
             self._effective_params(),
             self.config,
@@ -869,10 +876,10 @@ class AceStepHandler:
             lyric_attention_mask=sb(jnp.asarray(lyric_mask)),
             refer_packed=refer_packed,
             refer_order_mask=refer_order,
-            src_latents=sb(jnp.asarray(src_latents, self.dtype)),
-            chunk_masks=sb(jnp.asarray(chunk_masks[..., None].repeat(src_latents.shape[-1], -1), self.dtype)),
+            src_latents=sb(src_dev),
+            chunk_masks=sb(jnp.asarray(chunk_masks)),  # (B, T) — expanded on device
             is_covers=sb(jnp.asarray(is_covers.astype(np.int32))),
-            silence_latent=jnp.asarray(silence_tiled[None], self.dtype),
+            silence_latent=silence_dev,
             attention_mask=jnp.asarray(latent_mask),
             seeds=seed_list,
             shift=shift,
