@@ -224,6 +224,17 @@ class LLMHandler:
         )
         return ids, mask, ids.shape[1]
 
+    def enable_tensor_parallel(self, mesh=None) -> None:
+        """Shard LM weights over the mesh's 'tp' axis (colwise q/k/v/gate/up,
+        rowwise o/down — the plan nano-vllm applies with NCCL; here XLA
+        inserts the ICI all-reduces from the shardings)."""
+        from acestep_tpu.parallel.mesh import make_mesh, shard_params_tp
+
+        self.mesh = mesh if mesh is not None else make_mesh(tp=len(jax.devices()))
+        self.params = shard_params_tp(self.mesh, self.params)
+        if getattr(self, "prefill_cache", None) is not None:
+            self.prefill_cache.clear()  # entries hold unsharded KV rows
+
     def _prefill(self, ids: np.ndarray, mask: np.ndarray, total_len: int):
         """Prefill via the dedup/prefix cache (nano-vllm prefix-cache parity);
         falls back to a plain batched prefill when disabled."""
