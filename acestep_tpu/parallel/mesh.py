@@ -24,17 +24,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,
+    sp: int = 1,
     *,
     devices: Optional[Sequence[Any]] = None,
 ) -> Mesh:
-    """Create a (dp, tp) mesh. dp defaults to n_devices // tp."""
+    """Create a (dp, sp, tp) mesh. dp defaults to n_devices // (sp·tp).
+
+    'sp' is the sequence/context axis for long-audio denoise (the DiT runs
+    up to 7 500 patched tokens for 600 s songs) — a capability the reference
+    has no equivalent of (SURVEY §5 long-context: torch single-GPU only).
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        dp = n // tp
-    assert dp * tp == n, f"dp({dp}) * tp({tp}) != devices({n})"
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+        dp = n // (tp * sp)
+    assert dp * tp * sp == n, f"dp({dp}) * sp({sp}) * tp({tp}) != devices({n})"
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, ("dp", "sp", "tp"))
 
 
 def shard_batch(mesh: Mesh, tree: Any) -> Any:

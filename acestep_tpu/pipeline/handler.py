@@ -637,8 +637,28 @@ class AceStepHandler:
         self.vae_params = shard_params_dp(self.mesh, self.vae_params)
         self.text_params = shard_params_dp(self.mesh, self.text_params)
 
-    def _shard_batch_array(self, x):
-        """Place a batch-leading array on the dp mesh (no-op without a mesh)."""
+    def enable_sequence_parallel(self, mesh=None, sp: Optional[int] = None) -> None:
+        """Shard the DiT's latent-time axis over an 'sp' mesh axis — context
+        parallelism for long songs (600 s ⇒ 7 500 patched tokens), which the
+        single-GPU reference has no equivalent of (SURVEY §5 long-context).
+
+        Weights replicate; GSPMD partitions the denoise program from the
+        input shardings, inserting halo exchanges for the patchify conv /
+        sliding-window layers and all-gathers for the full-attention layers.
+        Composes with 'dp' (batch) on the same mesh.
+        """
+        from acestep_tpu.parallel.mesh import make_mesh, shard_params_dp
+
+        self.mesh = mesh if mesh is not None else make_mesh(sp=sp or len(jax.devices()))
+        assert self.mesh.shape.get("sp", 1) > 1, "mesh needs an sp axis > 1"
+        self.params = shard_params_dp(self.mesh, self.params)
+        self.vae_params = shard_params_dp(self.mesh, self.vae_params)
+        self.text_params = shard_params_dp(self.mesh, self.text_params)
+
+    def _shard_batch_array(self, x, seq_axis: Optional[int] = None):
+        """Place a batch-leading array on the dp mesh; when sequence
+        parallelism is on and `seq_axis` names a latent-time axis divisible
+        by sp, that axis shards over 'sp' too. No-op without a mesh."""
         mesh = getattr(self, "mesh", None)
         if mesh is None or not hasattr(x, "ndim"):
             return x
@@ -646,7 +666,15 @@ class AceStepHandler:
 
         if x.ndim == 0 or x.shape[0] % mesh.shape["dp"]:
             return x
-        return jax.device_put(x, NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1)))))
+        spec = [None] * x.ndim
+        spec[0] = "dp"
+        sp = mesh.shape.get("sp", 1)
+        if (
+            seq_axis is not None and sp > 1
+            and x.ndim > seq_axis and x.shape[seq_axis] % sp == 0
+        ):
+            spec[seq_axis] = "sp"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
     # ------------------------------------------------------------------
     # LRC lyric timestamps (ref lyric_timestamp.py:15-147)
@@ -876,11 +904,11 @@ class AceStepHandler:
             lyric_attention_mask=sb(jnp.asarray(lyric_mask)),
             refer_packed=refer_packed,
             refer_order_mask=refer_order,
-            src_latents=sb(src_dev),
-            chunk_masks=sb(jnp.asarray(chunk_masks)),  # (B, T) — expanded on device
+            src_latents=sb(src_dev, seq_axis=1),
+            chunk_masks=sb(jnp.asarray(chunk_masks), seq_axis=1),  # (B, T) — expanded on device
             is_covers=sb(jnp.asarray(is_covers.astype(np.int32))),
             silence_latent=silence_dev,
-            attention_mask=jnp.asarray(latent_mask),
+            attention_mask=sb(jnp.asarray(latent_mask), seq_axis=1),
             seeds=seed_list,
             shift=shift,
             timesteps=timesteps,

@@ -12,7 +12,9 @@ from acestep_tpu.parallel.mesh import make_mesh, shard_batch, shard_params_dp, s
 
 def test_mesh_shapes():
     mesh = make_mesh(dp=4, tp=2)
-    assert mesh.shape == {"dp": 4, "tp": 2}
+    assert mesh.shape == {"dp": 4, "sp": 1, "tp": 2}
+    mesh_sp = make_mesh(dp=2, sp=2, tp=2)
+    assert mesh_sp.shape == {"dp": 2, "sp": 2, "tp": 2}
     mesh1 = make_mesh(tp=1)
     assert mesh1.shape["dp"] == len(jax.devices())
 
@@ -127,3 +129,51 @@ def test_lm_tensor_parallel_matches_single_device():
         "ambient pads", "", temperature=0.8, target_duration=2.0, seed=3,
     )
     assert len(out["codes"]) == 10
+
+
+def test_sequence_parallel_generation_matches_single_device():
+    """DiT denoise with the latent-time axis sharded over 'sp' ≡ unsharded."""
+    import acestep_tpu.pipeline.handler as H
+    from acestep_tpu.pipeline.handler import AceStepHandler
+
+    old_buckets = (H.LATENT_BUCKETS, H.TEXT_BUCKETS, H.LYRIC_BUCKETS)
+    H.LATENT_BUCKETS = (64, 128)
+    H.TEXT_BUCKETS = (32, 64)
+    H.LYRIC_BUCKETS = (32, 64)
+    try:
+        dit_cfg = AceStepConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            sliding_window=8, text_hidden_dim=32,
+            num_lyric_encoder_hidden_layers=2, num_timbre_encoder_hidden_layers=1,
+            num_attention_pooler_hidden_layers=1, fsq_dim=64, timbre_fix_frame=8,
+        )
+        vae_cfg = OobleckConfig(
+            encoder_hidden_size=16, downsampling_ratios=(2, 4, 4),
+            channel_multiples=(1, 2, 4), decoder_channels=16,
+            decoder_input_channels=64, audio_channels=2, sampling_rate=800,
+        )
+        text_cfg = Qwen3Config(
+            vocab_size=300, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=8,
+        )
+        kwargs = dict(
+            captions=["spacious ambient"], lyrics=["[Instrumental]"],
+            audio_duration=2.0, batch_size=1, seeds=[11], use_random_seed=False,
+            decode_audio=False,
+        )
+
+        ref = AceStepHandler(dit_cfg, vae_cfg, text_cfg, dtype=jnp.float32)
+        ref.initialize_service(random_init=True)
+        base = ref.generate_music(**kwargs)["latents"]
+
+        sph = AceStepHandler(dit_cfg, vae_cfg, text_cfg, dtype=jnp.float32)
+        sph.initialize_service(random_init=True)
+        sph.enable_sequence_parallel(make_mesh(dp=1, sp=4, tp=2))
+        out = sph.generate_music(**kwargs)["latents"]
+
+        assert out.shape == base.shape
+        np.testing.assert_allclose(out, base, rtol=2e-3, atol=2e-3)
+    finally:
+        H.LATENT_BUCKETS, H.TEXT_BUCKETS, H.LYRIC_BUCKETS = old_buckets
