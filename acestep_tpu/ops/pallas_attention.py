@@ -6,14 +6,19 @@ reference's flash-attn/SDPA/eager fallback ladder, SURVEY §7.1):
 - bidirectional self-attention (DiT decoder + all encoders)
 - sliding-window attention |i−j| ≤ w (alternating DiT layers,
   ref `create_4d_mask` geometry, `modeling_acestep_v15_turbo.py:93-102`) —
-  the kernel only *visits* key blocks inside the window, so sliding layers
-  do O(L·w) work instead of O(L²)
+  the kernel only *reads* the key band that intersects the window, so
+  sliding layers do O(L·w) work instead of O(L²)
 - optional causal masking (LM prefill)
 - GQA: q heads map onto fewer K/V heads without materializing repeats
 - optional key-padding mask (bucketed static shapes)
 
-Online-softmax accumulation in fp32; K/V for one (batch, kv-head) stay
-resident in VMEM across all query blocks.
+Design note (v5e+): VMEM is large enough (~128 MiB) to hold an entire
+(block_q, L_k) score tile for every sequence length this model produces
+(≤ 7 500 DiT tokens for a 600 s song, ≤ 4 096 LM tokens). A loop-free
+kernel — one QKᵀ dot, exact fp32 softmax, one PV dot — beats the classic
+online-softmax K-block loop by ~4× here, because the loop's carry
+(rescale by alpha each block) serializes the MXU pipeline. All dots take
+bf16 inputs with fp32 accumulation (bf16×bf16→fp32 is the MXU fast path).
 """
 
 from __future__ import annotations
@@ -24,12 +29,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+_LANE = 128  # TPU lane width; K-band starts align to it
 
-def _flash_kernel(
+
+def _band_kernel(
     q_ref,  # (1, 1, bq, h)
     k_ref,  # (1, 1, lk, h)
     v_ref,  # (1, 1, lk, h)
@@ -39,75 +45,57 @@ def _flash_kernel(
     scale: float,
     window: Optional[int],
     causal: bool,
-    bk: int,
     lk: int,
     bq: int,
+    band: int,
     has_mask: bool,
 ):
     qi = pl.program_id(2)
     q_start = qi * bq
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale  # (bq, h)
-    h = q.shape[-1]
+    q = q_ref[0, 0]  # (bq, h) — storage dtype (bf16) for the MXU fast path
 
-    row = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-
-    nkb = lk // bk
-    if window is not None:
-        # Static trip count, dynamic base: visit the ≤n_visit key blocks that
-        # intersect [q_start − w, q_start + bq − 1 + w]. A static loop keeps
-        # Mosaic's pipeline fully unrollable (dynamic bounds serialize badly).
-        n_visit = min((bq + 2 * window - 1) // bk + 2, nkb)
-        kb0 = jnp.clip((q_start - window) // bk, 0, nkb - n_visit)
-        lo, hi = 0, n_visit
-        base = kb0
-    elif causal:
-        lo = 0
-        hi = jnp.minimum((q_start + bq - 1) // bk + 1, nkb)
-        base = jnp.int32(0)
+    if band == lk:
+        k_start = 0
+        kblk = k_ref[0, 0]  # (lk, h)
+        vblk = v_ref[0, 0]
     else:
-        lo, hi = 0, nkb
-        base = jnp.int32(0)
+        # Lane-aligned band start covering [q_start − w, q_start + bq − 1 + w].
+        w = window or 0
+        k_start = jnp.clip((q_start - w) // _LANE, 0, (lk - band) // _LANE) * _LANE
+        kblk = k_ref[0, 0, pl.ds(k_start, band), :]  # (band, h)
+        vblk = v_ref[0, 0, pl.ds(k_start, band), :]
 
-    def body(kb, carry):
-        acc, m, l = carry
-        k_start = (base + kb) * bk
-        kb_idx = pl.ds(k_start, bk)
-        kblk = k_ref[0, 0, kb_idx, :].astype(jnp.float32)  # (bk, h)
-        vblk = v_ref[0, 0, kb_idx, :].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, band) fp32 accumulation
+    s = s * scale
 
-        s = jax.lax.dot_general(
-            q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (bq, bk)
-
-        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        valid = jnp.ones((bq, bk), dtype=jnp.bool_)
+    row = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, band), 0)
+    col = k_start + jax.lax.broadcasted_iota(jnp.int32, (bq, band), 1)
+    valid = jnp.ones((bq, band), dtype=jnp.bool_)
+    if causal:
+        valid &= col <= row
+    if window is not None:
+        diff = row - col
         if causal:
-            valid &= col <= row
-        if window is not None:
-            diff = row - col
-            if causal:
-                valid &= diff <= window
-            else:
-                valid &= jnp.abs(diff) <= window
-        if has_mask:
-            valid &= mask_ref[0, 0, kb_idx] > 0
-        s = jnp.where(valid, s, NEG_INF)
+            valid &= diff <= window
+        else:
+            valid &= jnp.abs(diff) <= window
+    if has_mask:
+        if band == lk:
+            valid &= mask_ref[0, 0] > 0
+        else:
+            valid &= mask_ref[0, 0, pl.ds(k_start, band)] > 0
+    s = jnp.where(valid, s, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        return acc_new, m_new, l_new
-
-    acc0 = jnp.zeros((bq, h), jnp.float32)
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(lo, hi, body, (acc0, m0, l0))
-
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(vblk.dtype), vblk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
@@ -135,28 +123,41 @@ def flash_attention(
     window: Optional[int] = None,
     causal: bool = False,
     block_q: int = 256,
-    block_k: int = 256,
+    block_k: int = 256,  # kept for API compatibility; band kernel ignores it
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention with the `acestep_tpu.ops.attention.attention` interface."""
+    del block_k
     b, lq, nq, h = q.shape
     _, lk, nkv, _ = k.shape
     groups = nq // nkv
     scale = h**-0.5 if scale is None else scale
-    block_q = min(block_q, max(128, lq))
-    block_k = min(block_k, max(128, lk))
+
+    # One q block when the whole row fits comfortably (grid-step overhead
+    # dominates at these sizes); otherwise tile queries.
+    if lq <= 1024:
+        block_q = -(-lq // _LANE) * _LANE
+    else:
+        block_q = min(block_q, max(_LANE, lq))
 
     # Head-major layout for the kernel.
     qh = _pad_to(q.transpose(0, 2, 1, 3), 2, block_q)
-    kh = _pad_to(k.transpose(0, 2, 1, 3), 2, block_k)
-    vh = _pad_to(v.transpose(0, 2, 1, 3), 2, block_k)
+    kh = _pad_to(k.transpose(0, 2, 1, 3), 2, _LANE)
+    vh = _pad_to(v.transpose(0, 2, 1, 3), 2, _LANE)
     lq_p, lk_p = qh.shape[2], kh.shape[2]
 
+    if window is not None:
+        # Band covering [q_start − w, q_start + bq − 1 + w] from any
+        # lane-aligned start ≤ q_start − w (+_LANE slack for alignment).
+        band = min(lk_p, -(-(block_q + 2 * window) // _LANE) * _LANE + _LANE)
+    else:
+        band = lk_p
+
     if kv_mask is not None:
-        maskp = _pad_to(kv_mask.astype(jnp.int32), 1, block_k)
+        maskp = _pad_to(kv_mask.astype(jnp.int32), 1, _LANE)
         has_mask = True
     elif lk_p != lk:
-        maskp = _pad_to(jnp.ones((b, lk), jnp.int32), 1, block_k)
+        maskp = _pad_to(jnp.ones((b, lk), jnp.int32), 1, _LANE)
         has_mask = True
     else:
         maskp = jnp.zeros((b, lk_p), jnp.int32)
@@ -166,13 +167,13 @@ def flash_attention(
     grid = (b, nq, lq_p // block_q)
 
     kernel = functools.partial(
-        _flash_kernel,
+        _band_kernel,
         scale=scale,
         window=window,
         causal=causal,
-        bk=block_k,
         lk=lk_p,
         bq=block_q,
+        band=band,
         has_mask=has_mask,
     )
 
