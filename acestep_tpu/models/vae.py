@@ -71,20 +71,24 @@ def encoder_block(p: Params, x: jax.Array, stride: int) -> jax.Array:
     )
 
 
-def _use_fused_res_units(c: int) -> bool:
+def _use_fused_res_units(c: int, limit: int = 1024) -> bool:
+    """Fused-kernel gate by channel count: the kernel keeps all res-unit
+    weights VMEM-resident (3·(7+1)·c² values), viable up to c=1024 (~48 MB).
+    The fully fused block additionally holds the conv_t weights, so its
+    gate is tighter (512 → ~23 MB more)."""
     import os
 
     if os.environ.get("ACESTEP_TPU_NO_FUSED_VAE", "0") == "1":
         return False
     try:
-        return c <= 256 and jax.default_backend() == "tpu"
+        return c <= limit and jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
 
 
 def decoder_block(p: Params, x: jax.Array, stride: int) -> jax.Array:
     c_out = p["conv_t1"]["kernel"].shape[2]
-    if stride % 2 == 0 and _use_fused_res_units(c_out):
+    if stride % 2 == 0 and _use_fused_res_units(c_out, 512):
         # Whole block (snake → conv_t → 3 res units) in one VMEM pass: the
         # transposed conv's HBM temporaries and the upsampled activation
         # round-trip disappear entirely.

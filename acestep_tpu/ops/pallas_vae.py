@@ -90,7 +90,7 @@ def res_units_pallas(
     x: jax.Array,  # (B, L, C)
     unit_params: Sequence[Dict[str, Any]],
     *,
-    tile: int = 1024,
+    tile: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused 3-res-unit chain (public entry).
@@ -101,6 +101,10 @@ def res_units_pallas(
     the activation ever materializes in HBM.
     """
     b, l, c = x.shape
+    if tile == 0:
+        # Keep the kernel's fp32 temporaries (~4-5 live (tile+2·HALO, C)
+        # buffers) inside the ~16 MB scoped-VMEM stack budget.
+        tile = 1024 if c <= 256 else (512 if c <= 512 else 256)
     tile = min(tile, l if l % 8 == 0 else l + (-l) % 8)
     n_tiles = -(-l // tile)
     pad_r = n_tiles * tile - l
@@ -221,9 +225,11 @@ def decoder_block_pallas(
     co = block_params["conv_t1"]["kernel"].shape[2]
     l_out = l_in * s
 
-    tile_out = min(tile_out, l_out if l_out % 8 == 0 else l_out + (-l_out) % 8)
-    tile_out -= tile_out % max(8, s)  # divisible by s and 8
-    tile_out = max(tile_out, max(8, s))
+    # tile_out must be divisible by 8·s so that tile_in = tile_out/s is a
+    # sublane-aligned row count (strides 6 and 10 are not powers of two).
+    step = 8 * s
+    tile_out = min(tile_out, -(-l_out // step) * step)
+    tile_out = max(step, (tile_out // step) * step)
     tile_in = tile_out // s
     hin = _upsample_halo(s)
     if hin > tile_in:  # tiny sequences: single tile covers everything
