@@ -322,6 +322,80 @@ class LLMHandler:
         return generated, logits, cache, positions
 
     # ------------------------------------------------------------------
+    # Device-side DFA path (acestep_tpu.lm.dfa)
+    # ------------------------------------------------------------------
+
+    def _cot_dfa_for(self, user_metadata, max_cot_tokens: int):
+        """Compile (and cache) the CoT grammar → device DFA tables."""
+        from acestep_tpu.lm.dfa import compile_cot_dfa
+
+        md = tuple(sorted((k, str(v)) for k, v in (user_metadata or {}).items()
+                          if v not in (None, "", "N/A")))
+        key = (md, max_cot_tokens, self.genres_vocab is not None)
+        cache = getattr(self, "_dfa_cache", None)
+        if cache is None:
+            cache = self._dfa_cache = {}
+        if key in cache:
+            return cache[key]
+        fsm = ConstrainedDecoderFSM(
+            self.tokenizer, max_duration=self.fsm.max_duration,
+            genres_vocab=self.genres_vocab, skip_genres=self.genres_vocab is None,
+            caption_max_tokens=min(512, max_cot_tokens // 3),
+        )
+        fsm.reset(phase="cot", stop_at_reasoning=True, user_metadata=user_metadata)
+        dfa = compile_cot_dfa(fsm, self.config.vocab_size)
+        dev = {
+            "trans": jnp.asarray(dfa.trans),
+            "alpha_allow": jnp.asarray(dfa.alpha_allow),
+            "allow_other": jnp.asarray(dfa.allow_other),
+            "finished": jnp.asarray(dfa.finished),
+            "alpha_tokens": jnp.asarray(dfa.alpha_tokens),
+            "vocab_to_sym": jnp.asarray(dfa.vocab_to_sym),
+        }
+        if len(cache) >= 8:
+            cache.pop(next(iter(cache)))
+        cache[key] = (dfa, dev)
+        return cache[key]
+
+    def _cot_device_generate(
+        self,
+        b: int,
+        logits: jax.Array,
+        cache: qwen3.KVCache,
+        positions: np.ndarray,
+        *,
+        user_metadata,
+        max_cot_tokens: int,
+        temperature: float,
+        top_k: int,
+        top_p: float,
+        cfg_scale: float,
+        seed: int,
+    ) -> List[List[int]]:
+        """Run the whole CoT phase on device; one readback at the end."""
+        dfa, dev = self._cot_dfa_for(user_metadata, max_cot_tokens)
+        toks, _ = sampling.generate_cot_dfa(
+            self.params, self.config, logits, jnp.asarray(positions), cache,
+            jax.random.PRNGKey(seed), dev["trans"], dev["alpha_allow"],
+            dev["allow_other"], dev["finished"], dev["alpha_tokens"],
+            dev["vocab_to_sym"],
+            jnp.full((b,), dfa.start_state, jnp.int32),
+            jnp.float32(temperature),
+            max_steps=max_cot_tokens, eos_token=dfa.eos_token_id,
+            top_k=top_k, top_p=top_p, cfg_scale=cfg_scale if cfg_scale > 1.0 else 1.0,
+        )
+        toks = np.asarray(toks)
+        out: List[List[int]] = []
+        for row in toks:
+            ids = []
+            for t in row:
+                if int(t) == dfa.eos_token_id:
+                    break
+                ids.append(int(t))
+            out.append(ids)
+        return out
+
+    # ------------------------------------------------------------------
     # Public generation API (ref generate_with_stop_condition :1123-1485)
     # ------------------------------------------------------------------
 
@@ -370,23 +444,36 @@ class LLMHandler:
         r = ids.shape[0]
         logits, cache = self._prefill(ids, mask, bucket + max_cot_tokens)
 
-        fsms = []
-        for i in range(b):
-            fsm = ConstrainedDecoderFSM(self.tokenizer, enabled=use_constrained_decoding,
-                                        max_duration=self.fsm.max_duration,
-                                        genres_vocab=self.genres_vocab,
-                                        skip_genres=self.genres_vocab is None,
-                                        caption_max_tokens=min(512, max_cot_tokens // 3))
-            fsm.reset(phase="cot", stop_at_reasoning=True, user_metadata=user_metadata,
-                      target_duration=target_duration)
-            fsms.append(fsm)
         positions = np.asarray([mask[i].sum() for i in range(r)], np.int32)
-        generated, _, _, _ = self._constrained_loop(
-            fsms, logits, cache, positions,
-            max_new_tokens=max_cot_tokens, temperature=temperature,
-            top_k=top_k, top_p=top_p, cfg_scale=cfg_scale,
-            key=jax.random.PRNGKey(seed),
+        use_device_fsm = (
+            use_constrained_decoding
+            and os.environ.get("ACESTEP_TPU_NO_DEVICE_FSM", "0") != "1"
         )
+        if use_device_fsm:
+            # Whole CoT phase as one on-device DFA loop — no per-token host RTT.
+            generated = self._cot_device_generate(
+                b, logits, cache, positions,
+                user_metadata=user_metadata, max_cot_tokens=max_cot_tokens,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                cfg_scale=cfg_scale, seed=seed,
+            )
+        else:
+            fsms = []
+            for i in range(b):
+                fsm = ConstrainedDecoderFSM(self.tokenizer, enabled=use_constrained_decoding,
+                                            max_duration=self.fsm.max_duration,
+                                            genres_vocab=self.genres_vocab,
+                                            skip_genres=self.genres_vocab is None,
+                                            caption_max_tokens=min(512, max_cot_tokens // 3))
+                fsm.reset(phase="cot", stop_at_reasoning=True, user_metadata=user_metadata,
+                          target_duration=target_duration)
+                fsms.append(fsm)
+            generated, _, _, _ = self._constrained_loop(
+                fsms, logits, cache, positions,
+                max_new_tokens=max_cot_tokens, temperature=temperature,
+                top_k=top_k, top_p=top_p, cfg_scale=cfg_scale,
+                key=jax.random.PRNGKey(seed),
+            )
         cot_texts = [self.tokenizer.decode(g) for g in generated]
         time_costs["lm_cot_time_cost"] = time.time() - t0
         metadatas = [self.parse_lm_output(t)[0] for t in cot_texts]
@@ -542,22 +629,22 @@ class LLMHandler:
 
     def _free_generate(self, prompt: str, *, temperature: float, max_new_tokens: int,
                        seed: int) -> str:
+        """Unconstrained decode-until-EOS, fully on device (one readback)."""
         ids, mask, bucket = self._encode_prompts([prompt], budget=max_new_tokens)
         logits, cache = self._prefill(ids, mask, bucket + max_new_tokens)
         positions = np.asarray([mask[0].sum()], np.int32)
-        key = jax.random.PRNGKey(seed)
-        out: List[int] = []
         eos = getattr(self.tokenizer, "eos_token_id", None) or 2
-        for _ in range(max_new_tokens):
-            key, sub = jax.random.split(key)
-            tok = int(np.asarray(sampling.sample(logits, sub, temperature, top_k=0, top_p=0.9))[0])
-            if tok == eos:
+        toks, _ = sampling.generate_free(
+            self.params, self.config, logits, jnp.asarray(positions), cache,
+            jax.random.PRNGKey(seed), jnp.float32(temperature),
+            max_steps=max_new_tokens, eos_token=eos, top_k=0, top_p=0.9,
+        )
+        row = np.asarray(toks)[0]
+        out = []
+        for t in row:
+            if int(t) == eos:
                 break
-            out.append(tok)
-            logits, cache = qwen3.decode_step(
-                self.params, self.config, jnp.asarray([tok], jnp.int32), jnp.asarray(positions), cache
-            )
-            positions = positions + 1
+            out.append(int(t))
         return self.tokenizer.decode(out)
 
     # ------------------------------------------------------------------

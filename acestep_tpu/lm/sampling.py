@@ -110,6 +110,123 @@ def sample_block(
     return sample(logits + row, key, temperature, top_k=top_k, top_p=top_p)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "max_steps", "top_k", "top_p"))
+def generate_free(
+    params,
+    cfg: Qwen3Config,
+    logits0: jax.Array,  # (B, V) from prefill
+    positions: jax.Array,  # (B,)
+    cache: qwen3.KVCache,
+    key: jax.Array,
+    temperature: jax.Array,  # () float32
+    *,
+    max_steps: int,
+    eos_token: int,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Unconstrained decode-until-EOS as one on-device while_loop (used by the
+    understand/create_sample/format_sample APIs; replaces a per-token host
+    loop). Returns (tokens (B, max_steps) EOS-padded, n_steps)."""
+    b = logits0.shape[0]
+    out0 = jnp.full((b, max_steps), eos_token, jnp.int32)
+    done0 = jnp.zeros((b,), bool)
+
+    def cond(carry):
+        i, done, *_ = carry
+        return (i < max_steps) & ~jnp.all(done)
+
+    def body(carry):
+        i, done, logits, pos, cache, out, key = carry
+        key, sub = jax.random.split(key)
+        tok = sample(logits.astype(jnp.float32), sub, temperature, top_k=top_k, top_p=top_p)
+        tok = jnp.where(done, eos_token, tok).astype(jnp.int32)
+        done = done | (tok == eos_token)
+        out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, i))
+        logits, cache = qwen3.decode_step(params, cfg, tok, pos, cache)
+        return (i + 1, done, logits, pos + 1, cache, out, key)
+
+    i, _, _, _, _, out, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), done0, logits0, positions, cache, out0, key)
+    )
+    return out, i
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_steps", "top_k", "top_p", "cfg_scale"),
+)
+def generate_cot_dfa(
+    params,
+    cfg: Qwen3Config,
+    logits0: jax.Array,  # (R, V) from prefill (R = B, or 2B with CFG)
+    positions: jax.Array,  # (R,)
+    cache: qwen3.KVCache,
+    key: jax.Array,
+    # --- DFA tables (device arrays; see acestep_tpu.lm.dfa.CotDFA) ---
+    trans: jax.Array,  # (S, A+1) int32
+    alpha_allow: jax.Array,  # (S, A) bool
+    allow_other: jax.Array,  # (S,) bool
+    finished: jax.Array,  # (S,) bool
+    alpha_tokens: jax.Array,  # (A,) int32
+    vocab_to_sym: jax.Array,  # (V,) int32
+    start_states: jax.Array,  # (B,) int32
+    temperature: jax.Array,  # () float32 — traced to avoid recompiles
+    *,
+    max_steps: int,
+    eos_token: int,
+    top_k: int = 0,
+    top_p: float = 1.0,
+    cfg_scale: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """The ENTIRE constrained CoT phase as one on-device while_loop.
+
+    Replaces the host-driven FSM loop (one 30 ms-RTT readback per token through
+    a remote device link; ref masks logits on host each step,
+    `constrained_logits_processor.py:1568`) with DFA table lookups: per step
+    the state row gathers an allow-mask, biased logits are sampled, and
+    `trans[state, sym(token)]` advances. Exits as soon as every row reaches a
+    terminal state. Returns (tokens (B, max_steps) — EOS-padded, n_steps).
+    """
+    r = logits0.shape[0]
+    use_cfg = cfg_scale > 1.0
+    b = r // 2 if use_cfg else r
+    v = logits0.shape[1]
+    a = alpha_tokens.shape[0]
+
+    out0 = jnp.full((b, max_steps), eos_token, jnp.int32)
+
+    def cond(carry):
+        i, states, *_ = carry
+        return (i < max_steps) & jnp.any(~finished[states])
+
+    def body(carry):
+        i, states, logits, pos, cache, out, key = carry
+        lg = logits.astype(jnp.float32)
+        if use_cfg:
+            lg = cfg_combine(lg[:b], lg[b:], cfg_scale)
+        done = finished[states]  # (B,)
+        # Build the (B, V) mask from the state rows: non-alphabet tokens via
+        # allow_other, alphabet tokens via a scatter of the (B, A) allow row.
+        base = jnp.where(allow_other[states][:, None], 0.0, NEG)
+        bias = jnp.broadcast_to(base, (b, v))
+        abias = jnp.where(alpha_allow[states], 0.0, NEG)  # (B, A)
+        bias = bias.at[:, alpha_tokens].set(abias)
+        key, sub = jax.random.split(key)
+        tok = sample(lg + bias, sub, temperature, top_k=top_k, top_p=top_p)
+        tok = jnp.where(done, eos_token, tok).astype(jnp.int32)
+        states = jnp.where(done, states, trans[states, vocab_to_sym[tok]])
+        out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, i))
+        feed = jnp.concatenate([tok, tok]) if use_cfg else tok
+        logits, cache = qwen3.decode_step(params, cfg, feed, pos, cache)
+        return (i + 1, states, logits, pos + 1, cache, out, key)
+
+    i, _, _, _, _, out, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), start_states, logits0, positions, cache, out0, key)
+    )
+    return out, i
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "n_steps", "code_start", "n_codes", "top_k", "top_p", "cfg_scale"),

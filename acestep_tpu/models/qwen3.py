@@ -181,10 +181,15 @@ def decode_step(
         qf = (q.astype(jnp.float32) * cos + _rot_half(q.astype(jnp.float32)) * sin).astype(q.dtype)
         kf = (k.astype(jnp.float32) * cos + _rot_half(k.astype(jnp.float32)) * sin).astype(k.dtype)
 
-        # Scatter new K/V at per-row positions.
-        row_onehot = jax.nn.one_hot(positions, max_len, dtype=cache_k.dtype)  # (B, max)
-        ki = cache_k[i] * (1 - row_onehot)[..., None, None] + row_onehot[..., None, None] * kf.astype(cache_k.dtype)
-        vi = cache_v[i] * (1 - row_onehot)[..., None, None] + row_onehot[..., None, None] * v.astype(cache_v.dtype)
+        # Scatter new K/V at per-row positions (dynamic_update_slice per row —
+        # the one-hot-blend alternative reads and rewrites the WHOLE cache
+        # every token; this writes one row). The TPU equivalent of nano-vllm's
+        # Triton `store_kvcache` scatter (`nanovllm/layers/attention.py:38-59`).
+        upd = jax.vmap(
+            lambda c, new, pos: jax.lax.dynamic_update_slice(c, new.astype(c.dtype), (pos, 0, 0))
+        )
+        ki = upd(cache_k[i], kf, positions)
+        vi = upd(cache_v[i], v, positions)
         cache_k = cache_k.at[i].set(ki)
         cache_v = cache_v.at[i].set(vi)
 
