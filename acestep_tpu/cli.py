@@ -111,10 +111,63 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _profile_lm(args) -> int:
+    """LM decode throughput (tokens/s) across batch sizes — the comparison
+    point for nano-vllm's published 1 434 tok/s (Qwen3-0.6B, RTX 4070,
+    reference `third_parts/nano-vllm/README.md:55-61`). Measures the jitted
+    prefill and the on-device code-generation scan."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from acestep_tpu.lm import sampling
+    from acestep_tpu.lm.handler import LLMHandler
+
+    lm = LLMHandler()
+    print(lm.initialize(args.lm_checkpoint_dir, random_init=args.random_init or None))
+    n_steps = args.lm_tokens
+    rows = []
+    print(f"{'Batch':>6} {'Prefill(s)':>11} {'Decode(s)':>10} {'tok/s':>9}")
+    for b in [int(x) for x in args.batches.split(",")]:
+        prompts = ["# Caption\nan energetic synthwave track\n\n# Lyric\n[Instrumental]\n"] * b
+        ids, mask, bucket = lm._encode_prompts(prompts, budget=n_steps + 8)
+        code_start = max(lm.fsm.code_token_start, 0)
+        n_codes = lm.fsm.num_code_tokens or min(4096, lm.config.vocab_size - code_start)
+
+        def run():
+            t0 = time.time()
+            logits, cache = lm._prefill(ids, mask, bucket + n_steps + 8)
+            positions = np.asarray([mask[i].sum() for i in range(b)], np.int32)
+            first = jnp.argmax(logits[:, code_start : code_start + n_codes], axis=-1)
+            feed = (first + code_start).astype(jnp.int32)
+            float(jnp.sum(logits[:, :8]))  # sync prefill
+            t1 = time.time()
+            toks, _ = sampling.generate_codes_scan(
+                lm.params, lm.config, feed, jnp.asarray(positions), cache,
+                jax.random.PRNGKey(0), n_steps=n_steps - 1, code_start=code_start,
+                n_codes=n_codes, temperature=0.85, top_k=0, top_p=0.9,
+            )
+            np.asarray(toks)
+            return t1 - t0, time.time() - t1
+
+        run()  # compile
+        pre, dec = min([run() for _ in range(3)], key=lambda x: x[1])
+        rows.append({"batch": b, "prefill_s": pre, "decode_s": dec,
+                     "tok_s": b * n_steps / dec})
+        print(f"{b:>6} {pre:>11.3f} {dec:>10.3f} {rows[-1]['tok_s']:>9.0f}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(rows, f, indent=2)
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Benchmark matrix: Duration × Batch × Steps → Wall/DiT/VAE seconds
     (ref `profile_inference.py --mode benchmark`, docs/en/BENCHMARK.md table)."""
     from acestep_tpu.pipeline.handler import AceStepHandler
+
+    if args.lm:
+        return _profile_lm(args)
 
     handler = AceStepHandler()
     print(handler.initialize_service(args.checkpoint_dir, random_init=args.random_init or None))
@@ -207,6 +260,10 @@ def main(argv=None) -> int:
     p.add_argument("--json-out", default=None)
     p.add_argument("--trace-dir", default=None,
                    help="capture a jax.profiler trace of each timed run")
+    p.add_argument("--lm", action="store_true",
+                   help="profile LM decode throughput instead of the DiT matrix")
+    p.add_argument("--lm-tokens", type=int, default=300,
+                   help="decode steps per LM throughput run (default 300 = 60 s of codes)")
     p.set_defaults(fn=cmd_profile)
 
     args = ap.parse_args(argv)
