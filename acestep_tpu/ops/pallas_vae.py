@@ -181,6 +181,7 @@ def res_units_pallas(
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xp, xp, xp, *flat_params)
 
@@ -353,6 +354,7 @@ def decoder_block_pallas(
             (1, tile_out, co), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * tile_out, co), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(xp, xp, xp, w_mid, w_prev, w_next, bias_tiled, sn_a, sn_b, *unit_flat)
 
