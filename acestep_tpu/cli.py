@@ -152,8 +152,10 @@ def _profile_lm(args) -> int:
 
         run()  # compile
         pre, dec = min([run() for _ in range(3)], key=lambda x: x[1])
+        # The first code token is sampled from prefill logits (inside the
+        # prefill span); the decode span covers n_steps - 1 tokens.
         rows.append({"batch": b, "prefill_s": pre, "decode_s": dec,
-                     "tok_s": b * n_steps / dec})
+                     "tok_s": b * (n_steps - 1) / dec})
         print(f"{b:>6} {pre:>11.3f} {dec:>10.3f} {rows[-1]['tok_s']:>9.0f}")
     if args.json_out:
         with open(args.json_out, "w") as f:

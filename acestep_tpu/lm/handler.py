@@ -118,6 +118,8 @@ class LLMHandler:
         from acestep_tpu.lm.prefix_cache import PrefillCache
 
         self.prefill_cache = PrefillCache()
+        # DFA tables are tied to this tokenizer/vocab/genres/max_duration.
+        self._dfa_cache = {}
         self.initialized = True
         return f"LM initialized in {time.time() - t0:.1f}s (random_init={random_init})"
 
@@ -325,8 +327,16 @@ class LLMHandler:
     # Device-side DFA path (acestep_tpu.lm.dfa)
     # ------------------------------------------------------------------
 
+    # Largest DFA worth shipping to the device: S·(A+1) int32 transition
+    # entries (64 MB at this cap). A multi-thousand-entry genres vocabulary
+    # can push the dense tables past this — those requests use the host loop.
+    _DFA_MAX_TABLE_ENTRIES = 16_000_000
+
     def _cot_dfa_for(self, user_metadata, max_cot_tokens: int):
-        """Compile (and cache) the CoT grammar → device DFA tables."""
+        """Compile (and cache) the CoT grammar → device DFA tables.
+
+        Returns None when the grammar's dense tables would be too large for
+        the device path (caller falls back to the host FSM loop)."""
         from acestep_tpu.lm.dfa import compile_cot_dfa
 
         md = tuple(sorted((k, str(v)) for k, v in (user_metadata or {}).items()
@@ -344,6 +354,9 @@ class LLMHandler:
         )
         fsm.reset(phase="cot", stop_at_reasoning=True, user_metadata=user_metadata)
         dfa = compile_cot_dfa(fsm, self.config.vocab_size)
+        if dfa.trans.size > self._DFA_MAX_TABLE_ENTRIES:
+            cache[key] = None
+            return None
         dev = {
             "trans": jnp.asarray(dfa.trans),
             "alpha_allow": jnp.asarray(dfa.alpha_allow),
@@ -371,9 +384,13 @@ class LLMHandler:
         top_p: float,
         cfg_scale: float,
         seed: int,
-    ) -> List[List[int]]:
-        """Run the whole CoT phase on device; one readback at the end."""
-        dfa, dev = self._cot_dfa_for(user_metadata, max_cot_tokens)
+    ) -> Optional[List[List[int]]]:
+        """Run the whole CoT phase on device; one readback at the end.
+        Returns None when the grammar is too large for the device DFA."""
+        compiled = self._cot_dfa_for(user_metadata, max_cot_tokens)
+        if compiled is None:
+            return None
+        dfa, dev = compiled
         toks, _ = sampling.generate_cot_dfa(
             self.params, self.config, logits, jnp.asarray(positions), cache,
             jax.random.PRNGKey(seed), dev["trans"], dev["alpha_allow"],
@@ -449,6 +466,7 @@ class LLMHandler:
             use_constrained_decoding
             and os.environ.get("ACESTEP_TPU_NO_DEVICE_FSM", "0") != "1"
         )
+        generated = None
         if use_device_fsm:
             # Whole CoT phase as one on-device DFA loop — no per-token host RTT.
             generated = self._cot_device_generate(
@@ -457,7 +475,7 @@ class LLMHandler:
                 temperature=temperature, top_k=top_k, top_p=top_p,
                 cfg_scale=cfg_scale, seed=seed,
             )
-        else:
+        if generated is None:
             fsms = []
             for i in range(b):
                 fsm = ConstrainedDecoderFSM(self.tokenizer, enabled=use_constrained_decoding,

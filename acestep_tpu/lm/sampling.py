@@ -213,7 +213,6 @@ def generate_cot_dfa(
     use_cfg = cfg_scale > 1.0
     b = r // 2 if use_cfg else r
     v = logits0.shape[1]
-    a = alpha_tokens.shape[0]
 
     out0 = jnp.full((b, max_steps), eos_token, jnp.int32)
 

@@ -153,6 +153,16 @@ def test_device_dfa_cfg_lockstep():
     assert 30 <= int(out["metadata"]["bpm"]) <= 300
 
 
+def test_oversized_grammar_falls_back_to_host_loop(monkeypatch):
+    h = _tiny_handler(seed=6)
+    monkeypatch.setattr(LLMHandler, "_DFA_MAX_TABLE_ENTRIES", 1)
+    out = h.generate_with_stop_condition(
+        caption="folk", lyrics="", temperature=0.5, stop_at_reasoning=True, seed=2,
+    )
+    assert h._cot_dfa_for(None, 350) is None  # too big -> no device tables
+    assert 30 <= int(out["metadata"]["bpm"]) <= 300  # host loop produced CoT
+
+
 def test_dfa_compile_cached():
     h = _tiny_handler(seed=5)
     d1 = h._cot_dfa_for(None, 350)
