@@ -922,6 +922,9 @@ def generate_audio(
             is_covers=jnp.zeros_like(is_covers),
             attention_mask=attention_mask,
             silence_latent=silence_latent,
+            # is_covers ≡ 0 here, so hints are unused — passing src skips the
+            # FSQ tokenize/detokenize chain entirely (see prepare_condition).
+            precomputed_lm_hints_25hz=sil,
             max_refs=max_refs,
         )
         segments.append((0, cover_steps, enc, enc_mask, context_latents))

@@ -895,6 +895,19 @@ class AceStepHandler:
             src_dev = jnp.broadcast_to(silence_dev, (b,) + silence_dev.shape[1:])
         else:
             src_dev = jnp.asarray(src_latents, self.dtype)
+
+        # LM hints only ever replace src when is_cover is set; is_covers is a
+        # runtime array, so XLA cannot dead-code the FSQ tokenize→pool→
+        # detokenize chain that produces them. When no sample is a cover and
+        # no code hints exist, pass src itself as the "precomputed hints" —
+        # the values are unused and the tokenizer chain drops out of the graph
+        # (~35 ms/request on the plain text2music path).
+        if precomputed_hints is None and not any(has_code_hints) and not bool(is_covers.any()):
+            precomputed_hints_dev = src_dev
+        elif precomputed_hints is not None:
+            precomputed_hints_dev = jnp.asarray(precomputed_hints, self.dtype)
+        else:
+            precomputed_hints_dev = None
         outputs = dit.generate_audio(
             self._effective_params(),
             self.config,
@@ -915,9 +928,7 @@ class AceStepHandler:
             infer_method=infer_method,
             audio_cover_strength=audio_cover_strength,
             cover_noise_strength=cover_noise_strength,
-            precomputed_lm_hints_25hz=(
-                jnp.asarray(precomputed_hints, self.dtype) if precomputed_hints is not None else None
-            ),
+            precomputed_lm_hints_25hz=precomputed_hints_dev,
             guidance_scale=guidance_scale,
             use_adg=use_adg,
             cfg_interval_start=cfg_interval_start,

@@ -128,3 +128,33 @@ def test_audio_code_roundtrip_and_cover(handler):
         decode_audio=False,
     )
     assert np.isfinite(out["latents"]).all()
+
+
+def test_extract_lego_complete_tasks(handler):
+    """Stem tasks (ref constants.py:74-109): instruction templates resolve and
+    the DiT path runs with target audio as src context."""
+    assert "DRUMS" in handler.generate_instruction("extract", track_name="drums")
+    assert "BASS" in handler.generate_instruction("lego", track_name="bass")
+    instr = handler.generate_instruction("complete", complete_track_classes=["drums", "bass"])
+    assert "DRUMS | BASS" in instr
+    assert handler.generate_instruction("extract") == "Extract the track from the audio:"
+
+    for task, kwargs in [
+        ("extract", {}),
+        ("lego", {}),
+        ("complete", {}),
+    ]:
+        out = handler.generate_music(
+            captions="stem task",
+            lyrics="[Instrumental]",
+            audio_duration=2.0,
+            batch_size=1,
+            seeds=[3],
+            use_random_seed=False,
+            task_type=task,
+            target_latents=np.ones((1, 64, 64), np.float32) * 0.1,
+            decode_audio=False,
+            **kwargs,
+        )
+        assert np.isfinite(out["latents"]).all(), task
+        assert out["latents"].shape[1] == 50  # 2 s at 25 fps
