@@ -37,7 +37,12 @@ STUDIO_HTML = """<!DOCTYPE html>
 </style>
 </head>
 <body>
-<h1>ACE-Step <span>TPU</span> Studio</h1>
+<h1>ACE-Step <span>TPU</span> Studio
+  <select id="lang" style="float: inline-end; width: auto; font-size: .8rem">
+    <option value="en">English</option><option value="zh">中文</option>
+    <option value="ja">日本語</option><option value="he">עברית</option>
+  </select>
+</h1>
 
 <fieldset class="modes"><legend>Tab</legend>
   <label><input type="radio" name="tab" value="generate" checked> Generate</label>
@@ -130,6 +135,64 @@ STUDIO_HTML = """<!DOCTYPE html>
 const MODE_TASK = {Simple:"text2music", Custom:"text2music", Remix:"cover",
                    Repaint:"repaint", Extract:"extract", Lego:"lego", Complete:"complete"};
 const $ = id => document.getElementById(id);
+
+// ---- i18n (reference ships en/zh/ja/he, SURVEY §2.6) ----
+const I18N = {
+  zh: {"Tab":"标签页","Generate":"生成","Training":"训练","Mode":"模式","Simple":"简单",
+       "Custom":"自定义","Remix":"翻唱","Repaint":"重绘","Extract":"提取","Lego":"叠轨",
+       "Complete":"补全","Prompt":"提示词","Caption":"描述",
+       "Lyrics ([Instrumental] for none)":"歌词（纯音乐填 [Instrumental]）","Settings":"设置",
+       "Duration (s)":"时长（秒）","Key":"调式","Seed":"种子","Batch":"批量","Steps":"步数",
+       "Guidance":"引导系数","Format":"格式",
+       "LM thinking (CoT metadata + codes)":"LM 思考（CoT 元数据 + 音频码）",
+       "Repaint start (s)":"重绘起点（秒）","Repaint end (s)":"重绘终点（秒）",
+       "Build dataset":"构建数据集","Audio directory (on server)":"音频目录（服务器上）",
+       "Output dataset dir":"数据集输出目录","LoRA run":"LoRA 训练","Dataset dir":"数据集目录",
+       "Output dir":"输出目录","Rank":"秩","LR":"学习率","Max steps":"最大步数",
+       "Checkpoint every":"保存间隔","Start training":"开始训练","Runs":"运行记录",
+       "Refresh":"刷新","Stop":"停止"},
+  ja: {"Tab":"タブ","Generate":"生成","Training":"学習","Mode":"モード","Simple":"シンプル",
+       "Custom":"カスタム","Remix":"リミックス","Repaint":"リペイント","Extract":"抽出",
+       "Lego":"レゴ","Complete":"補完","Prompt":"プロンプト","Caption":"キャプション",
+       "Lyrics ([Instrumental] for none)":"歌詞（なしは [Instrumental]）","Settings":"設定",
+       "Duration (s)":"長さ（秒）","Key":"キー","Seed":"シード","Batch":"バッチ",
+       "Steps":"ステップ数","Guidance":"ガイダンス","Format":"フォーマット",
+       "LM thinking (CoT metadata + codes)":"LM 思考（CoT メタデータ + コード）",
+       "Repaint start (s)":"リペイント開始（秒）","Repaint end (s)":"リペイント終了（秒）",
+       "Build dataset":"データセット作成","Audio directory (on server)":"音声ディレクトリ（サーバー上）",
+       "Output dataset dir":"出力データセットディレクトリ","LoRA run":"LoRA 学習",
+       "Dataset dir":"データセットディレクトリ","Output dir":"出力ディレクトリ","Rank":"ランク",
+       "LR":"学習率","Max steps":"最大ステップ","Checkpoint every":"チェックポイント間隔",
+       "Start training":"学習開始","Runs":"実行一覧","Refresh":"更新","Stop":"停止"},
+  he: {"Tab":"לשונית","Generate":"יצירה","Training":"אימון","Mode":"מצב","Simple":"פשוט",
+       "Custom":"מותאם אישית","Remix":"רמיקס","Repaint":"צביעה מחדש","Extract":"חילוץ",
+       "Lego":"לגו","Complete":"השלמה","Prompt":"הנחיה","Caption":"כיתוב",
+       "Lyrics ([Instrumental] for none)":"מילים ([Instrumental] ללא מילים)","Settings":"הגדרות",
+       "Duration (s)":"משך (שניות)","Key":"סולם","Seed":"זרע","Batch":"אצווה","Steps":"צעדים",
+       "Guidance":"הכוונה","Format":"פורמט",
+       "LM thinking (CoT metadata + codes)":"חשיבת LM (מטא-נתונים + קודים)",
+       "Repaint start (s)":"תחילת צביעה (שניות)","Repaint end (s)":"סוף צביעה (שניות)",
+       "Build dataset":"בניית מערך נתונים","Audio directory (on server)":"תיקיית אודיו (בשרת)",
+       "Output dataset dir":"תיקיית פלט למערך","LoRA run":"ריצת LoRA",
+       "Dataset dir":"תיקיית מערך נתונים","Output dir":"תיקיית פלט","Rank":"דרגה",
+       "LR":"קצב למידה","Max steps":"מקס׳ צעדים","Checkpoint every":"שמירה כל",
+       "Start training":"התחל אימון","Runs":"ריצות","Refresh":"רענון","Stop":"עצירה"},
+};
+const _EN = new Map();  // text node -> original English
+const t = s => (I18N[$("lang").value] || {})[s] || s;
+function applyLang() {
+  const dict = I18N[$("lang").value] || {};
+  document.documentElement.dir = ($("lang").value === "he") ? "rtl" : "ltr";
+  document.querySelectorAll("legend,button,label").forEach(el => {
+    [...el.childNodes].forEach(n => {
+      if (n.nodeType !== 3 || !n.textContent.trim()) return;
+      if (!_EN.has(n)) _EN.set(n, n.textContent.trim());
+      const en = _EN.get(n);
+      n.textContent = " " + (dict[en] || en) + " ";
+    });
+  });
+}
+
 document.querySelectorAll('input[name=tab]').forEach(r => r.onchange = () => {
   const t = document.querySelector('input[name=tab]:checked').value;
   $("tab-generate").style.display = (t === "generate") ? "block" : "none";
@@ -237,7 +300,7 @@ async function refreshRuns() {
       div.appendChild(small);
       if (st.status === "running" || st.status === "starting") {
         const stop = document.createElement("button");
-        stop.textContent = "Stop";
+        stop.textContent = t("Stop");
         stop.onclick = async () => { await post("/v1/train/stop", {run_id: id}); refreshRuns(); };
         div.appendChild(stop);
       }
@@ -247,6 +310,7 @@ async function refreshRuns() {
   } catch (e) { $("tr_runs").textContent = "error: " + e; }
 }
 $("tr_refresh").onclick = refreshRuns;
+$("lang").onchange = applyLang;
 setInterval(() => {
   if (document.querySelector('input[name=tab]:checked').value === "training") refreshRuns();
 }, 4000);
