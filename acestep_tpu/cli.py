@@ -163,6 +163,31 @@ def _profile_lm(args) -> int:
     return 0
 
 
+def cmd_estimate(args) -> int:
+    """Gradient-sensitivity ranking of LoRA-targetable attention modules
+    (Side-Step `estimate` parity, ref training_v2/estimate.py:26-261)."""
+    from acestep_tpu.pipeline.handler import AceStepHandler
+    from acestep_tpu.training.dataset import PreprocessedDataset
+    from acestep_tpu.training.estimate import run_estimation
+
+    handler = AceStepHandler()
+    print(handler.initialize_service(args.checkpoint_dir, random_init=args.random_init or None))
+    ds = PreprocessedDataset(args.dataset_dir)
+    results = run_estimation(
+        handler.params, handler.config,
+        ds.batches(args.batch_size, shuffle=False),
+        num_batches=args.num_batches, top_k=args.top_k,
+        granularity=args.granularity, cfg_ratio=args.cfg_ratio,
+    )
+    print(f"{'rank':>4} {'sensitivity':>14}  module")
+    for i, r in enumerate(results):
+        print(f"{i + 1:>4} {r['sensitivity']:>14.5f}  {r['module']}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=2)
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Benchmark matrix: Duration × Batch × Steps → Wall/DiT/VAE seconds
     (ref `profile_inference.py --mode benchmark`, docs/en/BENCHMARK.md table)."""
@@ -254,6 +279,17 @@ def main(argv=None) -> int:
     t.add_argument("--batch-size", type=int, default=1)
     t.add_argument("--resume-from", default=None)
     t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("estimate", help="rank attention modules by gradient sensitivity")
+    _add_common_model_args(e)
+    e.add_argument("--dataset-dir", required=True)
+    e.add_argument("--num-batches", type=int, default=10)
+    e.add_argument("--batch-size", type=int, default=1)
+    e.add_argument("--top-k", type=int, default=16)
+    e.add_argument("--granularity", choices=["module", "layer"], default="module")
+    e.add_argument("--cfg-ratio", type=float, default=0.0)
+    e.add_argument("--json-out", default=None)
+    e.set_defaults(fn=cmd_estimate)
 
     p = sub.add_parser("profile", help="benchmark matrix (duration × batch)")
     _add_common_model_args(p)
