@@ -13,6 +13,7 @@ Mask semantics reproduce the reference's `create_4d_mask`
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Optional
 
@@ -99,6 +100,46 @@ def attention_xla(
     return out.reshape(b, lq, nq, h).astype(q.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_diff(static, q, k, v, kv_mask):
+    """Differentiable wrapper: Pallas kernel forward, XLA-recompute backward.
+
+    pallas_call has no transpose rule, so `jax.grad` through the raw kernel
+    fails (this is the training path on TPU). The VJP recomputes the
+    attention with the einsum formulation and differentiates that — the
+    standard flash-attention trade: no stored probabilities, O(L²) recompute
+    in the backward only.
+    """
+    window, causal, scale, interpret = static
+    from acestep_tpu.ops.pallas_attention import flash_attention
+
+    return flash_attention(
+        q, k, v, kv_mask, scale=scale, window=window, causal=causal, interpret=interpret
+    )
+
+
+def _flash_diff_fwd(static, q, k, v, kv_mask):
+    return _flash_diff(static, q, k, v, kv_mask), (q, k, v, kv_mask)
+
+
+def _flash_diff_bwd(static, res, g):
+    window, causal, scale, _ = static
+    q, k, v, kv_mask = res
+
+    def ref(q, k, v):
+        mask = make_attention_bias(
+            q.shape[1], k.shape[1], kv_mask=kv_mask, window=window, causal=causal
+        )
+        return attention_xla(q, k, v, mask=mask, scale=scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_diff.defvjp(_flash_diff_fwd, _flash_diff_bwd)
+
+
 def attention(
     q: jax.Array,  # (B, Lq, Nq, H)
     k: jax.Array,  # (B, Lk, Nkv, H)
@@ -113,9 +154,9 @@ def attention(
     """Structured-mask attention; dispatches to Pallas flash or XLA einsum."""
     lq, lk = q.shape[1], k.shape[1]
     if mask is None and _flash_wanted(lq, lk, q.shape[-1]):
-        from acestep_tpu.ops.pallas_attention import flash_attention
-
-        return flash_attention(q, k, v, kv_mask, scale=scale, window=window, causal=causal)
+        interpret = os.environ.get("ACESTEP_TPU_FLASH_INTERPRET", "0") == "1"
+        scale = q.shape[-1] ** -0.5 if scale is None else scale
+        return _flash_diff((window, causal, scale, interpret), q, k, v, kv_mask)
     if mask is None and (kv_mask is not None or window is not None or causal):
         mask = make_attention_bias(lq, lk, kv_mask=kv_mask, window=window, causal=causal)
     return attention_xla(q, k, v, mask=mask, scale=scale)

@@ -146,11 +146,12 @@ class LoRATrainer:
         self._jit_step = self._build_step()
 
     def _build_step(self):
-        base_decoder = self.base["decoder"]
-        null_emb = self.base["null_condition_emb"]
+        # Base weights are ARGUMENTS, not closure constants: closing over the
+        # ~4 GB decoder bakes it into the HLO upload (fails on remote-compile
+        # relays and bloats every recompile).
         cfg, lcfg, tcfg, tx = self.cfg, self.lcfg, self.tcfg, self.tx
 
-        def train_step(lora, opt_state, batch, key):
+        def train_step(lora, opt_state, base_decoder, null_emb, batch, key):
             loss, grads = jax.value_and_grad(decoder_flow_matching_loss)(
                 lora, base_decoder, null_emb, cfg, lcfg, tcfg, batch, key
             )
@@ -163,7 +164,15 @@ class LoRATrainer:
             new_lora = jax.tree.map(lambda n, o: jnp.where(finite, n, o), new_lora, lora)
             return new_lora, new_opt, loss, finite
 
-        return jax.jit(train_step)
+        jitted = jax.jit(train_step, donate_argnums=(0, 1))
+
+        def step(lora, opt_state, batch, key):
+            return jitted(
+                lora, opt_state, self.base["decoder"], self.base["null_condition_emb"],
+                batch, key,
+            )
+
+        return step
 
     # ------------------------------------------------------------------
 

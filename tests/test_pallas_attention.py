@@ -85,3 +85,40 @@ def test_fused_res_units_matches_sequential():
 
     got = res_units_pallas(x, units, tile=256, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_flash_attention_is_differentiable(monkeypatch):
+    """The training path takes jax.grad through attention(); the Pallas
+    forward must pair with the XLA-recompute VJP (custom_vjp) — pallas_call
+    itself has no transpose rule."""
+    import jax
+    import jax.numpy as jnp
+
+    import importlib
+
+    # acestep_tpu.ops.__init__ re-exports the `attention` function, which
+    # shadows the submodule attribute — resolve the module explicitly.
+    attn_mod = importlib.import_module("acestep_tpu.ops.attention")
+
+    monkeypatch.setenv("ACESTEP_TPU_FLASH_INTERPRET", "1")
+    attn_mod.set_flash_enabled(True)
+    try:
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(kq, (1, 256, 4, 128), jnp.float32)
+        k = jax.random.normal(kk, (1, 256, 2, 128), jnp.float32)
+        v = jax.random.normal(kv, (1, 256, 2, 128), jnp.float32)
+        kvm = (jnp.arange(256) < 250).astype(jnp.int32)[None]
+
+        def loss_flash(q, k, v):
+            return jnp.sum(attn_mod.attention(q, k, v, kv_mask=kvm, window=32) ** 2)
+
+        def loss_xla(q, k, v):
+            mask = attn_mod.make_attention_bias(256, 256, kv_mask=kvm, window=32)
+            return jnp.sum(attn_mod.attention_xla(q, k, v, mask=mask) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gx):
+            assert jnp.max(jnp.abs(a - b)) < 2e-2, float(jnp.max(jnp.abs(a - b)))
+    finally:
+        attn_mod.set_flash_enabled(None)
