@@ -142,15 +142,17 @@ def make_train_step(
     the overlay is materialized inside jit (fused by XLA).
     """
 
-    def loss_fn(trainable, batch, key):
-        if lora_base is not None:
-            params = apply_lora(lora_base, trainable, alpha=lora_alpha, rank=lora_rank)
+    def loss_fn(trainable, base, batch, key):
+        if base is not None:
+            params = apply_lora(base, trainable, alpha=lora_alpha, rank=lora_rank)
         else:
             params = trainable
         return flow_matching_loss(params, cfg, batch, key, cfg_ratio=cfg_ratio)
 
-    def step(state_params, opt_state, batch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(state_params, batch, key)
+    def step(state_params, opt_state, batch, key, base=None):
+        # `base` rides as an argument: closing over full model weights bakes
+        # them into the HLO as constants (multi-GB compile uploads).
+        loss, grads = jax.value_and_grad(loss_fn)(state_params, base, batch, key)
         # Guard against non-finite grads (ref trainer.py:104-183 accounting):
         # skip the update when any grad is NaN/Inf.
         finite = jnp.all(
