@@ -276,3 +276,34 @@ def test_llm_handler_generation_unaffected_by_cache(lm_handler):
         os.environ.pop("ACESTEP_TPU_LM_PREFIX_CACHE")
     assert out1["codes"] == out2["codes"]
     assert out1["cot_text"] == out2["cot_text"]
+
+
+def test_prefiltered_nucleus_matches_exact_for_peaked_dists():
+    """Big-vocab top-p uses a top-K prefilter (no full sort). When the 0.9
+    nucleus fits inside K (every realistic trained-model step), the sampled
+    token must equal the exact full-vocab nucleus sample for the same key."""
+    V = 151_936
+    key = jax.random.PRNGKey(0)
+    base = jnp.full((2, V), -30.0)
+    peaks = jax.random.normal(jax.random.PRNGKey(1), (2, 64)) * 2.0
+    logits = base.at[:, 100:164].set(peaks)
+
+    exact = sampling._filter_top_p(logits / 0.85, 0.9)
+    for s in range(5):
+        k = jax.random.PRNGKey(s)
+        got = sampling.sample(logits, k, 0.85, top_k=0, top_p=0.9)
+        # reproduce the prefilter path's RNG consumption: categorical over the
+        # top-512 gathered values equals categorical over the exact-masked
+        # full row only in distribution, so compare against an explicit
+        # recomputation of the same path instead:
+        vals, idx = jax.lax.top_k(logits / 0.85, 512)
+        probs = jax.nn.softmax(vals, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs < 0.9).at[..., 0].set(True)
+        vals = jnp.where(keep, vals, sampling.NEG)
+        choice = jax.random.categorical(k, vals, axis=-1)
+        want = jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0]
+        assert (got == want).all()
+        # and every sampled token must lie inside the EXACT nucleus set
+        picked = jnp.take_along_axis(exact, got[..., None], axis=-1)[..., 0]
+        assert (picked > sampling.NEG / 2).all()
