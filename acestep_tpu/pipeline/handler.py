@@ -896,14 +896,17 @@ class AceStepHandler:
         else:
             src_dev = jnp.asarray(src_latents, self.dtype)
 
+        src_sharded = sb(src_dev, seq_axis=1)
         # LM hints only ever replace src when is_cover is set; is_covers is a
         # runtime array, so XLA cannot dead-code the FSQ tokenize→pool→
         # detokenize chain that produces them. When no sample is a cover and
         # no code hints exist, pass src itself as the "precomputed hints" —
         # the values are unused and the tokenizer chain drops out of the graph
-        # (~35 ms/request on the plain text2music path).
+        # (~35 ms/request on the plain text2music path). The SAME (sharded)
+        # array feeds both arguments, so under a mesh there's one buffer and
+        # where(is_cover, x, x) folds away.
         if precomputed_hints is None and not any(has_code_hints) and not bool(is_covers.any()):
-            precomputed_hints_dev = src_dev
+            precomputed_hints_dev = src_sharded
         elif precomputed_hints is not None:
             precomputed_hints_dev = jnp.asarray(precomputed_hints, self.dtype)
         else:
@@ -917,7 +920,7 @@ class AceStepHandler:
             lyric_attention_mask=sb(jnp.asarray(lyric_mask)),
             refer_packed=refer_packed,
             refer_order_mask=refer_order,
-            src_latents=sb(src_dev, seq_axis=1),
+            src_latents=src_sharded,
             chunk_masks=sb(jnp.asarray(chunk_masks), seq_axis=1),  # (B, T) — expanded on device
             is_covers=sb(jnp.asarray(is_covers.astype(np.int32))),
             silence_latent=silence_dev,

@@ -149,7 +149,7 @@ const I18N = {
        "Build dataset":"构建数据集","Audio directory (on server)":"音频目录（服务器上）",
        "Output dataset dir":"数据集输出目录","LoRA run":"LoRA 训练","Dataset dir":"数据集目录",
        "Output dir":"输出目录","Rank":"秩","LR":"学习率","Max steps":"最大步数",
-       "Checkpoint every":"保存间隔","Start training":"开始训练","Runs":"运行记录",
+       "Checkpoint every":"保存间隔","Start training":"开始训练","Runs":"运行记录","Alpha":"Alpha","BPM":"BPM",
        "Refresh":"刷新","Stop":"停止"},
   ja: {"Tab":"タブ","Generate":"生成","Training":"学習","Mode":"モード","Simple":"シンプル",
        "Custom":"カスタム","Remix":"リミックス","Repaint":"リペイント","Extract":"抽出",
@@ -162,7 +162,7 @@ const I18N = {
        "Build dataset":"データセット作成","Audio directory (on server)":"音声ディレクトリ（サーバー上）",
        "Output dataset dir":"出力データセットディレクトリ","LoRA run":"LoRA 学習",
        "Dataset dir":"データセットディレクトリ","Output dir":"出力ディレクトリ","Rank":"ランク",
-       "LR":"学習率","Max steps":"最大ステップ","Checkpoint every":"チェックポイント間隔",
+       "LR":"学習率","Max steps":"最大ステップ","Checkpoint every":"チェックポイント間隔","Alpha":"アルファ","BPM":"BPM",
        "Start training":"学習開始","Runs":"実行一覧","Refresh":"更新","Stop":"停止"},
   he: {"Tab":"לשונית","Generate":"יצירה","Training":"אימון","Mode":"מצב","Simple":"פשוט",
        "Custom":"מותאם אישית","Remix":"רמיקס","Repaint":"צביעה מחדש","Extract":"חילוץ",
@@ -175,15 +175,16 @@ const I18N = {
        "Build dataset":"בניית מערך נתונים","Audio directory (on server)":"תיקיית אודיו (בשרת)",
        "Output dataset dir":"תיקיית פלט למערך","LoRA run":"ריצת LoRA",
        "Dataset dir":"תיקיית מערך נתונים","Output dir":"תיקיית פלט","Rank":"דרגה",
-       "LR":"קצב למידה","Max steps":"מקס׳ צעדים","Checkpoint every":"שמירה כל",
+       "LR":"קצב למידה","Max steps":"מקס׳ צעדים","Checkpoint every":"שמירה כל","Alpha":"אלפא","BPM":"BPM",
        "Start training":"התחל אימון","Runs":"ריצות","Refresh":"רענון","Stop":"עצירה"},
 };
-const _EN = new Map();  // text node -> original English
+const _EN = new WeakMap();  // text node -> original English (GC'd with the node)
 const t = s => (I18N[$("lang").value] || {})[s] || s;
 function applyLang() {
   const dict = I18N[$("lang").value] || {};
   document.documentElement.dir = ($("lang").value === "he") ? "rtl" : "ltr";
   document.querySelectorAll("legend,button,label").forEach(el => {
+    if (el.dataset && el.dataset.noI18n !== undefined) return;  // created pre-translated
     [...el.childNodes].forEach(n => {
       if (n.nodeType !== 3 || !n.textContent.trim()) return;
       if (!_EN.has(n)) _EN.set(n, n.textContent.trim());
@@ -300,6 +301,7 @@ async function refreshRuns() {
       div.appendChild(small);
       if (st.status === "running" || st.status === "starting") {
         const stop = document.createElement("button");
+        stop.dataset.noI18n = "";  // applyLang must not record translated text as English
         stop.textContent = t("Stop");
         stop.onclick = async () => { await post("/v1/train/stop", {run_id: id}); refreshRuns(); };
         div.appendChild(stop);

@@ -8,11 +8,13 @@ the top-k ranked by sensitivity — the guide for which modules to adapt.
 
 TPU-native shape: instead of toggling ``requires_grad`` per parameter, the
 target projections are split out of the parameter pytree and `jax.grad` runs
-ONLY over that sub-tree (one jitted program; the frozen remainder is a
-closure constant). Works on both the unstacked (`layers` list) and the
-scan-stacked (`layers = {"sliding", "full"}`) parameter layouts — stacked
-leaves carry a leading depth axis, so one norm reduction per slice recovers
-per-layer sensitivities.
+ONLY over that sub-tree (one jitted program; the frozen remainder rides in
+as an argument — see the note inside). Per-leaf norms reduce ON DEVICE, so
+each batch reads back O(#modules) scalars, not the gradient tensors. Works
+on both the unstacked (`layers` list) and the scan-stacked
+(`layers = {"sliding", "full"}`) parameter layouts — stacked leaves carry a
+leading depth axis, so one norm reduction per slice recovers per-layer
+sensitivities.
 """
 
 from __future__ import annotations
@@ -85,9 +87,10 @@ def run_estimation(
 
     # The frozen remainder is passed as an ARGUMENT — closing over it would
     # bake ~2B parameters into the HLO as constants (giant remote-compile
-    # uploads fail on this environment's compile relay).
+    # uploads fail on this environment's compile relay). Norms reduce on
+    # device so only O(#modules) scalars come back per batch.
     @jax.jit
-    def grad_fn(tr: Dict[str, Any], frozen_dec, nemb, batch, key):
+    def grad_norms_fn(tr: Dict[str, Any], frozen_dec, nemb, batch, key):
         def loss(tr_leaves):
             dec = frozen_dec
             for p, leaf in tr_leaves.items():
@@ -96,7 +99,16 @@ def run_estimation(
                 {}, dec, nemb, cfg, lcfg, tcfg, batch, key
             )
 
-        return jax.grad(loss)(tr)
+        grads = jax.grad(loss)(tr)
+        norms = {}
+        for path, g in grads.items():
+            if path.split("/")[1] in ("sliding", "full"):  # stacked: per-depth
+                norms[path] = jnp.sqrt(
+                    jnp.sum(g.astype(jnp.float32).reshape(g.shape[0], -1) ** 2, axis=1)
+                )
+            else:
+                norms[path] = jnp.linalg.norm(g.astype(jnp.float32).reshape(-1))[None]
+        return norms
 
     accum: Dict[str, float] = {}
     key = jax.random.PRNGKey(seed)
@@ -106,17 +118,12 @@ def run_estimation(
             break
         key, sub = jax.random.split(key)
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        grads = grad_fn(trainable, decoder, null_emb, dev_batch, sub)
-        for path, g in grads.items():
-            g = np.asarray(g, np.float32)
+        norm_tree = grad_norms_fn(trainable, decoder, null_emb, dev_batch, sub)
+        for path, dev_norms in norm_tree.items():
+            norms = np.asarray(dev_norms, np.float32)
             parts = path.split("/")
             stacked = parts[1] in ("sliding", "full")
-            if stacked:
-                norms = np.sqrt((g.reshape(g.shape[0], -1) ** 2).sum(axis=1))
-                names = _module_names(path, g.shape[0])
-            else:
-                norms = [float(np.linalg.norm(g))]
-                names = _module_names(path, None)
+            names = _module_names(path, norms.shape[0] if stacked else None)
             for name, n in zip(names, norms):
                 if granularity == "layer":
                     name = ".".join(name.split(".")[:2])  # layers.{i}

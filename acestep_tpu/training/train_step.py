@@ -135,11 +135,13 @@ def make_train_step(
     cfg_ratio: float = 0.15,
     donate: bool = True,
 ) -> Callable:
-    """Build the jitted train step.
+    """Build the jitted train step: ``step(params, opt_state, batch, key)``.
 
     Full-parameter mode (lora_base None): trainable = full model pytree.
-    LoRA mode: trainable = LoRA factor dict; base params are closed over and
-    the overlay is materialized inside jit (fused by XLA).
+    LoRA mode: trainable = LoRA factor dict; `lora_base` rides into the jitted
+    program as an ARGUMENT on every call (closing over full model weights
+    would bake multi-GB constants into the HLO upload) and the overlay is
+    materialized inside jit (fused by XLA).
     """
 
     def loss_fn(trainable, base, batch, key):
@@ -149,9 +151,7 @@ def make_train_step(
             params = trainable
         return flow_matching_loss(params, cfg, batch, key, cfg_ratio=cfg_ratio)
 
-    def step(state_params, opt_state, batch, key, base=None):
-        # `base` rides as an argument: closing over full model weights bakes
-        # them into the HLO as constants (multi-GB compile uploads).
+    def _step(state_params, opt_state, base, batch, key):
         loss, grads = jax.value_and_grad(loss_fn)(state_params, base, batch, key)
         # Guard against non-finite grads (ref trainer.py:104-183 accounting):
         # skip the update when any grad is NaN/Inf.
@@ -171,4 +171,9 @@ def make_train_step(
         )
         return new_params, new_opt, loss, finite
 
-    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    jitted = jax.jit(_step, donate_argnums=(0, 1) if donate else ())
+
+    def step(state_params, opt_state, batch, key):
+        return jitted(state_params, opt_state, lora_base, batch, key)
+
+    return step

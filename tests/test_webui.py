@@ -52,3 +52,18 @@ def test_mode_values_stay_english():
     touch them (only label text nodes are rewritten)."""
     for mode in ("Simple", "Custom", "Remix", "Repaint", "Extract", "Lego", "Complete"):
         assert f'value="{mode}"' in STUDIO_HTML
+
+
+ALLOW_UNTRANSLATED = set()  # every static page text must have a dict entry
+
+
+def test_page_texts_all_have_translations():
+    langs = _dicts()
+    texts = set()
+    for m in re.finditer(r"<(legend|button[^>]*|label[^>]*)>(.*?)</", STUDIO_HTML, re.DOTALL):
+        body = re.sub(r"<[^>]+>", "", m.group(2))
+        if body.strip():
+            texts.add(body.strip())
+    for lang, keys in langs.items():
+        missing = texts - set(keys) - ALLOW_UNTRANSLATED
+        assert not missing, f"{lang} missing translations for {sorted(missing)}"
