@@ -170,3 +170,113 @@ def test_dfa_compile_cached():
     assert d1 is d2
     d3 = h._cot_dfa_for({"bpm": "90"}, 350)
     assert d3 is not d1
+
+
+class MockBPETokenizer:
+    """Greedy longest-match tokenizer with multi-char merges — exercises the
+    FSM/DFA against BPE-like behavior the byte tokenizer can't produce:
+    multi-token values with shared prefixes, merged digit pairs, and fixed
+    strings collapsing to single tokens."""
+
+    pad_token_id = 0
+    bos_token_id = 1
+    eos_token_id = 2
+
+    MERGES = [
+        "<think>", "</think>", "bpm:", "caption:", "duration:", "keyscale:",
+        "language:", "timesignature:", " major", " minor", " 1", " 2", " 3",
+        "12", "28", "60", "90", "10", "00", "le", "en", "ja", "es",
+    ]
+
+    def __init__(self):
+        chars = sorted({chr(c) for c in range(32, 127)} | {"\n"})
+        self.pieces = sorted(set(self.MERGES) | set(chars), key=len, reverse=True)
+        self.id_of = {p: i + 3 for i, p in enumerate(sorted(set(self.MERGES) | set(chars)))}
+        self.piece_of = {i: p for p, i in self.id_of.items()}
+        self.vocab_size = len(self.id_of) + 3
+
+    def encode(self, text, max_length=None, add_special_tokens=False):
+        out, i = [], 0
+        while i < len(text):
+            for p in self.pieces:
+                if text.startswith(p, i):
+                    out.append(self.id_of[p])
+                    i += len(p)
+                    break
+            else:
+                i += 1  # unknown char: skip (like byte-fallback dropping)
+        return out[:max_length] if max_length else out
+
+    def decode(self, ids):
+        return "".join(self.piece_of.get(int(i), "") for i in ids)
+
+    def __call__(self, text, max_length=None):
+        return {"input_ids": self.encode(text, max_length)}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dfa_matches_fsm_random_walk_bpe(seed):
+    """Same lockstep walk as the byte-tokenizer test, against BPE-style
+    merges (multi-token values, single-token field names)."""
+    tok = MockBPETokenizer()
+    def fresh_bpe(md=None):
+        f = ConstrainedDecoderFSM(tok)
+        f.reset(phase="cot", stop_at_reasoning=True, user_metadata=md)
+        return f
+
+    fsm = fresh_bpe()
+    dfa = compile_cot_dfa(fresh_bpe(), tok.vocab_size)
+    rng = np.random.default_rng(seed)
+    state = dfa.start_state
+    nl = tok.encode("\n")[0]
+    for _ in range(800):
+        if fsm.finished:
+            assert dfa.finished[state]
+            break
+        spec = fsm.step_spec()
+        if spec.kind == "force":
+            tok_id = spec.token
+        elif spec.kind == "allow":
+            tok_id = int(rng.choice(spec.ids))
+            dfa_allowed = {
+                int(dfa.alpha_tokens[i]) for i in np.nonzero(dfa.alpha_allow[state])[0]
+            }
+            assert dfa_allowed == set(spec.ids)
+        elif spec.kind == "block":
+            cand = [t for t in tok.encode("groove x7") if t not in (spec.ids or [])]
+            pool = cand + ([nl] if nl not in (spec.ids or []) else [])
+            tok_id = int(rng.choice(pool))
+            assert dfa.allow_other[state]
+        else:
+            pytest.fail(spec.kind)
+        sym = dfa.vocab_to_sym[tok_id]
+        state = int(dfa.trans[state, min(sym, dfa.num_symbols)])
+        fsm.advance(tok_id)
+    assert fsm.finished and dfa.finished[state]
+
+
+def test_dfa_bpe_metadata_injection_multitoken():
+    """Injected values tokenized with merges (e.g. '128' → ['12','8'])
+    must force the exact multi-token sequence through the DFA."""
+    tok = MockBPETokenizer()
+    fsm = ConstrainedDecoderFSM(tok)
+    fsm.reset(phase="cot", stop_at_reasoning=True,
+              user_metadata={"bpm": "128", "duration": "60"})
+    dfa = compile_cot_dfa(fsm, tok.vocab_size)
+    # greedy-walk the DFA taking the single allowed token wherever forced
+    state = dfa.start_state
+    out = []
+    for _ in range(600):
+        if dfa.finished[state]:
+            break
+        allowed = np.nonzero(dfa.alpha_allow[state])[0]
+        if dfa.allow_other[state]:
+            t = tok.encode("x")[0]  # caption body: any token
+        else:
+            t = int(dfa.alpha_tokens[allowed[0]])
+        out.append(t)
+        sym = dfa.vocab_to_sym[t]
+        state = int(dfa.trans[state, min(sym, dfa.num_symbols)])
+    text = tok.decode(out)
+    assert "bpm: 128\n" in text
+    assert "duration: 60\n" in text
