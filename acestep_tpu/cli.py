@@ -17,7 +17,6 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--checkpoint-dir", default=os.environ.get("ACESTEP_CONFIG_PATH"))
     p.add_argument("--lm-checkpoint-dir", default=os.environ.get("ACESTEP_LM_MODEL_PATH"))
     p.add_argument("--random-init", action="store_true", help="dev mode: random weights")
-    p.add_argument("--quantization", default=None, choices=[None, "int8"], help="DiT weight quantization")
 
 
 def cmd_generate(args) -> int:
@@ -27,8 +26,7 @@ def cmd_generate(args) -> int:
     from acestep_tpu.service.params import GenerationConfig, GenerationParams
 
     dit = AceStepHandler()
-    print(dit.initialize_service(args.checkpoint_dir, random_init=args.random_init or None,
-                                 quantization=args.quantization))
+    print(dit.initialize_service(args.checkpoint_dir, random_init=args.random_init or None))
     llm = None
     if args.thinking:
         llm = LLMHandler()
@@ -82,14 +80,14 @@ def cmd_train(args) -> int:
 
     handler = AceStepHandler()
     print(handler.initialize_service(args.checkpoint_dir, random_init=args.random_init or None))
-    # LoRA trains against the unstacked layout; rebuild it for training.
-    from acestep_tpu.params import init_acestep_params
+    # LoRA trains against the unstacked per-layer layout; the serving handler
+    # stacks layers for scan, so convert (shared with the training REST path).
+    from acestep_tpu.params import init_acestep_params, unstack_decoder_params
     import jax
 
     base = init_acestep_params(jax.random.PRNGKey(0), handler.config, handler.dtype) \
         if args.random_init else handler.params
-    if isinstance(base["decoder"]["layers"], dict):
-        print("note: training uses the unstacked parameter layout")
+    base = unstack_decoder_params(base, handler.config)
 
     ds = PreprocessedDataset(args.dataset_dir)
     trainer = LoRATrainer(

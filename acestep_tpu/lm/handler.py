@@ -332,7 +332,8 @@ class LLMHandler:
     # can push the dense tables past this — those requests use the host loop.
     _DFA_MAX_TABLE_ENTRIES = 16_000_000
 
-    def _cot_dfa_for(self, user_metadata, max_cot_tokens: int):
+    def _cot_dfa_for(self, user_metadata, max_cot_tokens: int,
+                     target_duration: Optional[float] = None):
         """Compile (and cache) the CoT grammar → device DFA tables.
 
         Returns None when the grammar's dense tables would be too large for
@@ -341,7 +342,7 @@ class LLMHandler:
 
         md = tuple(sorted((k, str(v)) for k, v in (user_metadata or {}).items()
                           if v not in (None, "", "N/A")))
-        key = (md, max_cot_tokens, self.genres_vocab is not None)
+        key = (md, max_cot_tokens, self.genres_vocab is not None, target_duration)
         cache = getattr(self, "_dfa_cache", None)
         if cache is None:
             cache = self._dfa_cache = {}
@@ -352,7 +353,10 @@ class LLMHandler:
             genres_vocab=self.genres_vocab, skip_genres=self.genres_vocab is None,
             caption_max_tokens=min(512, max_cot_tokens // 3),
         )
-        fsm.reset(phase="cot", stop_at_reasoning=True, user_metadata=user_metadata)
+        # target_duration reaches the FSM exactly as on the host-loop path, so
+        # the two paths stay grammar-identical if duration ever constrains CoT.
+        fsm.reset(phase="cot", stop_at_reasoning=True, user_metadata=user_metadata,
+                  target_duration=target_duration)
         dfa = compile_cot_dfa(fsm, self.config.vocab_size)
         if dfa.trans.size > self._DFA_MAX_TABLE_ENTRIES:
             cache[key] = None
@@ -384,10 +388,11 @@ class LLMHandler:
         top_p: float,
         cfg_scale: float,
         seed: int,
+        target_duration: Optional[float] = None,
     ) -> Optional[List[List[int]]]:
         """Run the whole CoT phase on device; one readback at the end.
         Returns None when the grammar is too large for the device DFA."""
-        compiled = self._cot_dfa_for(user_metadata, max_cot_tokens)
+        compiled = self._cot_dfa_for(user_metadata, max_cot_tokens, target_duration)
         if compiled is None:
             return None
         dfa, dev = compiled
@@ -473,7 +478,7 @@ class LLMHandler:
                 b, logits, cache, positions,
                 user_metadata=user_metadata, max_cot_tokens=max_cot_tokens,
                 temperature=temperature, top_k=top_k, top_p=top_p,
-                cfg_scale=cfg_scale, seed=seed,
+                cfg_scale=cfg_scale, seed=seed, target_duration=target_duration,
             )
         if generated is None:
             fsms = []

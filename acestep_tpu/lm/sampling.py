@@ -82,7 +82,16 @@ def sample(
     if k_eff and k_eff < v:
         vals, idx = jax.lax.top_k(scaled, k_eff)  # sorted descending
         if top_p < 1.0:
-            probs = jax.nn.softmax(vals, axis=-1)
+            if top_k > 0:
+                # user-requested top-k: renormalize inside the k set (HF warper
+                # chain semantics: top-k filter, then top-p over the survivors)
+                probs = jax.nn.softmax(vals, axis=-1)
+            else:
+                # perf-only prefilter: the cumulative cutoff must match the
+                # exact full-vocab nucleus, so normalize candidate probs by the
+                # full-vocab logsumexp; K-truncation stays the only approximation
+                lse = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
+                probs = jnp.exp(vals - lse)
             cum = jnp.cumsum(probs, axis=-1)
             keep = (cum - probs < top_p).at[..., 0].set(True)
             vals = jnp.where(keep, vals, NEG)

@@ -185,9 +185,15 @@ def decode_step(
         # the one-hot-blend alternative reads and rewrites the WHOLE cache
         # every token; this writes one row). The TPU equivalent of nano-vllm's
         # Triton `store_kvcache` scatter (`nanovllm/layers/attention.py:38-59`).
-        upd = jax.vmap(
-            lambda c, new, pos: jax.lax.dynamic_update_slice(c, new.astype(c.dtype), (pos, 0, 0))
-        )
+        # dynamic_update_slice clamps out-of-range starts, which would silently
+        # overwrite the NEWEST row once a position reaches the allocation; make
+        # pos >= max_len an explicit no-op by writing the existing row back.
+        def _upd_one(c, new, pos):
+            cur = jax.lax.dynamic_slice(c, (pos, 0, 0), (1,) + c.shape[1:])
+            val = jnp.where(pos < max_len, new.astype(c.dtype), cur)
+            return jax.lax.dynamic_update_slice(c, val, (pos, 0, 0))
+
+        upd = jax.vmap(_upd_one)
         ki = upd(cache_k[i], kf, positions)
         vi = upd(cache_v[i], v, positions)
         cache_k = cache_k.at[i].set(ki)

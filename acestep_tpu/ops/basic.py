@@ -17,15 +17,7 @@ import jax.numpy as jnp
 
 
 def linear(params, x: jax.Array) -> jax.Array:
-    """Apply a linear layer; computes in the dtype of x with fp32 accumulation.
-
-    Dispatches to the int8 weight-only path when the layer was quantized
-    (`acestep_tpu.ops.quant.quantize_decoder_params`).
-    """
-    if "kernel_int8" in params:
-        from acestep_tpu.ops.quant import linear_int8
-
-        return linear_int8(params, x)
+    """Apply a linear layer; computes in the dtype of x with fp32 accumulation."""
     y = jnp.dot(x, params["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
     if "bias" in params and params["bias"] is not None:
         y = y + params["bias"].astype(jnp.float32)

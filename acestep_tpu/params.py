@@ -345,3 +345,22 @@ def load_safetensors_state(path: str) -> Dict[str, np.ndarray]:
 
 def param_count(params: Params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+def unstack_decoder_params(params: Params, cfg: AceStepConfig) -> Params:
+    """Recover the per-layer decoder list from the stacked serving layout.
+
+    The serving handler stacks the alternating sliding/full decoder layers into
+    two scan-able pytrees; LoRA training addresses layers individually, so both
+    the CLI train path and the training REST API unstack through here (single
+    source of truth — the layouts must stay interchangeable)."""
+    dec = params["decoder"]
+    if not isinstance(dec["layers"], dict):
+        return params
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        parity = "sliding" if i % 2 == 0 else "full"
+        layers.append(jax.tree.map(lambda x: x[i // 2], dec["layers"][parity]))
+    new_dec = dict(dec)
+    new_dec["layers"] = layers
+    return {**params, "decoder": new_dec}

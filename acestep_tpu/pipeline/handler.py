@@ -118,13 +118,14 @@ class AceStepHandler:
         checkpoint_dir: Optional[str] = None,
         *,
         random_init: Optional[bool] = None,
-        quantization: Optional[str] = None,
         seed: int = 0,
     ) -> str:
         """Load checkpoints if available; otherwise random-init (dev mode).
 
-        quantization="int8" applies weight-only INT8 to the DiT decoder
-        (torchao parity, ref init_service_loader.py:85-114 DiT-only filter).
+        The reference's torchao INT8/FP8 weight quantization
+        (init_service_loader.py:85-114) is intentionally not mirrored: on TPU
+        the bf16 MXU path is faster than dequant-in-kernel weight-only INT8
+        (measured in round 1), and HBM fits the full model.
         """
         t0 = time.time()
         if random_init is None:
@@ -143,12 +144,6 @@ class AceStepHandler:
 
         # Stack alternating layers for scan-based execution (compile-time win).
         self.params = dit.stack_acestep_params(self.params, self.config)
-
-        if quantization == "int8":
-            from acestep_tpu.ops.quant import quantize_decoder_params
-
-            self.params = {**self.params, "decoder": quantize_decoder_params(self.params["decoder"])}
-        self.quantization = quantization
 
         self.initialized = True
         return f"initialized in {time.time() - t0:.1f}s (random_init={random_init})"
@@ -523,11 +518,7 @@ class AceStepHandler:
         # scale → clip → int16 runs on host as chunks arrive.
         ov = 16
         if chunk_frames is None:
-            # ≈4 chunks for transfer/compute overlap, capped so the decode
-            # working set stays ≈ constant with batch (ref memory_utils.py
-            # decode chunk-size policy, :48-83).
-            core = max(192, min(512, -(-t // 4), 4096 // max(b, 1)))
-            core += (-core) % 8
+            core = self._decode_chunk_core(t, b)
         else:
             core = max(8, chunk_frames - 2 * ov)
         n = -(-t // core) if (use_tiled and t > core) else 1
@@ -547,6 +538,16 @@ class AceStepHandler:
                     raise
                 core = max(64, core // 2)
                 n = -(-t // core)
+
+    @staticmethod
+    def _decode_chunk_core(t: int, b: int) -> int:
+        """Overlap-discard decode chunk size: ≈4 chunks for transfer/compute
+        overlap, capped so the decode working set stays ≈ constant with batch
+        (ref memory_utils.py decode chunk-size policy, :48-83). Single source
+        of truth for both `decode_latents` and the overlapped-decode path in
+        `generate_music`."""
+        core = max(192, min(512, -(-t // 4), 4096 // max(b, 1)))
+        return core + (-core) % 8
 
     def _decode_latents_dispatch(self, z: jax.Array, core: int, n: int, ov: int):
         """Enqueue the chunked decode + per-chunk peaks; returns device arrays.
@@ -955,8 +956,7 @@ class AceStepHandler:
         if decode_audio and getattr(self, "mesh", None) is None:
             z = pred.astype(self.dtype)
             ov = 16
-            core = max(192, min(512, -(-t_exact // 4), 4096 // max(b, 1)))
-            core += (-core) % 8
+            core = self._decode_chunk_core(t_exact, b)
             n = -(-t_exact // core) if t_exact > core else 1
             decode_job = self._decode_latents_dispatch(z, core, n, ov)
 

@@ -432,7 +432,6 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                     msg = service.dit_handler.initialize_service(
                         body.get("checkpoint_dir"),
                         random_init=body.get("random_init"),
-                        quantization=body.get("quantization"),
                     )
                     return self._json(200, {"success": True, "message": msg})
                 except Exception as e:  # noqa: BLE001

@@ -84,20 +84,9 @@ class TrainingService:
 
     def _unstacked_params(self) -> Dict[str, Any]:
         """Recover per-layer decoder params from the stacked serving layout."""
-        import jax
+        from acestep_tpu.params import unstack_decoder_params
 
-        params = self.dit_handler.params
-        dec = params["decoder"]
-        if not isinstance(dec["layers"], dict):
-            return params
-        half = self.dit_handler.config.num_hidden_layers // 2
-        layers: List[Any] = []
-        for i in range(self.dit_handler.config.num_hidden_layers):
-            parity = "sliding" if i % 2 == 0 else "full"
-            layers.append(jax.tree.map(lambda x: x[i // 2], dec["layers"][parity]))
-        new_dec = dict(dec)
-        new_dec["layers"] = layers
-        return {**params, "decoder": new_dec}
+        return unstack_decoder_params(self.dit_handler.params, self.dit_handler.config)
 
     def status(self, run_id: str) -> Optional[Dict[str, Any]]:
         with self._lock:

@@ -220,59 +220,3 @@ def test_conv_transpose1d_matches_torch():
         stride=stride, padding=pad,
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
-
-
-def test_int8_quantization_roundtrip_and_matmul():
-    from acestep_tpu.ops.quant import int8_matmul, linear_int8, quantize_int8
-
-    rng = np.random.default_rng(11)
-    K, N, M = 64, 128, 16
-    w = rng.standard_normal((K, N)).astype(np.float32) * 0.1
-    x = rng.standard_normal((M, K)).astype(np.float32)
-
-    q, s = quantize_int8(jnp.asarray(w))
-    assert q.dtype == jnp.int8
-    recon = np.asarray(q, np.float32) * np.asarray(s)[None, :]
-    np.testing.assert_allclose(recon, w, atol=np.abs(w).max() / 127 + 1e-6)
-
-    ref = x @ w
-    got = np.asarray(int8_matmul(jnp.asarray(x), q, s, interpret=True))
-    np.testing.assert_allclose(got, ref, atol=np.abs(ref).max() * 0.02 + 1e-3)
-
-    params = {"kernel_int8": q, "scale": s, "bias": jnp.ones((N,))}
-    y = linear_int8(params, jnp.asarray(x))
-    np.testing.assert_allclose(np.asarray(y), ref + 1.0, atol=np.abs(ref).max() * 0.02 + 1e-3)
-
-
-def test_quantize_decoder_params_and_forward():
-    from acestep_tpu.config import AceStepConfig
-    from acestep_tpu.models import dit as dit_mod
-    from acestep_tpu.ops.quant import quantize_decoder_params
-    from acestep_tpu.params import init_acestep_params
-    import jax as _jax
-
-    cfg = AceStepConfig(
-        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
-        num_attention_heads=4, num_key_value_heads=2, head_dim=16, sliding_window=8,
-        text_hidden_dim=32, num_lyric_encoder_hidden_layers=2,
-        num_timbre_encoder_hidden_layers=1, num_attention_pooler_hidden_layers=1,
-        fsq_dim=64, timbre_fix_frame=10,
-    )
-    params = init_acestep_params(_jax.random.PRNGKey(0), cfg, jnp.float32)
-    stacked = dit_mod.stack_acestep_params(params, cfg)
-    qdec = quantize_decoder_params(stacked["decoder"])
-    assert "kernel_int8" in qdec["layers"]["sliding"]["self_attn"]["q_proj"]
-
-    rng = np.random.default_rng(1)
-    xt = jnp.asarray(rng.standard_normal((1, 12, 64)).astype(np.float32))
-    ctx = jnp.asarray(rng.standard_normal((1, 12, 128)).astype(np.float32))
-    enc = jnp.asarray(rng.standard_normal((1, 9, cfg.hidden_size)).astype(np.float32))
-    t = jnp.full((1,), 0.5)
-
-    kv_f = dit_mod.precompute_cross_kv(stacked["decoder"], cfg, enc)
-    full = dit_mod.dit_forward(stacked["decoder"], cfg, xt, t, t, ctx, kv_f)
-    kv_q = dit_mod.precompute_cross_kv(qdec, cfg, enc)
-    quant = dit_mod.dit_forward(qdec, cfg, xt, t, t, ctx, kv_q)
-    # int8 weight-only should track the fp forward within quantization noise
-    rel = np.abs(np.asarray(quant) - np.asarray(full)).max() / (np.abs(np.asarray(full)).max() + 1e-6)
-    assert rel < 0.15, rel
