@@ -7,10 +7,20 @@ the platform is forced back to CPU via jax.config before any backend use.
 """
 
 import os
+import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Drop the axon TPU plugin's site dir before jax imports: even with
+# jax_platforms=cpu the plugin initializes its tunnel at registration time
+# (60-80 s, and it wedges if another process holds the tunnel). CPU-only
+# tests must never touch it.
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+os.environ["PYTHONPATH"] = ":".join(
+    p for p in os.environ.get("PYTHONPATH", "").split(":") if ".axon_site" not in p
+)
 
 import jax
 

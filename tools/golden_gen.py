@@ -1,0 +1,288 @@
+"""Generate golden-activation fixtures by RUNNING the reference model code.
+
+No real checkpoints exist in this environment, so reference-consistency is
+established the next-best way (VERDICT round 1, item 1): instantiate the
+REFERENCE PyTorch modules (`/root/reference/acestep/models/turbo/
+modeling_acestep_v15_turbo.py`) on CPU with seeded random weights at a tiny
+but structurally faithful config, drive them on fixed inputs, and record
+(state_dict, inputs, activations) as .npz fixtures. `tests/test_golden_parity.py`
+then converts the recorded state_dict through `params.convert_torch_state_dict`
+and asserts the JAX forward passes reproduce every activation.
+
+The only reference dependency not installed is vector-quantize-pytorch; a
+faithful stand-in lives in tools/vq_stub (see its module docstring for the one
+unverifiable convention).
+
+Run from the repo root:  python tools/golden_gen.py
+Outputs: tests/goldens/dit_tiny.npz, tests/goldens/qwen3_tiny.npz
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import torch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_TURBO = "/root/reference/acestep/models/turbo"
+OUT_DIR = os.path.join(REPO, "tests", "goldens")
+
+sys.path.insert(0, os.path.join(REPO, "tools", "vq_stub"))
+
+
+def _import_reference_turbo():
+    """Import the reference model file standalone (its config import has a
+    non-package fallback, modeling_acestep_v15_turbo.py:44-47)."""
+    sys.path.insert(0, REF_TURBO)
+    spec = importlib.util.spec_from_file_location(
+        "ref_turbo_modeling", os.path.join(REF_TURBO, "modeling_acestep_v15_turbo.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_turbo_modeling"] = mod  # inspect.getfile needs this
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def tiny_config(mod):
+    """Structurally faithful miniature of the turbo config: alternating
+    sliding/full layers, GQA, patch 2, pool 5, FSQ levels 8·8·8·5·5·5.
+
+    num_lyric/timbre layers are kept <= num_hidden_layers because the
+    reference encoder loops slice `self.layers[:num_hidden_layers]`
+    (modeling_acestep_v15_turbo.py:700, :1162)."""
+    return mod.AceStepConfig(
+        vocab_size=64003,
+        fsq_dim=64,
+        fsq_input_levels=[8, 8, 8, 5, 5, 5],
+        fsq_input_num_quantizers=1,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        sliding_window=8,
+        num_lyric_encoder_hidden_layers=2,
+        audio_acoustic_hidden_dim=64,
+        pool_window_size=5,
+        text_hidden_dim=32,
+        in_channels=192,
+        timbre_hidden_dim=64,
+        num_timbre_encoder_hidden_layers=2,
+        timbre_fix_frame=10,
+        patch_size=2,
+        num_attention_pooler_hidden_layers=1,
+        num_audio_decoder_hidden_layers=4,
+    )
+
+
+def gen_dit_fixture():
+    mod = _import_reference_turbo()
+    cfg = tiny_config(mod)
+    torch.manual_seed(0)
+    model = mod.AceStepConditionGenerationModel(cfg).float().eval()
+    rng = np.random.default_rng(42)
+
+    B, T = 2, 20  # latent frames; pool 5 -> 4 tokens; patch 2 -> 10 DiT tokens
+    D_AC = cfg.audio_acoustic_hidden_dim
+
+    def randn(*shape, scale=1.0):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    inputs = {
+        "text_h": randn(B, 7, cfg.text_hidden_dim),
+        "text_m": np.array([[1, 1, 1, 1, 1, 0, 0], [1, 1, 1, 0, 0, 0, 0]], np.float32),
+        "lyric_h": randn(B, 11, cfg.text_hidden_dim),
+        "lyric_m": np.array([[1] * 11, [1] * 8 + [0] * 3], np.float32),
+        # 3 packed reference audios: sample 0 owns two, sample 1 owns one.
+        "refer_packed": randn(3, cfg.timbre_fix_frame, cfg.timbre_hidden_dim),
+        "refer_order": np.array([0, 0, 1], np.int64),
+        "src_latents": randn(B, T, D_AC),
+        "attn_mask": np.concatenate([np.ones((1, T)), np.concatenate([np.ones((1, 15)), np.zeros((1, 5))], 1)], 0).astype(np.float32),
+        "chunk_masks": (rng.integers(0, 2, size=(B, T, D_AC))).astype(np.float32),
+        "is_covers": np.array([1.0, 0.0], np.float32),
+        "silence_latent": randn(1, 25, D_AC),
+        "xt": randn(B, T, D_AC),
+        "noise": randn(B, T, D_AC),
+        "audio_codes": rng.integers(0, 64000, size=(B, 4)).astype(np.int64),
+        "pooler_x": randn(B, 4, cfg.pool_window_size, cfg.hidden_size),
+        "t_vals": np.array([1.0, 0.3], np.float32),
+    }
+    tt = {k: torch.from_numpy(v) for k, v in inputs.items()}
+
+    out = {}
+    with torch.no_grad():
+        # Sub-encoders
+        lyr = model.encoder.lyric_encoder(
+            inputs_embeds=tt["lyric_h"], attention_mask=tt["lyric_m"]
+        ).last_hidden_state
+        out["lyric_out"] = lyr
+        timbre_unpack, timbre_mask = model.encoder.timbre_encoder(
+            tt["refer_packed"], tt["refer_order"]
+        )
+        out["timbre_unpack"] = timbre_unpack
+        out["timbre_mask"] = timbre_mask
+        out["pooler_out"] = model.tokenizer.attention_pooler(tt["pooler_x"])
+
+        enc_h, enc_m = model.encoder(
+            text_hidden_states=tt["text_h"],
+            text_attention_mask=tt["text_m"],
+            lyric_hidden_states=tt["lyric_h"],
+            lyric_attention_mask=tt["lyric_m"],
+            refer_audio_acoustic_hidden_states_packed=tt["refer_packed"],
+            refer_audio_order_mask=tt["refer_order"],
+        )
+        out["enc_h"], out["enc_m"] = enc_h, enc_m
+
+        # Tokenize / detokenize / FSQ-from-indices
+        quantized, indices, llm_mask = model.tokenize(
+            tt["src_latents"], tt["silence_latent"], tt["attn_mask"]
+        )
+        out["tok_quantized"] = quantized
+        out["tok_indices"] = indices
+        out["tok_mask"] = llm_mask
+        out["detok_out"] = model.detokenize(quantized)
+        out["fsq_from_indices"] = model.tokenizer.quantizer.get_output_from_indices(
+            tt["audio_codes"]
+        )
+
+        # prepare_condition (mixed covers)
+        p_enc_h, p_enc_m, p_ctx = model.prepare_condition(
+            text_hidden_states=tt["text_h"],
+            text_attention_mask=tt["text_m"],
+            lyric_hidden_states=tt["lyric_h"],
+            lyric_attention_mask=tt["lyric_m"],
+            refer_audio_acoustic_hidden_states_packed=tt["refer_packed"],
+            refer_audio_order_mask=tt["refer_order"],
+            hidden_states=tt["src_latents"],
+            attention_mask=tt["attn_mask"],
+            silence_latent=tt["silence_latent"],
+            src_latents=tt["src_latents"],
+            chunk_masks=tt["chunk_masks"],
+            is_covers=tt["is_covers"],
+        )
+        out["prep_enc_h"], out["prep_enc_m"], out["prep_ctx"] = p_enc_h, p_enc_m, p_ctx
+
+        # Decoder single forwards at two timesteps
+        for tag, tv in (("t10", 1.0), ("t03", 0.3)):
+            tvec = torch.full((B,), tv)
+            dec = model.decoder(
+                hidden_states=tt["xt"],
+                timestep=tvec,
+                timestep_r=tvec,
+                attention_mask=tt["attn_mask"],
+                encoder_hidden_states=p_enc_h,
+                encoder_attention_mask=p_enc_m,
+                context_latents=p_ctx,
+            )
+            out[f"dec_v_{tag}"] = dec[0]
+
+        # Full 8-step ODE trajectories with pinned noise (shift 3 and 2)
+        model.prepare_noise = lambda ctx, seed=None: tt["noise"]
+        for shift in (3.0, 2.0):
+            g = model.generate_audio(
+                text_hidden_states=tt["text_h"],
+                text_attention_mask=tt["text_m"],
+                lyric_hidden_states=tt["lyric_h"],
+                lyric_attention_mask=tt["lyric_m"],
+                refer_audio_acoustic_hidden_states_packed=tt["refer_packed"],
+                refer_audio_order_mask=tt["refer_order"],
+                src_latents=tt["src_latents"],
+                chunk_masks=tt["chunk_masks"],
+                is_covers=tt["is_covers"],
+                silence_latent=tt["silence_latent"],
+                attention_mask=tt["attn_mask"],
+                infer_method="ode",
+                shift=shift,
+            )
+            out[f"gen_latents_shift{int(shift)}"] = g["target_latents"]
+
+    data = {}
+    for k, v in model.state_dict().items():
+        data["sd/" + k] = v.detach().numpy().astype(np.float32)
+    for k, v in inputs.items():
+        data["in/" + k] = v
+    for k, v in out.items():
+        data["out/" + k] = v.detach().numpy().astype(np.float32) if v.dtype.is_floating_point else v.detach().numpy()
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, "dit_tiny.npz")
+    np.savez_compressed(path, **data)
+    print(f"wrote {path}: {len(data)} arrays, "
+          f"{sum(a.nbytes for a in data.values()) / 1e6:.1f} MB raw")
+
+
+def gen_qwen3_fixture():
+    """Tiny REAL transformers Qwen3 — oracle for models/qwen3.py + converter."""
+    from transformers.models.qwen3 import Qwen3Config as HFQwen3Config
+    from transformers.models.qwen3.modeling_qwen3 import Qwen3ForCausalLM
+
+    cfg = HFQwen3Config(
+        vocab_size=512,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        rope_theta=1_000_000.0,
+        rms_norm_eps=1e-6,
+        tie_word_embeddings=True,
+        attention_dropout=0.0,
+        max_position_embeddings=2048,
+    )
+    torch.manual_seed(1)
+    model = Qwen3ForCausalLM(cfg).float().eval()
+    rng = np.random.default_rng(7)
+
+    B, L = 2, 12
+    ids = rng.integers(0, 512, size=(B, L)).astype(np.int64)
+    # Right-padding (the JAX prefill's convention; positions from mask sums)
+    mask = np.ones((B, L), np.int64)
+    mask[1, 9:] = 0
+    ids[1, 9:] = 0
+
+    with torch.no_grad():
+        res = model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+        )
+        logits = res.logits.numpy().astype(np.float32)  # (B, L, V)
+        hidden = model.model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+        ).last_hidden_state.numpy().astype(np.float32)
+
+        # Incremental decode golden: append 3 greedy tokens per row (from the
+        # last VALID position), recording the logits used at each step.
+        dec_tokens = np.zeros((B, 3), np.int64)
+        dec_logits = np.zeros((B, 3, 512), np.float32)
+        cur_ids = [list(ids[b, : mask[b].sum()]) for b in range(B)]
+        for step in range(3):
+            for b in range(B):
+                t_ids = torch.tensor([cur_ids[b]])
+                lg = model(input_ids=t_ids).logits[0, -1]
+                dec_logits[b, step] = lg.numpy()
+                nxt = int(lg.argmax())
+                dec_tokens[b, step] = nxt
+                cur_ids[b].append(nxt)
+
+    data = {"in/ids": ids, "in/mask": mask,
+            "out/logits": logits, "out/hidden": hidden,
+            "out/dec_tokens": dec_tokens, "out/dec_logits": dec_logits}
+    for k, v in model.state_dict().items():
+        data["sd/" + k] = v.detach().numpy().astype(np.float32)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, "qwen3_tiny.npz")
+    np.savez_compressed(path, **data)
+    print(f"wrote {path}: {len(data)} arrays")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "dit"):
+        gen_dit_fixture()
+    if which in ("all", "qwen3"):
+        gen_qwen3_fixture()
