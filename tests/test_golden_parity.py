@@ -265,6 +265,32 @@ def test_qwen3_prefill_and_decode_golden(qwen3_golden):
         positions = positions + 1
 
 
+# ---------------------------------------------------------------------------
+# Oobleck VAE vs the torch mirror (weight-norm folding + conv layouts)
+# ---------------------------------------------------------------------------
+
+
+def test_vae_golden():
+    from acestep_tpu.config import OobleckConfig
+    from acestep_tpu.models import vae
+
+    z = np.load(os.path.join(GOLDEN_DIR, "vae_tiny.npz"))
+    sd = {k[3:]: z[k] for k in z.files if k.startswith("sd/")}
+    cfg = OobleckConfig(
+        encoder_hidden_size=8, downsampling_ratios=(2, 4), channel_multiples=(2, 4),
+        decoder_channels=8, decoder_input_channels=4, audio_channels=2,
+    )
+    params = vae.convert_torch_vae_state(sd, cfg, jnp.float32)
+
+    audio = jnp.asarray(z["in/audio"]).transpose(0, 2, 1)  # NCL → NLC
+    got = vae.encode_raw(params, cfg, audio)
+    _assert_close("vae.encode_raw", got.transpose(0, 2, 1), z["out/enc_raw"], tol=1e-5)
+
+    latents = jnp.asarray(z["in/latents"]).transpose(0, 2, 1)
+    got = vae.decode(params, cfg, latents)
+    _assert_close("vae.decode", got.transpose(0, 2, 1), z["out/dec"], tol=1e-5)
+
+
 def test_zz_write_parity_report():
     """Emit docs/PARITY.md from the collected per-module errors (runs last)."""
     if len(_report) < 10:  # only write when the full module ran

@@ -280,9 +280,42 @@ def gen_qwen3_fixture():
     print(f"wrote {path}: {len(data)} arrays")
 
 
+def gen_vae_fixture():
+    """Tiny Oobleck VAE (torch mirror of diffusers' module graph with
+    weight-normed convs — see tools/torch_oobleck.py) → fixture for the
+    weight-norm-folding converter + JAX conv stacks."""
+    from torch_oobleck import AutoencoderOobleckMirror
+
+    torch.manual_seed(2)
+    model = AutoencoderOobleckMirror(
+        encoder_hidden_size=8, downsampling_ratios=[2, 4], channel_multiples=[2, 4],
+        decoder_channels=8, decoder_input_channels=4, audio_channels=2,
+    ).float().eval()
+    rng = np.random.default_rng(9)
+
+    B, L = 2, 64  # hop = 8 → 8 latent frames
+    audio = rng.standard_normal((B, 2, L)).astype(np.float32) * 0.3
+    latents = rng.standard_normal((B, 4, L // 8)).astype(np.float32)
+    with torch.no_grad():
+        enc_raw = model.encode_raw(torch.from_numpy(audio)).numpy()
+        dec = model.decode(torch.from_numpy(latents)).numpy()
+
+    data = {"in/audio": audio, "in/latents": latents,
+            "out/enc_raw": enc_raw, "out/dec": dec}
+    for k, v in model.state_dict().items():
+        data["sd/" + k] = v.detach().numpy().astype(np.float32)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, "vae_tiny.npz")
+    np.savez_compressed(path, **data)
+    print(f"wrote {path}: {len(data)} arrays")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if which in ("all", "dit"):
         gen_dit_fixture()
     if which in ("all", "qwen3"):
         gen_qwen3_fixture()
+    if which in ("all", "vae"):
+        gen_vae_fixture()
