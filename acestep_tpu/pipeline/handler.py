@@ -830,6 +830,24 @@ class AceStepHandler:
         has_target = [target_latents is not None] * b
 
         silence_tiled = self._silence_tiled(t_latent)
+        if target_latents is not None:
+            # Normalize uploaded/encoded target latents to the bucketed length:
+            # crop long sources, pad short ones with silence (the reference
+            # crops the target wav by duration before encoding,
+            # conditioning_target._prepare_target_latents_and_wavs).
+            tl = np.asarray(target_latents, np.float32)
+            if tl.ndim == 2:
+                tl = tl[None]
+            if tl.shape[0] != b:
+                tl = np.repeat(tl[:1], b, axis=0)
+            if tl.shape[1] >= t_latent:
+                tl = tl[:, :t_latent]
+            else:
+                pad = np.broadcast_to(
+                    silence_tiled[tl.shape[1]:t_latent], (b, t_latent - tl.shape[1], tl.shape[2])
+                )
+                tl = np.concatenate([tl, pad], axis=1)
+            target_latents = tl
         chunk_masks, spans, is_covers, src_latents = self.build_chunk_masks_and_src_latents(
             b, t_latent, instructions, has_code_hints, target_latents, has_target,
             repainting_start, repainting_end, silence_tiled,
@@ -870,18 +888,40 @@ class AceStepHandler:
         text_hidden = self.infer_text_embeddings(text_ids)
         lyric_hidden = self.infer_lyric_embeddings(lyric_ids)
 
-        # Reference audio → packed timbre latents (silence fallback, ref conditioning_embed)
+        # Reference audio → packed timbre latents. Each sample may carry a LIST
+        # of reference audios, packed along axis 0 with an order mask mapping
+        # packed row → batch index; samples with none contribute one silence
+        # row (ref conditioning_embed.infer_refer_latent :18-70, incl. the
+        # duplicate-audio encode cache). max_refs is exact (not bucketed):
+        # padding packed rows would inject silence refs into real slots, and
+        # nearly all traffic is 0/1 refs per sample → the (N=b, max_refs=1)
+        # program stays the one hot compiled path.
         tf = self.config.timbre_fix_frame
         packed, order = [], []
+        encode_cache: Dict[int, np.ndarray] = {}
+        max_count = 1
         for i in range(b):
-            ref = reference_audios[i] if reference_audios else None
-            if ref is None:
-                z = silence_tiled[:tf]
-            else:
-                z = self.encode_reference_audio(ref)
-                z = z[:tf] if z.shape[0] >= tf else np.pad(z, ((0, tf - z.shape[0]), (0, 0)))
-            packed.append(z)
-            order.append(i)
+            refs = reference_audios[i] if reference_audios else None
+            if refs is None:
+                refs = []
+            elif isinstance(refs, np.ndarray):
+                refs = [refs]
+            refs = [r for r in refs if r is not None]
+            if not refs:
+                packed.append(silence_tiled[:tf])
+                order.append(i)
+                continue
+            max_count = max(max_count, len(refs))
+            for ref in refs:
+                key = id(ref)
+                z = encode_cache.get(key)
+                if z is None:
+                    z = self.encode_reference_audio(ref)
+                    z = z[:tf] if z.shape[0] >= tf else np.pad(z, ((0, tf - z.shape[0]), (0, 0)))
+                    encode_cache[key] = z
+                packed.append(z)
+                order.append(i)
+        max_refs = max_count
         refer_packed = jnp.asarray(np.stack(packed), self.dtype)
         refer_order = jnp.asarray(order, jnp.int32)
         time_costs["encoder_time_cost"] = time.time() - t0
@@ -938,7 +978,7 @@ class AceStepHandler:
             cfg_interval_start=cfg_interval_start,
             cfg_interval_end=cfg_interval_end,
             infer_steps=inference_steps,
-            max_refs=1,
+            max_refs=max_refs,
             return_condition=return_condition,
         )
         pred = outputs["target_latents"]

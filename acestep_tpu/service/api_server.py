@@ -184,6 +184,11 @@ class ApiService:
                 self.store.mark(task_id, status="failed", error=f"{e}\n{traceback.format_exc()}")
                 self.logs.append(f"job {task_id} crashed: {e}")
             finally:
+                for p in payload0.get("_temp_files", []) or []:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
                 self.store.record_duration(time.time() - t0)
                 self.store.gc()
 
@@ -203,9 +208,57 @@ def _params_from_payload(payload: Dict[str, Any]) -> GenerationParams:
     kw = {}
     for k, v in payload.items():
         k = _PARAM_ALIASES.get(k, k)
-        if k in fields and v is not None:
+        if k in fields and v is not None and not k.startswith("_"):
             kw[k] = v
     return GenerationParams(**kw)
+
+
+def _parse_multipart(raw: bytes, content_type: str) -> Dict[str, Any]:
+    """Parse a multipart/form-data body into a release_task payload.
+
+    File parts are written to temp files and their PATHS become the param
+    values — the reference's upload plumbing (`api_server.py:2460-2673`, JSON
+    or multipart accepted on /release_task so cover/repaint/extract/lego/
+    complete can be driven over HTTP). Repeated `reference_audio` parts become
+    a list (multi-reference timbre). Scalar form fields are JSON-coerced
+    ("30" → 30, "true" → True; non-JSON text stays a string). Temp paths are
+    recorded under "_temp_files" for post-job cleanup.
+    """
+    import tempfile
+    from email.parser import BytesParser
+    from email.policy import HTTP
+
+    msg = BytesParser(policy=HTTP).parsebytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + raw
+    )
+    payload: Dict[str, Any] = {}
+    temp_files: List[str] = []
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if not name:
+            continue
+        filename = part.get_filename()
+        data = part.get_payload(decode=True)
+        if filename:
+            suffix = os.path.splitext(filename)[1] or ".bin"
+            fd, path = tempfile.mkstemp(suffix=suffix, prefix="acestep_upload_")
+            with os.fdopen(fd, "wb") as f:
+                f.write(data or b"")
+            temp_files.append(path)
+            if name in payload:  # repeated file field → list
+                prev = payload[name]
+                payload[name] = (prev if isinstance(prev, list) else [prev]) + [path]
+            else:
+                payload[name] = path
+        else:
+            text = (data or b"").decode("utf-8", "replace")
+            try:
+                payload[name] = json.loads(text)
+            except json.JSONDecodeError:
+                payload[name] = text
+    if temp_files:
+        payload["_temp_files"] = temp_files
+    return payload
 
 
 def _config_from_payload(payload: Dict[str, Any]) -> GenerationConfig:
@@ -240,6 +293,9 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
             if length == 0:
                 return {}
             raw = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            if ctype.startswith("multipart/form-data"):
+                return _parse_multipart(raw, ctype)
             try:
                 return json.loads(raw)
             except json.JSONDecodeError:

@@ -112,7 +112,14 @@ def generate_music(
         b = config.batch_size
         reference_audio = None
         if params.reference_audio:
-            reference_audio = audio_utils.load_audio(params.reference_audio)
+            paths = (
+                params.reference_audio
+                if isinstance(params.reference_audio, (list, tuple))
+                else [params.reference_audio]
+            )
+            # One sample's reference set; the handler packs multiple refs per
+            # sample with an order mask (and dedupes identical arrays by id).
+            reference_audio = [audio_utils.load_audio(p) for p in paths]
         target_latents = None
         if params.src_audio:
             src = audio_utils.load_audio(params.src_audio)

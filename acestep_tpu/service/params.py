@@ -5,7 +5,7 @@ GenerationResult :197-221)."""
 from __future__ import annotations
 
 from dataclasses import asdict, dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Union
 
 
 @dataclass
@@ -16,8 +16,10 @@ class GenerationParams:
     task_type: str = "text2music"
     instruction: str = "Fill the audio semantic mask based on the given conditions:"
 
-    # Audio uploads
-    reference_audio: Optional[str] = None
+    # Audio uploads. reference_audio accepts one path or a LIST of paths —
+    # multiple timbre references are packed per sample with an order mask
+    # (ref conditioning_embed.infer_refer_latent List[List[Tensor]] semantics).
+    reference_audio: Optional[Union[str, List[str]]] = None
     src_audio: Optional[str] = None
 
     # LM code hints

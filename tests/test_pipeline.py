@@ -24,9 +24,11 @@ TINY_DIT = AceStepConfig(
     timbre_fix_frame=10,
 )
 TINY_VAE = OobleckConfig(
-    encoder_hidden_size=16,
+    # encoder_hidden_size = 2 × latent dim so the encode mean matches the
+    # DiT's 64-dim acoustic latents (as in the real checkpoint config).
+    encoder_hidden_size=128,
     downsampling_ratios=(2, 4, 4),
-    channel_multiples=(1, 2, 4),
+    channel_multiples=(1, 1, 1),
     decoder_channels=16,
     decoder_input_channels=64,
     audio_channels=2,
@@ -158,3 +160,51 @@ def test_extract_lego_complete_tasks(handler):
         )
         assert np.isfinite(out["latents"]).all(), task
         assert out["latents"].shape[1] == 50  # 2 s at 25 fps
+
+
+def test_multi_reference_timbre(handler):
+    """Multiple reference audios per sample (ref conditioning_embed.py:18-70
+    List[List[Tensor]] + order-mask semantics): 2 refs on sample 0, none on
+    sample 1 (silence fallback), duplicate arrays encoded once."""
+    sr = handler.sample_rate // 2  # 0.5 s refs keep the CPU encode cheap
+    ref1 = (np.random.default_rng(0).standard_normal((2, sr)) * 0.1).astype(np.float32)
+    ref2 = (np.random.default_rng(1).standard_normal((2, sr)) * 0.1).astype(np.float32)
+
+    calls = []
+    orig = handler.encode_reference_audio
+
+    def counting(audio):
+        calls.append(1)
+        return orig(audio)
+
+    handler.encode_reference_audio = counting
+    try:
+        out = handler.generate_music(
+            captions="two refs",
+            lyrics="[Instrumental]",
+            audio_duration=2.0,
+            batch_size=2,
+            seeds=[1, 2],
+            use_random_seed=False,
+            reference_audios=[[ref1, ref2, ref1], None],
+            decode_audio=False,
+        )
+    finally:
+        handler.encode_reference_audio = orig
+    assert np.isfinite(out["latents"]).all()
+    assert out["latents"].shape[0] == 2
+    # ref1 appears twice but is encoded once (id-dedupe, ref data_ptr cache)
+    assert len(calls) == 2
+
+    # single ndarray (back-compat) still accepted
+    out = handler.generate_music(
+        captions="one ref",
+        lyrics="[Instrumental]",
+        audio_duration=2.0,
+        batch_size=1,
+        seeds=[1],
+        use_random_seed=False,
+        reference_audios=[ref1],
+        decode_audio=False,
+    )
+    assert np.isfinite(out["latents"]).all()

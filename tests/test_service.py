@@ -1,6 +1,7 @@
 """Service layer tests: generate_music orchestration + REST job API."""
 
 import json
+import os
 import time
 import urllib.request
 
@@ -23,7 +24,9 @@ TINY_DIT = AceStepConfig(
     fsq_dim=64, timbre_fix_frame=10,
 )
 TINY_VAE = OobleckConfig(
-    encoder_hidden_size=16, downsampling_ratios=(2, 4, 4), channel_multiples=(1, 2, 4),
+    # encoder_hidden_size = 2 × latent dim so encode mean matches the DiT's
+    # 64-dim acoustic latents (as in the real checkpoint config).
+    encoder_hidden_size=128, downsampling_ratios=(2, 4, 4), channel_multiples=(1, 1, 1),
     decoder_channels=16, decoder_input_channels=64, audio_channels=2, sampling_rate=800,
 )
 TINY_TEXT = Qwen3Config(
@@ -212,4 +215,81 @@ def test_chat_completions_streaming(handlers, tmp_path):
     assert events[0]["object"] == "chat.completion.chunk"
     last = events[-1]
     assert last["choices"][0].get("finish_reason") in ("stop", "error")
+    server.shutdown()
+
+
+def test_release_task_multipart_upload(handlers, tmp_path):
+    """File-upload REST parity (ref api_server.py:2460-2673): multipart
+    /release_task with a WAV src upload drives a repaint over HTTP; the
+    uploaded temp file is cleaned after the job."""
+    dit, llm = handlers
+    import glob
+    import http.client
+    import io
+    import tempfile
+    import threading
+    import wave
+
+    from acestep_tpu.service.api_server import serve
+
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    # 2 s stereo WAV
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(48_000)
+        rng = np.random.default_rng(0)
+        pcm = (rng.standard_normal(2 * 96_000) * 3000).astype(np.int16)
+        w.writeframes(pcm.tobytes())
+    wav_bytes = buf.getvalue()
+
+    boundary = "testboundary42"
+    parts = []
+    fields = {"task_type": "repaint", "caption": "repaint me", "duration": "2.0",
+              "thinking": "false", "batch_size": "1", "audio_format": "wav",
+              "seed": "5", "repainting_start": "0.0", "repainting_end": "1.0"}
+    for k, v in fields.items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"\r\n\r\n{v}\r\n'.encode()
+        )
+    parts.append(
+        (f'--{boundary}\r\nContent-Disposition: form-data; name="src_audio"; '
+         f'filename="src.wav"\r\nContent-Type: audio/wav\r\n\r\n').encode()
+        + wav_bytes + b"\r\n"
+    )
+    parts.append(f"--{boundary}--\r\n".encode())
+    body = b"".join(parts)
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", "/release_task", body=body,
+                 headers={"Content-Type": f"multipart/form-data; boundary={boundary}",
+                          "Content-Length": str(len(body))})
+    resp = json.loads(conn.getresponse().read())
+    conn.close()
+    task_id = resp["task_id"]
+
+    def post(path, payload):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        c.request("POST", path, body=json.dumps(payload),
+                  headers={"Content-Type": "application/json"})
+        out = json.loads(c.getresponse().read())
+        c.close()
+        return out
+
+    status = None
+    for _ in range(240):
+        out = post("/query_result", {"task_ids": [task_id]})
+        status = out["results"][0]
+        if status["status"] in (1, 2):
+            break
+        time.sleep(0.5)
+    assert status["status"] == 1, status
+    assert status["result"]["audio_paths"][0].endswith(".wav")
+    # uploaded temp file cleaned up after the job
+    leftovers = glob.glob(os.path.join(tempfile.gettempdir(), "acestep_upload_*"))
+    assert not leftovers, leftovers
     server.shutdown()
