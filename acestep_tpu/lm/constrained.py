@@ -12,9 +12,13 @@ or a BLOCK set — which the device-side sampler applies via gather (see
 entirely on device as a scan over the contiguous code-token range, so the
 host↔device round-trip only happens during the short CoT phase.
 
-Enforced format (genres optional, off by default):
+Enforced format:
     <think>\nbpm: V\ncaption: V\nduration: V\nkeyscale: V\nlanguage: V\ntimesignature: V\n</think>
 then `<|audio_code_N|>`* with a duration-driven token budget (5 codes/s).
+Genres follows the reference's gating: skipped in the main two-phase generate
+(ref llm_inference.py:1233) but generated in understand/create/format phases
+(skip_genres=False), via the vocab trie when a genres vocabulary is loaded or
+the probability-ended free-text fallback otherwise (ref :1958-1977).
 """
 
 from __future__ import annotations
@@ -47,6 +51,9 @@ class StepSpec:
     kind: str
     token: Optional[int] = None
     ids: Optional[List[int]] = None
+    # "prob_end" (genres free-text fallback, ref constrained_logits_processor
+    # `_should_end_text_field` :1495-1513): unconstrained sampling, except the
+    # field ends with `token` (newline) WHEN P(newline) > max P(other).
 
 
 def _encode(tokenizer, text: str) -> List[int]:
@@ -88,6 +95,7 @@ class ConstrainedDecoderFSM:
         self.caption_max_tokens = caption_max_tokens
 
         self.newline_ids = set(_encode(tokenizer, "\n"))
+        self.canonical_newline = min(self.newline_ids)
         self.eos_token_id = getattr(tokenizer, "eos_token_id", None) or 2
 
         # Audio-code token range: `<|audio_code_0|>` .. discovered from tokenizer.
@@ -197,8 +205,6 @@ class ConstrainedDecoderFSM:
         for f in self.FIELD_ORDER[idx + 1 :]:
             if self.skip.get(f):
                 continue
-            if f == "genres" and "genres" not in self._tries:
-                continue
             return f
         return None
 
@@ -242,6 +248,11 @@ class ConstrainedDecoderFSM:
                     self._after_queue = ("caption_body", None)
                 else:
                     self._enter(("caption_body", None))
+            elif field == "genres" and "genres" not in self._tries:
+                # No genres vocabulary: free-text value with probability-based
+                # ending (ref GENRES_VALUE fallback, :1958-1977).
+                self.state = "textfield"
+                self._text_has_content = False
             else:
                 self.state = "value"
                 self._trie_node = self._tries[field]
@@ -284,6 +295,10 @@ class ConstrainedDecoderFSM:
             if self.caption_tokens >= self.caption_max_tokens:
                 return StepSpec("allow", ids=list(self.newline_ids))
             return StepSpec("block", ids=blocked + [self.eos_token_id])
+        if self.state == "textfield":
+            if not self._text_has_content:
+                return StepSpec("block", ids=list(self.newline_ids) + [self.eos_token_id])
+            return StepSpec("prob_end", token=self.canonical_newline)
         if self.state == "codes":
             if self.code_token_start < 0:
                 return StepSpec("free")
@@ -333,6 +348,12 @@ class ConstrainedDecoderFSM:
                 self._enter(self._after_field("caption"))
             else:
                 self.caption_tokens += 1
+            return
+        if self.state == "textfield":
+            if token_id in self.newline_ids and self._text_has_content:
+                self._enter(self._after_field(self._field))
+            else:
+                self._text_has_content = True
             return
         if self.state == "codes":
             if token_id == self.eos_token_id:

@@ -41,8 +41,10 @@ class CotDFA:
     alpha_allow: np.ndarray  # (S, A) bool
     allow_other: np.ndarray  # (S,) bool
     finished: np.ndarray  # (S,) bool
+    prob_end: np.ndarray  # (S,) bool — force newline when P(nl) > max P(other)
     start_state: int
     eos_token_id: int
+    newline_token_id: int
 
     @property
     def num_states(self) -> int:
@@ -66,6 +68,8 @@ def _state_key(f: ConstrainedDecoderFSM) -> tuple:
         return ("value", f._field, id(f._trie_node))
     if f.state == "caption":
         return ("caption", f.caption_tokens)
+    if f.state == "textfield":
+        return ("textfield", f._field, f._text_has_content)
     return (f.state,)
 
 
@@ -83,8 +87,9 @@ def compile_cot_dfa(fsm: ConstrainedDecoderFSM, vocab_size: int) -> CotDFA:
     Only the CoT grammar is compiled — the codes phase already runs on device
     (`sampling.generate_codes_scan`) and free phases need no FSM.
     """
-    assert fsm.phase == "cot" and fsm.stop_at_reasoning, (
-        "compile_cot_dfa expects a CoT FSM with stop_at_reasoning=True"
+    assert fsm.phase == "understand" or (fsm.phase == "cot" and fsm.stop_at_reasoning), (
+        "compile_cot_dfa expects a CoT FSM with stop_at_reasoning=True, or an "
+        "understand-phase FSM (constrained metadata then free text until EOS)"
     )
     eos = fsm.eos_token_id
 
@@ -164,6 +169,55 @@ def compile_cot_dfa(fsm: ConstrainedDecoderFSM, vocab_size: int) -> CotDFA:
             row["edges"] = edges
             continue
 
+        if spec.kind == "prob_end":
+            # Genres free-text with probability-gated newline ending: anything
+            # non-newline stays in this state; newline advances the grammar.
+            row["kind"] = "prob_end"
+            row["blocked"] = {eos}
+            probe = 0
+            while probe in f.newline_ids or probe == eos:
+                probe += 1
+            g = _clone(f)
+            g.advance(probe)
+            other_ni = intern(g)
+            if other_ni not in seen:
+                seen.add(other_ni)
+                todo.append(other_ni)
+            row["other_next"] = other_ni
+            edges = {}
+            for nl in f.newline_ids:
+                g = _clone(f)
+                g.advance(int(nl))
+                ni = intern(g)
+                edges[nl] = ni
+                if ni not in seen:
+                    seen.add(ni)
+                    todo.append(ni)
+            row["edges"] = edges
+            continue
+
+        if spec.kind == "free":
+            # Understand-phase tail: unconstrained until EOS.
+            row["kind"] = "free"
+            probe = 0
+            while probe == eos:
+                probe += 1
+            g = _clone(f)
+            g.advance(probe)
+            other_ni = intern(g)
+            if other_ni not in seen:
+                seen.add(other_ni)
+                todo.append(other_ni)
+            row["other_next"] = other_ni
+            g = _clone(f)
+            g.advance(eos)
+            eos_ni = intern(g)
+            if eos_ni not in seen:
+                seen.add(eos_ni)
+                todo.append(eos_ni)
+            row["edges"] = {eos: eos_ni}
+            continue
+
         raise ValueError(f"CoT DFA cannot express step kind {spec.kind!r}")  # pragma: no cover
 
     # ---- alphabet ----
@@ -186,6 +240,7 @@ def compile_cot_dfa(fsm: ConstrainedDecoderFSM, vocab_size: int) -> CotDFA:
     alpha_allow = np.zeros((s, a), bool)
     allow_other = np.zeros((s,), bool)
     finished = np.zeros((s,), bool)
+    prob_end = np.zeros((s,), bool)
 
     for si, row in enumerate(rows):
         kind = row["kind"]
@@ -199,11 +254,13 @@ def compile_cot_dfa(fsm: ConstrainedDecoderFSM, vocab_size: int) -> CotDFA:
                 trans[si, sy] = ni
                 alpha_allow[si, sy] = True
             continue
-        # caption body
+        # open-vocabulary states: caption body ("block"), genres free text
+        # ("prob_end"), understand tail ("free")
+        prob_end[si] = kind == "prob_end"
         allow_other[si] = True
         alpha_allow[si, :] = True
         trans[si, :] = row["other_next"]
-        for tok in row["blocked"]:
+        for tok in row.get("blocked", ()):  # "free" blocks nothing
             if int(tok) in sym_of:
                 sy = sym_of[int(tok)]
                 alpha_allow[si, sy] = False
@@ -218,6 +275,8 @@ def compile_cot_dfa(fsm: ConstrainedDecoderFSM, vocab_size: int) -> CotDFA:
         alpha_allow=alpha_allow,
         allow_other=allow_other,
         finished=finished,
+        prob_end=prob_end,
         start_state=start,
         eos_token_id=eos,
+        newline_token_id=fsm.canonical_newline,
     )

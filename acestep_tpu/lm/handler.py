@@ -265,9 +265,15 @@ class LLMHandler:
         top_p: float,
         cfg_scale: float = 1.0,
         key: Optional[jax.Array] = None,
-        allow_pad: int = 96,
     ) -> Tuple[List[List[int]], jax.Array, qwen3.KVCache, np.ndarray]:
-        """Host-driven FSM loop (phase-1 CoT). Returns per-seq generated ids."""
+        """Host-driven FSM loop (phase-1 CoT / understand grammar).
+
+        Per-row StepSpecs are grouped by kind: ALLOW sets gather-sample at a
+        bucketed width (96/256/1024/4096 — no truncation, no silent forcing),
+        BLOCK/FREE rows scatter-mask, PROB_END rows use the probability-gated
+        newline ending. Returns per-seq generated ids.
+        """
+        ALLOW_BUCKETS = (96, 256, 1024, 4096)
         b = len(fsms)
         r = logits.shape[0]
         use_cfg = cfg_scale > 1.0 and r == 2 * b
@@ -286,29 +292,42 @@ class LLMHandler:
                 lg = logits
                 if use_cfg:
                     lg = sampling.cfg_combine(logits[:b], logits[b:], cfg_scale)
-                key, sub = jax.random.split(key)
-                if all(s.kind in ("allow", "force", "eos") for s in specs):
-                    ids = np.full((b, allow_pad), -1, np.int32)
-                    for i, s in enumerate(specs):
-                        cand = [s.token] if s.kind in ("force", "eos") else s.ids[:allow_pad]
-                        ids[i, : len(cand)] = cand
-                    toks = np.asarray(sampling.sample_allow(lg, jnp.asarray(ids), sub, temperature,
-                                                            top_k=top_k, top_p=top_p))
-                else:
-                    ids = np.full((b, allow_pad), -1, np.int32)
-                    for i, s in enumerate(specs):
-                        if s.kind == "block" and s.ids:
-                            ids[i, : len(s.ids[:allow_pad])] = s.ids[:allow_pad]
-                        elif s.kind in ("force", "eos"):
-                            pass
-                    toks = np.asarray(sampling.sample_block(lg, jnp.asarray(ids), sub, temperature,
-                                                            top_k=top_k, top_p=top_p))
-                    for i, s in enumerate(specs):
-                        if s.kind in ("force", "eos"):
-                            toks[i] = s.token
-                        elif s.kind == "allow":
-                            if int(toks[i]) not in s.ids:
-                                toks[i] = s.ids[0]
+                toks = np.full((b,), -1, np.int32)
+                allow_rows = [i for i, s in enumerate(specs) if s.kind == "allow"]
+                block_rows = [i for i, s in enumerate(specs) if s.kind in ("block", "free")]
+                prob_rows = [i for i, s in enumerate(specs) if s.kind == "prob_end"]
+                for i, s in enumerate(specs):
+                    if s.kind in ("force", "eos"):
+                        toks[i] = s.token
+                if allow_rows:
+                    longest = max(len(specs[i].ids) for i in allow_rows)
+                    width = next((w for w in ALLOW_BUCKETS if w >= longest), longest)
+                    ids = np.full((b, width), -1, np.int32)
+                    for i in allow_rows:
+                        ids[i, : len(specs[i].ids)] = specs[i].ids[:width]
+                    key, sub = jax.random.split(key)
+                    got = np.asarray(sampling.sample_allow(
+                        lg, jnp.asarray(ids), sub, temperature, top_k=top_k, top_p=top_p))
+                    toks[allow_rows] = got[allow_rows]
+                if block_rows:
+                    width = max(
+                        (len(specs[i].ids) for i in block_rows if specs[i].ids), default=1
+                    )
+                    ids = np.full((b, max(width, 1)), -1, np.int32)
+                    for i in block_rows:
+                        if specs[i].ids:
+                            ids[i, : len(specs[i].ids)] = specs[i].ids
+                    key, sub = jax.random.split(key)
+                    got = np.asarray(sampling.sample_block(
+                        lg, jnp.asarray(ids), sub, temperature, top_k=top_k, top_p=top_p))
+                    toks[block_rows] = got[block_rows]
+                if prob_rows:
+                    key, sub = jax.random.split(key)
+                    got = np.asarray(sampling.sample_prob_end(
+                        lg, sub, jnp.float32(temperature),
+                        newline_token=specs[prob_rows[0]].token,
+                        eos_token=self.fsm.eos_token_id, top_k=top_k, top_p=top_p))
+                    toks[prob_rows] = got[prob_rows]
 
             for i, f in enumerate(fsms):
                 if not f.finished:
@@ -333,16 +352,22 @@ class LLMHandler:
     _DFA_MAX_TABLE_ENTRIES = 16_000_000
 
     def _cot_dfa_for(self, user_metadata, max_cot_tokens: int,
-                     target_duration: Optional[float] = None):
-        """Compile (and cache) the CoT grammar → device DFA tables.
+                     target_duration: Optional[float] = None,
+                     phase: str = "cot", skip_genres: bool = True):
+        """Compile (and cache) the CoT/understand grammar → device DFA tables.
 
-        Returns None when the grammar's dense tables would be too large for
-        the device path (caller falls back to the host FSM loop)."""
+        The main generate grammar skips genres like the reference
+        (llm_inference.py:1233); understand/create/format grammars pass
+        skip_genres=False (ref :1715/:1924/:2125) — genres uses the vocab trie
+        when loaded, else the probability-ended free-text fallback. Returns
+        None when the grammar's dense tables would be too large for the device
+        path (caller falls back to the host FSM loop)."""
         from acestep_tpu.lm.dfa import compile_cot_dfa
 
         md = tuple(sorted((k, str(v)) for k, v in (user_metadata or {}).items()
                           if v not in (None, "", "N/A")))
-        key = (md, max_cot_tokens, self.genres_vocab is not None, target_duration)
+        key = (md, max_cot_tokens, self.genres_vocab is not None, target_duration,
+               phase, skip_genres)
         cache = getattr(self, "_dfa_cache", None)
         if cache is None:
             cache = self._dfa_cache = {}
@@ -350,13 +375,13 @@ class LLMHandler:
             return cache[key]
         fsm = ConstrainedDecoderFSM(
             self.tokenizer, max_duration=self.fsm.max_duration,
-            genres_vocab=self.genres_vocab, skip_genres=self.genres_vocab is None,
+            genres_vocab=self.genres_vocab, skip_genres=skip_genres,
             caption_max_tokens=min(512, max_cot_tokens // 3),
         )
         # target_duration reaches the FSM exactly as on the host-loop path, so
         # the two paths stay grammar-identical if duration ever constrains CoT.
-        fsm.reset(phase="cot", stop_at_reasoning=True, user_metadata=user_metadata,
-                  target_duration=target_duration)
+        fsm.reset(phase=phase, stop_at_reasoning=phase == "cot",
+                  user_metadata=user_metadata, target_duration=target_duration)
         dfa = compile_cot_dfa(fsm, self.config.vocab_size)
         if dfa.trans.size > self._DFA_MAX_TABLE_ENTRIES:
             cache[key] = None
@@ -366,6 +391,7 @@ class LLMHandler:
             "alpha_allow": jnp.asarray(dfa.alpha_allow),
             "allow_other": jnp.asarray(dfa.allow_other),
             "finished": jnp.asarray(dfa.finished),
+            "prob_end": jnp.asarray(dfa.prob_end),
             "alpha_tokens": jnp.asarray(dfa.alpha_tokens),
             "vocab_to_sym": jnp.asarray(dfa.vocab_to_sym),
         }
@@ -389,6 +415,7 @@ class LLMHandler:
         cfg_scale: float,
         seed: int,
         target_duration: Optional[float] = None,
+        repetition_penalty: float = 1.0,
     ) -> Optional[List[List[int]]]:
         """Run the whole CoT phase on device; one readback at the end.
         Returns None when the grammar is too large for the device DFA."""
@@ -399,12 +426,14 @@ class LLMHandler:
         toks, _ = sampling.generate_cot_dfa(
             self.params, self.config, logits, jnp.asarray(positions), cache,
             jax.random.PRNGKey(seed), dev["trans"], dev["alpha_allow"],
-            dev["allow_other"], dev["finished"], dev["alpha_tokens"],
-            dev["vocab_to_sym"],
+            dev["allow_other"], dev["finished"], dev["prob_end"],
+            dev["alpha_tokens"], dev["vocab_to_sym"],
             jnp.full((b,), dfa.start_state, jnp.int32),
             jnp.float32(temperature),
             max_steps=max_cot_tokens, eos_token=dfa.eos_token_id,
+            newline_token=dfa.newline_token_id if bool(dfa.prob_end.any()) else -1,
             top_k=top_k, top_p=top_p, cfg_scale=cfg_scale if cfg_scale > 1.0 else 1.0,
+            repetition_penalty=repetition_penalty,
         )
         toks = np.asarray(toks)
         out: List[List[int]] = []
@@ -430,6 +459,7 @@ class LLMHandler:
         cfg_scale: float = 1.0,
         top_k: int = 0,
         top_p: float = 0.9,
+        repetition_penalty: float = 1.0,
         negative_prompt: str = "NO USER INPUT",
         user_metadata: Optional[Dict[str, Optional[str]]] = None,
         target_duration: Optional[float] = None,
@@ -438,15 +468,42 @@ class LLMHandler:
         max_cot_tokens: int = 350,
         seed: int = 0,
         batch_size: int = 1,
+        batch_chunk_size: Optional[int] = None,
     ) -> Dict[str, Any]:
         """Two-phase generation: CoT metadata, then duration-driven audio codes.
 
         batch_size > 1 generates a DISTINCT plan (CoT + codes) per batch item
-        in lockstep batched decoding (ref batch chunking, llm_inference.py:1123-1485).
-        Returns the first sample's fields plus per-sample lists under
+        in lockstep batched decoding; batch_chunk_size bounds the decode batch
+        (ref LM batch chunking, llm_inference.py:1123-1485) — larger requests
+        run as sequential chunks and results are concatenated. Returns the
+        first sample's fields plus per-sample lists under
         "batch_metadata"/"batch_audio_codes".
         """
         assert self.initialized, "call initialize() first"
+        if batch_chunk_size and batch_size > batch_chunk_size:
+            merged: Dict[str, Any] = {}
+            done = 0
+            while done < batch_size:
+                n = min(batch_chunk_size, batch_size - done)
+                part = self.generate_with_stop_condition(
+                    caption, lyrics, temperature=temperature, cfg_scale=cfg_scale,
+                    top_k=top_k, top_p=top_p, repetition_penalty=repetition_penalty,
+                    negative_prompt=negative_prompt, user_metadata=user_metadata,
+                    target_duration=target_duration, stop_at_reasoning=stop_at_reasoning,
+                    use_constrained_decoding=use_constrained_decoding,
+                    max_cot_tokens=max_cot_tokens, seed=seed + done, batch_size=n,
+                )
+                if not merged:
+                    merged = part
+                else:
+                    for k in ("batch_metadata", "batch_cot_texts", "batch_audio_codes",
+                              "batch_codes"):
+                        if k in part:
+                            merged.setdefault(k, []).extend(part[k])
+                    for k, v in part.get("time_costs", {}).items():
+                        merged["time_costs"][k] = merged["time_costs"].get(k, 0.0) + v
+                done += n
+            return merged
         t0 = time.time()
         time_costs: Dict[str, float] = {}
         b = max(1, batch_size)
@@ -479,6 +536,7 @@ class LLMHandler:
                 user_metadata=user_metadata, max_cot_tokens=max_cot_tokens,
                 temperature=temperature, top_k=top_k, top_p=top_p,
                 cfg_scale=cfg_scale, seed=seed, target_duration=target_duration,
+                repetition_penalty=repetition_penalty,
             )
         if generated is None:
             fsms = []
@@ -523,6 +581,7 @@ class LLMHandler:
         codes_batch = self._generate_codes(
             caption, lyrics, cot_texts, n_codes_max,
             temperature=temperature, cfg_scale=cfg_scale, top_k=top_k, top_p=top_p,
+            repetition_penalty=repetition_penalty,
             negative_prompt=negative_prompt, seed=seed,
         )
         codes_batch = [c[: n_codes_each[i]] for i, c in enumerate(codes_batch)]
@@ -555,6 +614,7 @@ class LLMHandler:
         top_p: float,
         negative_prompt: str,
         seed: int,
+        repetition_penalty: float = 1.0,
     ) -> List[List[int]]:
         """Device-scan code generation for a batch of CoT plans. Falls back to
         pseudo-codes when the tokenizer lacks native code tokens (dev mode)."""
@@ -596,11 +656,23 @@ class LLMHandler:
         first_tok = jnp.asarray(first + code_start, jnp.int32)
         feed = jnp.concatenate([first_tok, first_tok]) if use_cfg else first_tok
 
+        seen0 = None
+        if repetition_penalty != 1.0:
+            # Seed the penalty set with code tokens already in the prompt
+            # (cover/understand contexts), HF full-context semantics.
+            seen_np = np.zeros((b, n_vocab_codes), bool)
+            in_range = (ids[:b] >= code_start) & (ids[:b] < code_start + n_vocab_codes)
+            rows, cols = np.nonzero(in_range)
+            seen_np[rows, ids[:b][rows, cols] - code_start] = True
+            first_np = np.asarray(first)
+            seen_np[np.arange(b), first_np] = True
+            seen0 = jnp.asarray(seen_np)
         toks, _ = sampling.generate_codes_scan(
-            self.params, self.config, feed, jnp.asarray(positions), cache, key,
+            self.params, self.config, feed, jnp.asarray(positions), cache, key, seen0,
             n_steps=n_codes - 1, code_start=code_start, n_codes=n_vocab_codes,
             temperature=temperature, top_k=top_k, top_p=top_p,
             cfg_scale=cfg_scale if use_cfg else 1.0,
+            repetition_penalty=repetition_penalty,
         )
         toks = np.asarray(toks)  # (b, n_codes-1)
         return [
@@ -651,17 +723,47 @@ class LLMHandler:
         return {"metadata": metadata, "text": text}
 
     def _free_generate(self, prompt: str, *, temperature: float, max_new_tokens: int,
-                       seed: int) -> str:
-        """Unconstrained decode-until-EOS, fully on device (one readback)."""
+                       seed: int, constrained: bool = True) -> str:
+        """Decode-until-EOS for the understand/create/format APIs, fully on
+        device (one readback).
+
+        By default the understand grammar is enforced — constrained metadata
+        (INCLUDING genres, ref llm_inference.py:1715/:1924/:2125
+        skip_genres=False) then free text until EOS — matching the reference,
+        which runs its constrained processor on these phases too. Falls back
+        to unconstrained decoding if the grammar cannot compile (dev-mode
+        tokenizers without the full special-token set)."""
         ids, mask, bucket = self._encode_prompts([prompt], budget=max_new_tokens)
         logits, cache = self._prefill(ids, mask, bucket + max_new_tokens)
         positions = np.asarray([mask[0].sum()], np.int32)
         eos = getattr(self.tokenizer, "eos_token_id", None) or 2
-        toks, _ = sampling.generate_free(
-            self.params, self.config, logits, jnp.asarray(positions), cache,
-            jax.random.PRNGKey(seed), jnp.float32(temperature),
-            max_steps=max_new_tokens, eos_token=eos, top_k=0, top_p=0.9,
-        )
+
+        compiled = None
+        if constrained and os.environ.get("ACESTEP_TPU_NO_DEVICE_FSM", "0") != "1":
+            try:
+                compiled = self._cot_dfa_for(None, max_new_tokens,
+                                             phase="understand", skip_genres=False)
+            except Exception:  # pragma: no cover — dev tokenizer quirks
+                compiled = None
+        if compiled is not None:
+            dfa, dev = compiled
+            toks, _ = sampling.generate_cot_dfa(
+                self.params, self.config, logits, jnp.asarray(positions), cache,
+                jax.random.PRNGKey(seed), dev["trans"], dev["alpha_allow"],
+                dev["allow_other"], dev["finished"], dev["prob_end"],
+                dev["alpha_tokens"], dev["vocab_to_sym"],
+                jnp.full((1,), dfa.start_state, jnp.int32),
+                jnp.float32(temperature),
+                max_steps=max_new_tokens, eos_token=dfa.eos_token_id,
+                newline_token=dfa.newline_token_id if bool(dfa.prob_end.any()) else -1,
+                top_k=0, top_p=0.9,
+            )
+        else:
+            toks, _ = sampling.generate_free(
+                self.params, self.config, logits, jnp.asarray(positions), cache,
+                jax.random.PRNGKey(seed), jnp.float32(temperature),
+                max_steps=max_new_tokens, eos_token=eos, top_k=0, top_p=0.9,
+            )
         row = np.asarray(toks)[0]
         out = []
         for t in row:

@@ -140,6 +140,30 @@ def sample_block(
     return sample(logits + row, key, temperature, top_k=top_k, top_p=top_p)
 
 
+@functools.partial(jax.jit, static_argnames=("newline_token", "eos_token", "top_k", "top_p"))
+def sample_prob_end(
+    logits: jax.Array,  # (B, V)
+    key: jax.Array,
+    temperature: jax.Array,
+    *,
+    newline_token: int,
+    eos_token: int,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jax.Array:
+    """Free-text sampling with probability-gated newline ending (ref
+    `_should_end_text_field`, constrained_logits_processor.py:1495-1513):
+    force newline when P(newline) > max P(other); otherwise sample
+    unconstrained (EOS excluded)."""
+    lg = logits.astype(jnp.float32)
+    probs = jax.nn.softmax(lg, axis=-1)
+    nl_p = probs[:, newline_token]
+    other_max = jnp.max(probs.at[:, newline_token].set(0.0), axis=-1)
+    lg = lg.at[:, eos_token].set(NEG)
+    tok = sample(lg, key, temperature, top_k=top_k, top_p=top_p)
+    return jnp.where(nl_p > other_max, newline_token, tok).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "max_steps", "top_k", "top_p"))
 def generate_free(
     params,
@@ -184,7 +208,8 @@ def generate_free(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_steps", "top_k", "top_p", "cfg_scale"),
+    static_argnames=("cfg", "max_steps", "top_k", "top_p", "cfg_scale",
+                     "newline_token", "repetition_penalty"),
 )
 def generate_cot_dfa(
     params,
@@ -198,16 +223,20 @@ def generate_cot_dfa(
     alpha_allow: jax.Array,  # (S, A) bool
     allow_other: jax.Array,  # (S,) bool
     finished: jax.Array,  # (S,) bool
+    prob_end: jax.Array,  # (S,) bool
     alpha_tokens: jax.Array,  # (A,) int32
     vocab_to_sym: jax.Array,  # (V,) int32
     start_states: jax.Array,  # (B,) int32
     temperature: jax.Array,  # () float32 — traced to avoid recompiles
+    seen0: Optional[jax.Array] = None,  # (B, V) bool — prompt tokens, for rep penalty
     *,
     max_steps: int,
     eos_token: int,
+    newline_token: int = -1,
     top_k: int = 0,
     top_p: float = 1.0,
     cfg_scale: float = 1.0,
+    repetition_penalty: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     """The ENTIRE constrained CoT phase as one on-device while_loop.
 
@@ -222,18 +251,28 @@ def generate_cot_dfa(
     use_cfg = cfg_scale > 1.0
     b = r // 2 if use_cfg else r
     v = logits0.shape[1]
+    use_rp = repetition_penalty != 1.0
 
     out0 = jnp.full((b, max_steps), eos_token, jnp.int32)
+    seen_init = (
+        (seen0 if seen0 is not None else jnp.zeros((b, v), bool))
+        if use_rp else jnp.zeros((b, 1), bool)
+    )
 
     def cond(carry):
         i, states, *_ = carry
         return (i < max_steps) & jnp.any(~finished[states])
 
     def body(carry):
-        i, states, logits, pos, cache, out, key = carry
+        i, states, logits, pos, cache, out, key, seen = carry
         lg = logits.astype(jnp.float32)
         if use_cfg:
             lg = cfg_combine(lg[:b], lg[b:], cfg_scale)
+        if use_rp:
+            # HF RepetitionPenaltyLogitsProcessor semantics over prompt+generated.
+            lg = jnp.where(
+                seen, jnp.where(lg > 0, lg / repetition_penalty, lg * repetition_penalty), lg
+            )
         done = finished[states]  # (B,)
         # Build the (B, V) mask from the state rows: non-alphabet tokens via
         # allow_other, alphabet tokens via a scatter of the (B, A) allow row.
@@ -243,22 +282,35 @@ def generate_cot_dfa(
         bias = bias.at[:, alpha_tokens].set(abias)
         key, sub = jax.random.split(key)
         tok = sample(lg + bias, sub, temperature, top_k=top_k, top_p=top_p)
+        if newline_token >= 0:
+            # Probability-gated field ending (ref _should_end_text_field
+            # :1495-1513): in prob_end states force newline when P(newline)
+            # exceeds every other token's probability (computed on the
+            # UNconstrained logits, as the reference does).
+            probs = jax.nn.softmax(lg, axis=-1)
+            nl_p = probs[:, newline_token]
+            other_max = jnp.max(probs.at[:, newline_token].set(0.0), axis=-1)
+            force_nl = prob_end[states] & (nl_p > other_max)
+            tok = jnp.where(force_nl, newline_token, tok)
         tok = jnp.where(done, eos_token, tok).astype(jnp.int32)
         states = jnp.where(done, states, trans[states, vocab_to_sym[tok]])
         out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, i))
+        if use_rp:
+            seen = seen.at[jnp.arange(b), tok].set(True)
         feed = jnp.concatenate([tok, tok]) if use_cfg else tok
         logits, cache = qwen3.decode_step(params, cfg, feed, pos, cache)
-        return (i + 1, states, logits, pos + 1, cache, out, key)
+        return (i + 1, states, logits, pos + 1, cache, out, key, seen)
 
-    i, _, _, _, _, out, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), start_states, logits0, positions, cache, out0, key)
+    i, _, _, _, _, out, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), start_states, logits0, positions, cache, out0, key, seen_init)
     )
     return out, i
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "code_start", "n_codes", "top_k", "top_p", "cfg_scale"),
+    static_argnames=("cfg", "n_steps", "code_start", "n_codes", "top_k", "top_p",
+                     "cfg_scale", "repetition_penalty"),
 )
 def generate_codes_scan(
     params,
@@ -267,6 +319,7 @@ def generate_codes_scan(
     positions: jax.Array,  # (R,) their positions
     cache: qwen3.KVCache,
     key: jax.Array,
+    seen0: Optional[jax.Array] = None,  # (B, n_codes) bool — codes already in the prompt
     *,
     n_steps: int,
     code_start: int,
@@ -275,29 +328,48 @@ def generate_codes_scan(
     top_k: int = 0,
     top_p: float = 0.9,
     cfg_scale: float = 1.0,
+    repetition_penalty: float = 1.0,
 ) -> Tuple[jax.Array, qwen3.KVCache]:
     """Generate `n_steps` audio-code tokens fully on device.
 
     With cfg_scale > 1, rows are [cond(B), uncond(B)] in one decode batch —
     the lockstep CFG decode of ref `_generate_with_cfg_custom` (:2414-2533) —
-    and sampled tokens are fed to both halves.
+    and sampled tokens are fed to both halves. repetition_penalty != 1 applies
+    HF semantics over the code sub-vocabulary (prompt codes via seen0 +
+    generated codes).
     """
     r = first_tokens.shape[0]
     use_cfg = cfg_scale > 1.0
     b = r // 2 if use_cfg else r
+    use_rp = repetition_penalty != 1.0
+    seen_init = (
+        (seen0 if seen0 is not None else jnp.zeros((b, n_codes), bool))
+        if use_rp else jnp.zeros((b, 1), bool)
+    )
 
     def step(carry, k):
-        toks, pos, cache = carry
+        toks, pos, cache, seen = carry
         logits, cache = qwen3.decode_step(params, cfg, toks, pos, cache)
         code_logits = jax.lax.dynamic_slice_in_dim(logits, code_start, n_codes, axis=-1)
         if use_cfg:
             code_logits = cfg_combine(code_logits[:b], code_logits[b:], cfg_scale)
+        if use_rp:
+            code_logits = jnp.where(
+                seen,
+                jnp.where(code_logits > 0, code_logits / repetition_penalty,
+                          code_logits * repetition_penalty),
+                code_logits,
+            )
         idx = sample(code_logits, k, temperature, top_k=top_k, top_p=top_p)
+        if use_rp:
+            seen = seen.at[jnp.arange(b), idx].set(True)
         new_tok = (idx + code_start).astype(toks.dtype)
         if use_cfg:
             new_tok = jnp.concatenate([new_tok, new_tok])
-        return (new_tok, pos + 1, cache), idx + code_start
+        return (new_tok, pos + 1, cache, seen), idx + code_start
 
     keys = jax.random.split(key, n_steps)
-    (final_tok, _, cache), toks = jax.lax.scan(step, (first_tokens, positions, cache), keys)
+    (final_tok, _, cache, _), toks = jax.lax.scan(
+        step, (first_tokens, positions, cache, seen_init), keys
+    )
     return toks.T, cache  # (B or 2B? -> (R?...)) tokens per step transposed to (R, n_steps)

@@ -85,12 +85,14 @@ def generate_music(
                 cfg_scale=params.lm_cfg_scale,
                 top_k=params.lm_top_k,
                 top_p=params.lm_top_p,
+                repetition_penalty=params.lm_repetition_penalty,
                 negative_prompt=params.lm_negative_prompt,
                 user_metadata=user_metadata if params.use_cot_metas else None,
                 target_duration=params.duration if params.duration > 0 else None,
                 use_constrained_decoding=params.use_constrained_decoding,
                 seed=max(params.seed, 0),
                 batch_size=lm_batch,
+                batch_chunk_size=config.lm_batch_chunk_size,
             )
             lm_meta = lm_out["metadata"]
             if not audio_codes:

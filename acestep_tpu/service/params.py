@@ -67,6 +67,7 @@ class GenerationParams:
     lm_cfg_scale: float = 2.0
     lm_top_k: int = 0
     lm_top_p: float = 0.9
+    lm_repetition_penalty: float = 1.0
     lm_negative_prompt: str = "NO USER INPUT"
     use_cot_metas: bool = True
     use_cot_caption: bool = True

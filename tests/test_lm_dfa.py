@@ -280,3 +280,208 @@ def test_dfa_bpe_metadata_injection_multitoken():
     text = tok.decode(out)
     assert "bpm: 128\n" in text
     assert "duration: 60\n" in text
+
+
+# ---------------------------------------------------------------------------
+# Round 2: genres grammar (trie + probability fallback), allow-sets > 96,
+# repetition penalty, LM batch chunking (VERDICT item 4)
+# ---------------------------------------------------------------------------
+
+GENRES_SMALL = ["rock", "jazz", "synthwave", "lofi hip hop", "ambient drone"]
+# >96 distinct first tokens exercises the bucketed allow path (97-150 are
+# printable single bytes under the byte tokenizer)
+GENRES_WIDE = [chr(33 + i) + "x" for i in range(150)]
+
+
+def _walk_equivalence(fsm_factory, seed, steps=800):
+    """Random-walk the host FSM; assert the DFA tables stay in lockstep."""
+    fsm = fsm_factory()
+    dfa = compile_cot_dfa(fsm_factory(), VOCAB)
+    rng = np.random.default_rng(seed)
+    state = dfa.start_state
+    for _ in range(steps):
+        if fsm.finished:
+            assert dfa.finished[state]
+            break
+        spec = fsm.step_spec()
+        if spec.kind == "force":
+            tok = spec.token
+        elif spec.kind == "allow":
+            tok = int(rng.choice(spec.ids))
+            dfa_allowed = set(
+                int(dfa.alpha_tokens[i]) for i in np.nonzero(dfa.alpha_allow[state])[0]
+            )
+            assert dfa_allowed == set(spec.ids)
+            assert not dfa.allow_other[state]
+        elif spec.kind in ("block", "prob_end"):
+            assert dfa.allow_other[state]
+            assert bool(dfa.prob_end[state]) == (spec.kind == "prob_end")
+            nl = fsm.canonical_newline
+            cand = [t for t in TOK.encode("qz7 ,") if t not in set(spec.ids or [])]
+            pool = cand + ([nl] if spec.kind == "prob_end" or nl not in set(spec.ids or []) else [])
+            tok = int(rng.choice(pool))
+        else:
+            pytest.fail(f"unexpected kind {spec.kind}")
+        next_state = int(dfa.trans[state, dfa.vocab_to_sym[tok]])
+        fsm.advance(tok)
+        state = next_state
+    else:
+        pytest.fail("walk did not finish")
+    assert fsm.finished and dfa.finished[state]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_genres_trie_grammar_dfa_equivalence(seed):
+    def factory():
+        fsm = ConstrainedDecoderFSM(TOK, skip_genres=False, genres_vocab=GENRES_SMALL)
+        fsm.reset(phase="cot", stop_at_reasoning=True)
+        return fsm
+
+    _walk_equivalence(factory, seed)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_genres_textfield_fallback_dfa_equivalence(seed):
+    """No vocab → probability-ended free text (ref GENRES_VALUE fallback)."""
+    def factory():
+        fsm = ConstrainedDecoderFSM(TOK, skip_genres=False, genres_vocab=None)
+        fsm.reset(phase="cot", stop_at_reasoning=True)
+        return fsm
+
+    _walk_equivalence(factory, seed)
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_understand_grammar_dfa_equivalence(seed):
+    """Understand phase: constrained metadata (incl. genres) then free tail."""
+    def factory():
+        fsm = ConstrainedDecoderFSM(TOK, skip_genres=False, genres_vocab=GENRES_SMALL)
+        fsm.reset(phase="understand")
+        return fsm
+
+    fsm = factory()
+    dfa = compile_cot_dfa(factory(), VOCAB)
+    rng = np.random.default_rng(seed)
+    state = dfa.start_state
+    free_steps = 0
+    for _ in range(900):
+        if fsm.finished:
+            break
+        spec = fsm.step_spec()
+        if spec.kind == "force":
+            tok = spec.token
+        elif spec.kind == "allow":
+            tok = int(rng.choice(spec.ids))
+        elif spec.kind in ("block", "prob_end"):
+            tok = int(rng.choice([t for t in TOK.encode("qz7 ,")
+                                  if t not in set(spec.ids or [])] + [fsm.canonical_newline]))
+        elif spec.kind == "free":
+            assert dfa.allow_other[state] and not dfa.finished[state]
+            free_steps += 1
+            tok = fsm.eos_token_id if free_steps > 5 else int(rng.choice(TOK.encode("la la")))
+        else:
+            pytest.fail(spec.kind)
+        next_state = int(dfa.trans[state, dfa.vocab_to_sym[tok]])
+        fsm.advance(tok)
+        state = next_state
+    assert fsm.finished and dfa.finished[state]
+    assert free_steps > 5  # the free tail was exercised and EOS ended it
+
+
+def test_wide_genres_allow_sets_over_96(monkeypatch):
+    """Root fan-out of 150 single-token genres: the host loop's bucketed ALLOW
+    path must present the FULL set (round-1 silently truncated at 96 and
+    forced ids[0])."""
+
+    class WideGenresTok(MockBPETokenizer):
+        MERGES = MockBPETokenizer.MERGES + ["genres:"] + [f"g{i:03d}x" for i in range(150)]
+
+    wide_vocab = [f"g{i:03d}x" for i in range(150)]
+    tok = WideGenresTok()
+    fsm = ConstrainedDecoderFSM(tok, skip_genres=False, genres_vocab=wide_vocab)
+    fsm.reset(phase="cot", stop_at_reasoning=True)
+    first_tokens = {tok.encode(g)[0] for g in wide_vocab}
+    assert len(first_tokens) == 150
+    seen_sets = []
+    guard = 0
+    while not fsm.finished and guard < 500:
+        spec = fsm.step_spec()
+        if spec.kind == "allow" and len(spec.ids) > 96:
+            seen_sets.append(set(spec.ids))
+            tok_id = spec.ids[0]
+        elif spec.kind == "force":
+            tok_id = spec.token
+        elif spec.kind == "allow":
+            tok_id = spec.ids[0]
+        else:
+            tok_id = fsm.canonical_newline
+        fsm.advance(int(tok_id))
+        guard += 1
+    assert seen_sets and first_tokens <= seen_sets[0]
+
+    # And the handler host loop samples from the full set without clamping.
+    monkeypatch.setenv("ACESTEP_TPU_NO_DEVICE_FSM", "1")
+    h = _tiny_handler(seed=9)
+    h.tokenizer = tok
+    h.genres_vocab = wide_vocab
+    h._dfa_cache = {}
+    fsms = []
+    f = ConstrainedDecoderFSM(tok, skip_genres=False, genres_vocab=wide_vocab,
+                              caption_max_tokens=4)
+    f.reset(phase="cot", stop_at_reasoning=True)
+    fsms.append(f)
+    ids, mask, bucket = h._encode_prompts([h.build_formatted_prompt("x", "")], budget=256)
+    logits, cache = h._prefill(ids, mask, bucket + 256)
+    positions = np.asarray([mask[0].sum()], np.int32)
+    gen, _, _, _ = h._constrained_loop(
+        fsms, logits, cache, positions, max_new_tokens=256,
+        temperature=0.9, top_k=0, top_p=1.0, key=jax.random.PRNGKey(0),
+    )
+    text = tok.decode(gen[0])
+    m = re.search(r"\ngenres:(.*)", text)
+    assert m, text
+    assert m.group(1).strip() in wide_vocab
+
+
+def test_repetition_penalty_codes_scan():
+    """High repetition penalty forces distinct code tokens (HF semantics over
+    the code sub-vocabulary)."""
+    from acestep_tpu.models import qwen3 as q3
+
+    cfg = Qwen3Config(vocab_size=VOCAB, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=2,
+                      num_key_value_heads=1, head_dim=32)
+    params = q3.init_qwen3_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    n_steps, code_start, n_codes = 40, 50, 64
+    first = jnp.asarray([60], jnp.int32)
+    pos = jnp.asarray([4], jnp.int32)
+
+    def run(rp):
+        cache = q3.KVCache.create(cfg, 1, 8 + n_steps + 4, jnp.float32)
+        ids = jnp.asarray([[1, 2, 3, 60]], jnp.int32)
+        _, cache = q3.prefill(params, cfg, ids, jnp.ones_like(ids), cache)
+        seen0 = jnp.zeros((1, n_codes), bool).at[0, 10].set(True)
+        toks, _ = sampling.generate_codes_scan(
+            params, cfg, first, pos, cache, jax.random.PRNGKey(1), seen0,
+            n_steps=n_steps, code_start=code_start, n_codes=n_codes,
+            temperature=0.0, repetition_penalty=rp,
+        )
+        return np.asarray(toks)[0] - code_start
+
+    lo = run(1.0)
+    hi = run(1000.0)
+    assert len(set(hi.tolist())) >= len(set(lo.tolist()))
+    assert len(set(hi.tolist())) >= n_steps - 2  # essentially all distinct
+    assert 10 not in hi.tolist()  # prompt-seeded code blocked
+
+
+def test_lm_batch_chunking():
+    """batch_chunk_size bounds the decode batch; results concatenate."""
+    h = _tiny_handler(seed=7)
+    out = h.generate_with_stop_condition(
+        caption="chunked", lyrics="", temperature=0.9, stop_at_reasoning=True,
+        batch_size=5, batch_chunk_size=2, seed=3,
+    )
+    assert len(out["batch_metadata"]) == 5
+    for md in out["batch_metadata"]:
+        assert 30 <= int(md["bpm"]) <= 300
