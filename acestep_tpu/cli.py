@@ -17,6 +17,22 @@ def _add_common_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--checkpoint-dir", default=os.environ.get("ACESTEP_CONFIG_PATH"))
     p.add_argument("--lm-checkpoint-dir", default=os.environ.get("ACESTEP_LM_MODEL_PATH"))
     p.add_argument("--random-init", action="store_true", help="dev mode: random weights")
+    p.add_argument("--dp", type=int, default=int(os.environ.get("ACESTEP_TPU_DP", 1)),
+                   help="data-parallel mesh axis (shards the request batch)")
+    p.add_argument("--sp", type=int, default=int(os.environ.get("ACESTEP_TPU_SP", 1)),
+                   help="sequence-parallel mesh axis (shards the latent-time axis)")
+    p.add_argument("--tp", type=int, default=int(os.environ.get("ACESTEP_TPU_TP", 1)),
+                   help="tensor-parallel mesh axis (shards attention/MLP kernels)")
+
+
+def _apply_mesh(dit, llm, args) -> None:
+    """Wire --dp/--sp/--tp into the serving path (no-op at 1×1×1)."""
+    if args.dp * args.sp * args.tp <= 1:
+        return
+    dit.enable_mesh(dp=args.dp, sp=args.sp, tp=args.tp)
+    print(f"mesh enabled: dp={args.dp} sp={args.sp} tp={args.tp}")
+    if llm is not None and args.tp > 1:
+        llm.enable_tensor_parallel(dit.mesh)
 
 
 def cmd_generate(args) -> int:
@@ -31,6 +47,7 @@ def cmd_generate(args) -> int:
     if args.thinking:
         llm = LLMHandler()
         print(llm.initialize(args.lm_checkpoint_dir, random_init=args.random_init or None))
+    _apply_mesh(dit, llm, args)
 
     params = GenerationParams(
         caption=args.caption,
@@ -67,6 +84,7 @@ def cmd_serve(args) -> int:
     print(dit.initialize_service(args.checkpoint_dir, random_init=args.random_init or None))
     llm = LLMHandler()
     print(llm.initialize(args.lm_checkpoint_dir, random_init=args.random_init or None))
+    _apply_mesh(dit, llm, args)
     server = serve(dit, llm, args.host, args.port, args.api_key, args.output_dir)
     print(f"listening on {args.host}:{args.port}")
     server.serve_forever()

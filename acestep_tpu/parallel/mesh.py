@@ -67,16 +67,19 @@ _TP_ROWWISE = re.compile(r"(o_proj|down_proj)$")
 
 
 def _tp_spec_for(path: str, ndim: int) -> P:
+    """TP spec for a leaf. ndim 3/2 kernels and ndim 2 biases are the
+    scan-STACKED serving layout (leading per-layer axis)."""
     parts = path.split("/")
     owner = parts[-2] if len(parts) >= 2 else ""
     leaf = parts[-1]
-    if leaf == "kernel" and ndim == 2:
+    if leaf == "kernel" and ndim in (2, 3):
+        lead = (None,) * (ndim - 2)
         if _TP_COLWISE.search(owner):
-            return P(None, "tp")
+            return P(*lead, None, "tp")
         if _TP_ROWWISE.search(owner):
-            return P("tp", None)
-    if leaf == "bias" and ndim == 1 and _TP_COLWISE.search(owner):
-        return P("tp")
+            return P(*lead, "tp", None)
+    if leaf == "bias" and ndim in (1, 2) and _TP_COLWISE.search(owner):
+        return P(*((None,) * (ndim - 1)), "tp")
     return P()
 
 

@@ -624,6 +624,26 @@ class AceStepHandler:
     # Multi-chip data parallelism (SURVEY §2.4 TPU-native equivalents)
     # ------------------------------------------------------------------
 
+    def enable_mesh(self, dp: int = 1, sp: int = 1, tp: int = 1, devices=None) -> None:
+        """Build one dp×sp×tp mesh and shard the serving path over it — the
+        single entry the CLI/server `--dp/--sp/--tp` flags call (the reference
+        declares a tp plan but never executes it; here XLA partitions the
+        jitted denoise/decode programs from the shardings, with collectives on
+        ICI). dp shards the request batch, sp the latent-time axis, tp the
+        attention/MLP kernels per `base_model_tp_plan`.
+        """
+        from acestep_tpu.parallel.mesh import make_mesh, shard_params_dp, shard_params_tp
+
+        if dp * sp * tp <= 1:
+            return
+        self.mesh = make_mesh(dp=dp, sp=sp, tp=tp, devices=devices)
+        if tp > 1:
+            self.params = shard_params_tp(self.mesh, self.params)
+        else:
+            self.params = shard_params_dp(self.mesh, self.params)
+        self.vae_params = shard_params_dp(self.mesh, self.vae_params)
+        self.text_params = shard_params_dp(self.mesh, self.text_params)
+
     def enable_data_parallel(self, mesh=None) -> None:
         """Shard generation batches over a 'dp' mesh axis; params replicate.
 

@@ -28,9 +28,12 @@ def main():
     from acestep_tpu.pipeline.handler import AceStepHandler
 
     handler = AceStepHandler()
-    handler.initialize_service(
-        random_init=True, quantization=os.environ.get("BENCH_QUANT") or None
-    )
+    handler.initialize_service(random_init=True)
+    dp = int(os.environ.get("BENCH_DP", 1))
+    sp = int(os.environ.get("BENCH_SP", 1))
+    tp = int(os.environ.get("BENCH_TP", 1))
+    if dp * sp * tp > 1:
+        handler.enable_mesh(dp=dp, sp=sp, tp=tp)
 
     kwargs = dict(
         captions=["an energetic synthwave track with driving bass"] * BATCH,
