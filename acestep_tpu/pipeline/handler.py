@@ -716,13 +716,24 @@ class AceStepHandler:
         inference_steps: int = 8,
         seed: int = 42,
         custom_layers_config: Optional[Dict[int, List[int]]] = None,
+        sample_idx: int = 0,
     ) -> Dict[str, Any]:
         """Re-run one decoder step at t=1/steps with attention capture, DTW-align
-        cross-attention to lyric tokens, return LRC text + timestamps."""
+        cross-attention to lyric tokens, return LRC text + timestamps +
+        composite lyric quality score. sample_idx selects the batch item
+        (ref _run_auto_lrc slices per sample, generation_progress.py:407)."""
         from acestep_tpu.scoring.alignment import MusicStampsAligner, format_lrc
 
         cfgmap = custom_layers_config or self.custom_layers_config
         t_last = 1.0 / max(inference_steps, 1)
+        i = sample_idx
+        pred_latents = pred_latents[i : i + 1]
+        condition = {
+            k: (v[i : i + 1] if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[0] > i else v)
+            for k, v in condition.items()
+        }
+        if hasattr(lyric_token_ids, "ndim") and lyric_token_ids.ndim == 2 and lyric_token_ids.shape[0] > i:
+            lyric_token_ids = lyric_token_ids[i : i + 1]
         xt_np = pred_latents[:1]
         # Latents were cropped to the exact duration; pad back to the bucketed
         # context length for the capture forward.
@@ -772,11 +783,20 @@ class AceStepHandler:
         token_stamps = aligner.token_timestamps(attn_lyric, pure_ids)
         sentences = [l for l in lyrics_text.split("\n") if l.strip()]
         sent_stamps = aligner.sentence_timestamps(attn_lyric, pure_ids, sentences)
+
+        # Composite lyric quality score (ref dit_score.py:15-330) from the
+        # same captured attention: cov² · mono² · path-confidence.
+        from acestep_tpu.scoring.lyric_score import MusicLyricScorer
+
+        scorer = MusicLyricScorer(self.text_tokenizer)
+        quality = scorer.score(attn_lyric, pure_ids, {})
         return {
             "success": True,
             "lrc_text": format_lrc(sent_stamps),
             "token_timestamps": [s.__dict__ for s in token_stamps],
             "sentence_timestamps": [s.__dict__ for s in sent_stamps],
+            "lyrics_score": quality.get("lyrics_score", 0.0),
+            "lyrics_score_detail": quality,
         }
 
     # ------------------------------------------------------------------

@@ -169,6 +169,8 @@ class ApiService:
                             "audio_paths": [a.get("path") for a in result.audios],
                             "keys": [a.get("key") for a in result.audios],
                             "seeds": [a.get("seed") for a in result.audios],
+                            "lrcs": [a.get("lrc") for a in result.audios],
+                            "lyrics_scores": [a.get("lyrics_score") for a in result.audios],
                             "metas": result.audios[0].get("metas") if result.audios else None,
                             "extra": {
                                 k: v

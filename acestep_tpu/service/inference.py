@@ -167,8 +167,27 @@ def generate_music(
             latent_rescale=params.latent_rescale,
             normalize_db=params.normalization_db if params.enable_normalization else None,
             return_int16=True,
+            return_condition=params.auto_lrc or params.auto_score,
         )
         time_costs.update(out["time_costs"])
+
+        # ------------------ auto LRC / lyric quality score ------------------
+        # Reference surface: the UI's auto-LRC/auto-score post-pass over saved
+        # intermediates (generation_progress.py:386-427); here it is a
+        # first-class param usable over REST too.
+        lrc_per_sample: List[Optional[Dict[str, Any]]] = [None] * b
+        if (params.auto_lrc or params.auto_score) and "condition" in out:
+            for i in range(out["latents"].shape[0]):
+                try:
+                    lrc_per_sample[i] = dit_handler.get_lyric_timestamps(
+                        out["latents"], out["condition"], out["lyric_token_ids"],
+                        lyrics, float(merged["duration"]),
+                        vocal_language=merged.get("language") or "en",
+                        inference_steps=params.inference_steps,
+                        sample_idx=i,
+                    )
+                except Exception as lrc_err:  # noqa: BLE001 — score is best-effort
+                    lrc_per_sample[i] = {"success": False, "error": str(lrc_err)}
 
         # ------------------ save ------------------
         audios: List[Dict[str, Any]] = []
@@ -189,6 +208,13 @@ def generate_music(
             else:
                 entry["audio"] = wav
             entry["metas"] = metas_str
+            lrc = lrc_per_sample[i] if i < len(lrc_per_sample) else None
+            if lrc and lrc.get("success"):
+                if params.auto_lrc:
+                    entry["lrc"] = lrc["lrc_text"]
+                    entry["sentence_timestamps"] = lrc["sentence_timestamps"]
+                if params.auto_score:
+                    entry["lyrics_score"] = lrc.get("lyrics_score")
             audios.append(entry)
 
         time_costs["pipeline_total_time_cost"] = time.time() - t_start

@@ -37,6 +37,11 @@ class GenerationParams:
     timesignature: str = ""
     duration: float = -1.0
 
+    # Post-generation analysis (ref UI auto-LRC/auto-score post-pass,
+    # generation_progress.py:386-427 — exposed as params here so REST gets it)
+    auto_lrc: bool = False
+    auto_score: bool = False
+
     # Audio post-processing
     enable_normalization: bool = True
     normalization_db: float = -1.0

@@ -97,3 +97,50 @@ def test_openrouter_message_parsing():
     ])
     assert audio2 == b"RIFF"
     assert params2.caption == "cover this"
+
+
+def test_lyric_quality_score_diagonal_vs_scrambled():
+    """Composite score (ref dit_score.py cov² · mono² · conf): a clean
+    monotonic diagonal alignment scores high; scrambled energy scores lower."""
+    from acestep_tpu.scoring.lyric_score import MusicLyricScorer
+
+    class Tok:
+        def decode(self, ids):
+            return {0: "[verse]", 1: "hel", 2: "lo", 3: "world", 4: "la"}.get(ids[0], "x")
+
+    rng = np.random.default_rng(0)
+    T, F = 12, 48
+    diag = np.zeros((T, F))
+    for i in range(T):
+        lo = int(i * F / T)
+        diag[i, lo : lo + 6] = 1.0
+    attn = diag[None] + rng.random((1, T, F)) * 0.02  # one pre-selected head map
+    ids = [1, 2, 3, 4] * 3
+
+    scorer = MusicLyricScorer(Tok())
+    good = scorer.score(attn, ids, {})
+    assert good["lyrics_score"] > 0.5, good
+    assert good["coverage"] == 1.0
+    assert good["monotonicity"] == 1.0
+
+    scrambled = rng.permutation(diag.reshape(-1)).reshape(1, T, F)
+    bad = scorer.score(scrambled, ids, {})
+    assert bad["lyrics_score"] < good["lyrics_score"]
+
+
+def test_lyric_quality_score_tag_mask_and_capture_dict():
+    from acestep_tpu.scoring.lyric_score import MusicLyricScorer
+
+    class Tok:
+        def decode(self, ids):
+            return {0: "[", 1: "chorus", 2: "]", 3: "word"}.get(ids[0], "w")
+
+    scorer = MusicLyricScorer(Tok())
+    mask = scorer.token_type_mask([0, 1, 2, 3, 3])
+    assert mask.tolist() == [0, 0, 0, 1, 1]
+
+    # capture-dict input ({layer: (B, H, T, F)}), head selection by config
+    rng = np.random.default_rng(1)
+    cap = {2: rng.random((1, 4, 6, 20)).astype(np.float32)}
+    out = scorer.score(cap, [3] * 6, {2: [1, 3]})
+    assert 0.0 <= out["lyrics_score"] <= 1.0

@@ -293,3 +293,21 @@ def test_release_task_multipart_upload(handlers, tmp_path):
     leftovers = glob.glob(os.path.join(tempfile.gettempdir(), "acestep_upload_*"))
     assert not leftovers, leftovers
     server.shutdown()
+
+
+def test_auto_lrc_and_score_in_results(handlers, tmp_path):
+    """auto_lrc/auto_score params surface LRC text and the composite lyric
+    quality score per sample (ref UI auto-LRC post-pass as a REST-able param)."""
+    dit, llm = handlers
+    params = GenerationParams(
+        caption="ballad", lyrics="hello world\nla la la", duration=2.0,
+        thinking=False, seed=3, auto_lrc=True, auto_score=True,
+    )
+    cfg = GenerationConfig(batch_size=1, audio_format="wav", output_dir=str(tmp_path),
+                           use_random_seed=False)
+    result = generate_music(dit, None, params, cfg)
+    assert result.success, result.error
+    a = result.audios[0]
+    assert "lrc" in a and isinstance(a["lrc"], str)
+    assert "lyrics_score" in a and 0.0 <= a["lyrics_score"] <= 1.0
+    assert a["sentence_timestamps"]
