@@ -65,6 +65,16 @@ STUDIO_HTML = """<!DOCTYPE html>
   <input type="text" id="caption" placeholder="an energetic synthwave track with driving bass">
   <label>Lyrics ([Instrumental] for none)</label>
   <textarea id="lyrics">[Instrumental]</textarea>
+  <div class="row">
+    <div><button id="btn_create" class="tool">Create sample</button></div>
+    <div><button id="btn_format" class="tool">Format input</button></div>
+    <div><button id="btn_understand" class="tool">Understand codes</button></div>
+  </div>
+  <div id="understandRow" style="display:none">
+    <label>Audio codes</label>
+    <input type="text" id="u_codes" placeholder="<|audio_code_123|>...">
+  </div>
+  <div id="tool_status" class="small"></div>
 </fieldset>
 
 <fieldset><legend>Settings</legend>
@@ -83,6 +93,8 @@ STUDIO_HTML = """<!DOCTYPE html>
     </div>
   </div>
   <label><input type="checkbox" id="thinking" checked> LM thinking (CoT metadata + codes)</label>
+  <label><input type="checkbox" id="auto_lrc"> Auto LRC (lyric timestamps)</label>
+  <label><input type="checkbox" id="auto_score"> Auto lyric quality score</label>
   <div class="row" id="repaintRow" style="display:none">
     <div><label>Repaint start (s)</label><input type="number" id="rstart" value="0"></div>
     <div><label>Repaint end (s)</label><input type="number" id="rend" value="-1"></div>
@@ -150,7 +162,7 @@ const I18N = {
        "Output dataset dir":"数据集输出目录","LoRA run":"LoRA 训练","Dataset dir":"数据集目录",
        "Output dir":"输出目录","Rank":"秩","LR":"学习率","Max steps":"最大步数",
        "Checkpoint every":"保存间隔","Start training":"开始训练","Runs":"运行记录","Alpha":"Alpha","BPM":"BPM",
-       "Refresh":"刷新","Stop":"停止"},
+       "Refresh":"刷新","Stop":"停止","Create sample":"生成示例","Format input":"格式化输入","Understand codes":"解析音频码","Audio codes":"音频码","Auto LRC (lyric timestamps)":"自动 LRC（歌词时间戳）","Auto lyric quality score":"自动歌词质量评分"},
   ja: {"Tab":"タブ","Generate":"生成","Training":"学習","Mode":"モード","Simple":"シンプル",
        "Custom":"カスタム","Remix":"リミックス","Repaint":"リペイント","Extract":"抽出",
        "Lego":"レゴ","Complete":"補完","Prompt":"プロンプト","Caption":"キャプション",
@@ -163,7 +175,7 @@ const I18N = {
        "Output dataset dir":"出力データセットディレクトリ","LoRA run":"LoRA 学習",
        "Dataset dir":"データセットディレクトリ","Output dir":"出力ディレクトリ","Rank":"ランク",
        "LR":"学習率","Max steps":"最大ステップ","Checkpoint every":"チェックポイント間隔","Alpha":"アルファ","BPM":"BPM",
-       "Start training":"学習開始","Runs":"実行一覧","Refresh":"更新","Stop":"停止"},
+       "Start training":"学習開始","Runs":"実行一覧","Refresh":"更新","Stop":"停止","Create sample":"サンプル作成","Format input":"入力を整形","Understand codes":"コード解析","Audio codes":"オーディオコード","Auto LRC (lyric timestamps)":"自動 LRC（歌詞タイムスタンプ）","Auto lyric quality score":"自動歌詞品質スコア"},
   he: {"Tab":"לשונית","Generate":"יצירה","Training":"אימון","Mode":"מצב","Simple":"פשוט",
        "Custom":"מותאם אישית","Remix":"רמיקס","Repaint":"צביעה מחדש","Extract":"חילוץ",
        "Lego":"לגו","Complete":"השלמה","Prompt":"הנחיה","Caption":"כיתוב",
@@ -176,7 +188,7 @@ const I18N = {
        "Output dataset dir":"תיקיית פלט למערך","LoRA run":"ריצת LoRA",
        "Dataset dir":"תיקיית מערך נתונים","Output dir":"תיקיית פלט","Rank":"דרגה",
        "LR":"קצב למידה","Max steps":"מקס׳ צעדים","Checkpoint every":"שמירה כל","Alpha":"אלפא","BPM":"BPM",
-       "Start training":"התחל אימון","Runs":"ריצות","Refresh":"רענון","Stop":"עצירה"},
+       "Start training":"התחל אימון","Runs":"ריצות","Refresh":"רענון","Stop":"עצירה","Create sample":"צור דוגמה","Format input":"עצב קלט","Understand codes":"נתח קודים","Audio codes":"קודי אודיו","Auto LRC (lyric timestamps)":"LRC אוטומטי (חותמות זמן)","Auto lyric quality score":"ציון איכות מילים אוטומטי"},
 };
 const _EN = new WeakMap();  // text node -> original English (GC'd with the node)
 const t = s => (I18N[$("lang").value] || {})[s] || s;
@@ -218,6 +230,7 @@ $("go").onclick = async () => {
     guidance_scale: parseFloat($("guidance").value),
     thinking: $("thinking").checked, task_type: MODE_TASK[mode],
     audio_format: $("format").value,
+    auto_lrc: $("auto_lrc").checked, auto_score: $("auto_score").checked,
   };
   if ($("bpm").value) payload.bpm = parseInt($("bpm").value);
   if ($("keyscale").value) payload.keyscale = $("keyscale").value;
@@ -242,8 +255,20 @@ $("go").onclick = async () => {
           const a = document.createElement("audio"); a.controls = true;
           a.src = "/v1/audio?path=" + encodeURIComponent(p);
           const cap = document.createElement("div"); cap.className = "small";
-          cap.textContent = p + "  seed=" + (st.result.seeds || [])[i];
+          let capText = p + "  seed=" + (st.result.seeds || [])[i];
+          const score = (st.result.lyrics_scores || [])[i];
+          if (score != null) capText += "  lyric score " + Number(score).toFixed(3);
+          cap.textContent = capText;
           div.appendChild(cap); div.appendChild(a);
+          const lrc = (st.result.lrcs || [])[i];
+          if (lrc) {
+            const det = document.createElement("details");
+            const sum = document.createElement("summary");
+            sum.className = "small"; sum.textContent = "LRC";
+            const pre = document.createElement("pre");
+            pre.className = "small"; pre.textContent = lrc;
+            det.appendChild(sum); det.appendChild(pre); div.appendChild(det);
+          }
         });
         const meta = document.createElement("pre"); meta.className = "small";
         meta.textContent = st.result.metas || "";
@@ -256,6 +281,44 @@ $("go").onclick = async () => {
     }
   } catch (e) { $("status").textContent = "error: " + e; }
   $("go").disabled = false; $("bar").style.display = "none";
+};
+
+// ---- Understand / create / format tools (ref UI understand-create-format
+// surface; endpoints /create_random_sample /format_input /understand) ----
+$("btn_create").onclick = async () => {
+  $("tool_status").textContent = "creating…";
+  try {
+    const out = await post("/create_random_sample", {});
+    const md = out.metadata || {};
+    if (md.caption) $("caption").value = md.caption;
+    if (md.lyrics) $("lyrics").value = md.lyrics;
+    $("tool_status").textContent = "sample created";
+  } catch (e) { $("tool_status").textContent = "error: " + e; }
+};
+$("btn_format").onclick = async () => {
+  $("tool_status").textContent = "formatting…";
+  try {
+    const out = await post("/format_input",
+      {user_input: $("caption").value + "\\n" + $("lyrics").value});
+    const md = out.metadata || {};
+    if (md.caption) $("caption").value = md.caption;
+    if (md.lyrics) $("lyrics").value = md.lyrics;
+    $("tool_status").textContent = "formatted";
+  } catch (e) { $("tool_status").textContent = "error: " + e; }
+};
+$("btn_understand").onclick = async () => {
+  if ($("understandRow").style.display === "none") {
+    $("understandRow").style.display = "block";
+    if (!$("u_codes").value) return;
+  }
+  $("tool_status").textContent = "understanding…";
+  try {
+    const out = await post("/understand", {audio_codes: $("u_codes").value});
+    if (out.caption) $("caption").value = out.caption;
+    if (out.lyrics) $("lyrics").value = out.lyrics;
+    $("tool_status").textContent = JSON.stringify(
+      {bpm: out.bpm, duration: out.duration, keyscale: out.keyscale, language: out.language});
+  } catch (e) { $("tool_status").textContent = "error: " + e; }
 };
 
 // ---- Training tab (drives /v1/train/* — ref train UI tab parity) ----
@@ -299,6 +362,38 @@ async function refreshRuns() {
       const small = document.createElement("div"); small.className = "small";
       small.textContent = st.output_dir || "";
       div.appendChild(small);
+      // Loss sparkline from metrics.jsonl (the TensorBoard-equivalent view):
+      // single series — 2px line, no legend (the row label names it), value
+      // in text ink, recessive on the card surface.
+      post("/v1/train/status", {run_id: id}).then(full => {
+        const pts = (full.recent_metrics || []).map(m => m.loss).filter(v => v != null);
+        if (pts.length < 2) return;
+        const W = 160, H = 28, lo = Math.min(...pts), hi = Math.max(...pts);
+        const xy = pts.map((v, i) => [
+          (i / (pts.length - 1)) * (W - 4) + 2,
+          H - 2 - ((hi - lo) > 1e-12 ? (v - lo) / (hi - lo) : 0.5) * (H - 4),
+        ]);
+        const svg = document.createElementNS("http://www.w3.org/2000/svg", "svg");
+        svg.setAttribute("width", W); svg.setAttribute("height", H);
+        svg.style.verticalAlign = "middle";
+        const pl = document.createElementNS("http://www.w3.org/2000/svg", "polyline");
+        pl.setAttribute("points", xy.map(p => p.map(c => c.toFixed(1)).join(",")).join(" "));
+        pl.setAttribute("fill", "none");
+        pl.setAttribute("stroke", "#6ae3ff");
+        pl.setAttribute("stroke-width", "2");
+        pl.setAttribute("stroke-linejoin", "round");
+        const title = document.createElementNS("http://www.w3.org/2000/svg", "title");
+        title.textContent = "loss " + pts[pts.length - 1].toFixed(4)
+          + " (min " + lo.toFixed(4) + ", max " + hi.toFixed(4) + ", last "
+          + pts.length + " steps)";
+        svg.appendChild(title); svg.appendChild(pl);
+        const wrap = document.createElement("div"); wrap.className = "small";
+        wrap.appendChild(svg);
+        const lbl = document.createElement("span");
+        lbl.textContent = " loss " + pts[pts.length - 1].toFixed(4);
+        wrap.appendChild(lbl);
+        div.appendChild(wrap);
+      }).catch(() => {});
       if (st.status === "running" || st.status === "starting") {
         const stop = document.createElement("button");
         stop.dataset.noI18n = "";  // applyLang must not record translated text as English
