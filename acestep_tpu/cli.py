@@ -85,7 +85,17 @@ def cmd_serve(args) -> int:
     llm = LLMHandler()
     print(llm.initialize(args.lm_checkpoint_dir, random_init=args.random_init or None))
     _apply_mesh(dit, llm, args)
-    server = serve(dit, llm, args.host, args.port, args.api_key, args.output_dir)
+    # Multi-model registry: ACESTEP_CONFIG_PATH2/3 load extra DiT models,
+    # selectable via the request's "model" field (ref api_server.py:1274-1291).
+    extra = {}
+    for n in (2, 3):
+        path = os.environ.get(f"ACESTEP_CONFIG_PATH{n}")
+        if path and os.path.isdir(path):
+            h = AceStepHandler()
+            print(f"[model {n}] " + h.initialize_service(path))
+            extra[os.path.basename(os.path.normpath(path))] = h
+    server = serve(dit, llm, args.host, args.port, args.api_key, args.output_dir,
+                   extra_dit_handlers=extra or None)
     print(f"listening on {args.host}:{args.port}")
     server.serve_forever()
     return 0

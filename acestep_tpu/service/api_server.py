@@ -112,12 +112,20 @@ class ApiService:
         self.progress = ProgressEstimator()
         from acestep_tpu.service.train_api import TrainingService
 
-        self.training = TrainingService(dit_handler)
+        self.training = TrainingService(dit_handler, llm_handler)
         from acestep_tpu.utils.logbuffer import install as _install_logbuffer
 
         # Ring buffer served at /v1/logs (ref LogBuffer/StderrLogger,
         # api_server.py:1173-1202).
         self.logs = _install_logbuffer()
+        # Persistent job-result mirror (ref diskcache mirror for bots,
+        # api_server.py:1345-1420): results survive in-memory GC/restarts and
+        # /query_result falls back to it for unknown task ids.
+        from acestep_tpu.utils.local_cache import get_cache
+
+        self.result_cache = get_cache(
+            os.path.join(output_dir, ".cache", "job_results.sqlite3")
+        )
         self.queue: "queue.Queue[str]" = queue.Queue(maxsize=MAX_QUEUE)
         self._worker = threading.Thread(target=self._worker_loop, daemon=True)
         self._worker.start()
@@ -179,9 +187,21 @@ class ApiService:
                             },
                         },
                     )
+                    done = self.store.get(task_id)
+                    if done is not None:
+                        self.result_cache.set(
+                            "job:" + task_id,
+                            {"status": "succeeded", "result": done["result"]},
+                            ex=7 * 24 * 3600,
+                        )
                 else:
                     self.store.mark(task_id, status="failed", error=result.error)
                     self.logs.append(f"job {task_id} failed: {result.error}")
+                    self.result_cache.set(
+                        "job:" + task_id,
+                        {"status": "failed", "error": result.error},
+                        ex=24 * 3600,
+                    )
             except Exception as e:  # noqa: BLE001 — job must fail, not the server
                 self.store.mark(task_id, status="failed", error=f"{e}\n{traceback.format_exc()}")
                 self.logs.append(f"job {task_id} crashed: {e}")
@@ -431,7 +451,18 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 for tid in ids:
                     job = service.store.get(tid)
                     if job is None:
-                        results.append({"task_id": tid, "status": 2, "error": "unknown task"})
+                        # Fall back to the persistent mirror (post-GC/restart).
+                        cached = service.result_cache.get("job:" + tid)
+                        if cached is not None:
+                            results.append({
+                                "task_id": tid,
+                                "status": 1 if cached.get("status") == "succeeded" else 2,
+                                "progress": 1.0,
+                                "result": cached.get("result"),
+                                "error": cached.get("error"),
+                            })
+                        else:
+                            results.append({"task_id": tid, "status": 2, "error": "unknown task"})
                         continue
                     status = {"queued": 0, "running": 0, "succeeded": 1, "failed": 2}[job["status"]]
                     progress = job["progress"]

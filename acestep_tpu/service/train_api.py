@@ -16,8 +16,9 @@ from typing import Any, Dict, List, Optional
 
 
 class TrainingService:
-    def __init__(self, dit_handler):
+    def __init__(self, dit_handler, llm_handler=None):
         self.dit_handler = dit_handler
+        self.llm_handler = llm_handler
         self._runs: Dict[str, Dict[str, Any]] = {}
         self._lock = threading.Lock()
 
@@ -122,34 +123,43 @@ class TrainingService:
     # ------------------------------------------------------------------
 
     def build_dataset(self, payload: Dict[str, Any]) -> Dict[str, Any]:
-        """Preprocess an audio directory into training tensors
-        (ref dataset_builder preprocess-to-tensors flow)."""
-        from acestep_tpu.training.dataset import preprocess_audio_to_sample, save_sample, write_manifest
-        from acestep_tpu.utils import audio as audio_utils
+        """Scan → label → preprocess an audio directory into training tensors
+        (ref dataset_builder_modules flow). Labels come from sidecar files
+        (<stem>.caption.txt / .lyrics.txt / .json), any CSV with a `file`
+        column, caller-supplied captions/lyrics dicts, and — when
+        `label_with_lm` is set and an LM handler is available — LM-assisted
+        annotation via understand-on-codes (ref label_single.py:12-120)."""
+        from acestep_tpu.training.dataset_builder import DatasetBuilder
 
         audio_dir = payload["audio_dir"]
         out_dir = payload.get("output_dir", audio_dir.rstrip("/") + "_tensors")
         captions: Dict[str, str] = payload.get("captions", {})
         lyrics: Dict[str, str] = payload.get("lyrics", {})
-        os.makedirs(out_dir, exist_ok=True)
 
-        entries = []
+        builder = DatasetBuilder(self.dit_handler, self.llm_handler)
+        samples, scan_msg = builder.scan_directory(audio_dir)
+        for s in samples:
+            if s.filename in captions:
+                s.caption = captions[s.filename]
+            if s.filename in lyrics:
+                s.lyrics = lyrics[s.filename]
+        label_msgs: List[str] = []
+        if payload.get("label_with_lm") and self.llm_handler is not None:
+            label_msgs = builder.label_all(
+                format_lyrics=bool(payload.get("format_lyrics")),
+                temperature=float(payload.get("label_temperature", 0.7)),
+            )
+            builder.save_labels()
+        written, msg = builder.preprocess_to_tensors(
+            out_dir, max_duration=float(payload.get("max_duration", 240.0))
+        )
+        entries = [{"file": w} for w in written]
         errors = {}
-        for fname in sorted(os.listdir(audio_dir)):
-            if not fname.lower().endswith((".wav", ".flac", ".mp3", ".ogg")):
-                continue
-            try:
-                audio = audio_utils.load_audio(os.path.join(audio_dir, fname))
-                sample = preprocess_audio_to_sample(
-                    self.dit_handler,
-                    audio,
-                    captions.get(fname, ""),
-                    lyrics.get(fname, "[Instrumental]"),
-                )
-                out_name = os.path.splitext(fname)[0] + ".npz"
-                save_sample(os.path.join(out_dir, out_name), sample)
-                entries.append({"file": out_name, "source": fname})
-            except Exception as e:  # noqa: BLE001
-                errors[fname] = str(e)
-        write_manifest(out_dir, entries)
-        return {"output_dir": out_dir, "samples": len(entries), "errors": errors}
+        labels_preview = [
+            {"file": s.filename, "caption": s.caption, "bpm": s.bpm,
+             "keyscale": s.keyscale, "language": s.language, "source": s.label_source}
+            for s in samples[:20]
+        ]
+        return {"output_dir": out_dir, "samples": len(entries), "errors": errors,
+                "scan": scan_msg, "status": msg, "labels": labels_preview,
+                "label_log": label_msgs[:20]}

@@ -113,8 +113,11 @@ STUDIO_HTML = """<!DOCTYPE html>
     <div><label>Audio directory (on server)</label><input type="text" id="ds_audio_dir" placeholder="/data/songs"></div>
     <div><label>Output dataset dir</label><input type="text" id="ds_out_dir" placeholder="/data/dataset"></div>
   </div>
+  <label><input type="checkbox" id="ds_label_lm"> LM-assisted labeling (understand on codes)</label>
+  <label><input type="checkbox" id="ds_format_lyrics"> Format preloaded lyrics with LM</label>
   <button id="build_ds">Build dataset</button>
   <div id="ds_status" class="small"></div>
+  <div id="ds_labels" class="small"></div>
 </fieldset>
 
 <fieldset><legend>LoRA run</legend>
@@ -162,7 +165,7 @@ const I18N = {
        "Output dataset dir":"数据集输出目录","LoRA run":"LoRA 训练","Dataset dir":"数据集目录",
        "Output dir":"输出目录","Rank":"秩","LR":"学习率","Max steps":"最大步数",
        "Checkpoint every":"保存间隔","Start training":"开始训练","Runs":"运行记录","Alpha":"Alpha","BPM":"BPM",
-       "Refresh":"刷新","Stop":"停止","Create sample":"生成示例","Format input":"格式化输入","Understand codes":"解析音频码","Audio codes":"音频码","Auto LRC (lyric timestamps)":"自动 LRC（歌词时间戳）","Auto lyric quality score":"自动歌词质量评分"},
+       "Refresh":"刷新","Stop":"停止","Create sample":"生成示例","Format input":"格式化输入","Understand codes":"解析音频码","Audio codes":"音频码","Auto LRC (lyric timestamps)":"自动 LRC（歌词时间戳）","Auto lyric quality score":"自动歌词质量评分","LM-assisted labeling (understand on codes)":"LM 辅助标注（基于音频码理解）","Format preloaded lyrics with LM":"用 LM 格式化已有歌词"},
   ja: {"Tab":"タブ","Generate":"生成","Training":"学習","Mode":"モード","Simple":"シンプル",
        "Custom":"カスタム","Remix":"リミックス","Repaint":"リペイント","Extract":"抽出",
        "Lego":"レゴ","Complete":"補完","Prompt":"プロンプト","Caption":"キャプション",
@@ -175,7 +178,7 @@ const I18N = {
        "Output dataset dir":"出力データセットディレクトリ","LoRA run":"LoRA 学習",
        "Dataset dir":"データセットディレクトリ","Output dir":"出力ディレクトリ","Rank":"ランク",
        "LR":"学習率","Max steps":"最大ステップ","Checkpoint every":"チェックポイント間隔","Alpha":"アルファ","BPM":"BPM",
-       "Start training":"学習開始","Runs":"実行一覧","Refresh":"更新","Stop":"停止","Create sample":"サンプル作成","Format input":"入力を整形","Understand codes":"コード解析","Audio codes":"オーディオコード","Auto LRC (lyric timestamps)":"自動 LRC（歌詞タイムスタンプ）","Auto lyric quality score":"自動歌詞品質スコア"},
+       "Start training":"学習開始","Runs":"実行一覧","Refresh":"更新","Stop":"停止","Create sample":"サンプル作成","Format input":"入力を整形","Understand codes":"コード解析","Audio codes":"オーディオコード","Auto LRC (lyric timestamps)":"自動 LRC（歌詞タイムスタンプ）","Auto lyric quality score":"自動歌詞品質スコア","LM-assisted labeling (understand on codes)":"LM 自動ラベリング（コード理解）","Format preloaded lyrics with LM":"LM で既存歌詞を整形"},
   he: {"Tab":"לשונית","Generate":"יצירה","Training":"אימון","Mode":"מצב","Simple":"פשוט",
        "Custom":"מותאם אישית","Remix":"רמיקס","Repaint":"צביעה מחדש","Extract":"חילוץ",
        "Lego":"לגו","Complete":"השלמה","Prompt":"הנחיה","Caption":"כיתוב",
@@ -188,7 +191,7 @@ const I18N = {
        "Output dataset dir":"תיקיית פלט למערך","LoRA run":"ריצת LoRA",
        "Dataset dir":"תיקיית מערך נתונים","Output dir":"תיקיית פלט","Rank":"דרגה",
        "LR":"קצב למידה","Max steps":"מקס׳ צעדים","Checkpoint every":"שמירה כל","Alpha":"אלפא","BPM":"BPM",
-       "Start training":"התחל אימון","Runs":"ריצות","Refresh":"רענון","Stop":"עצירה","Create sample":"צור דוגמה","Format input":"עצב קלט","Understand codes":"נתח קודים","Audio codes":"קודי אודיו","Auto LRC (lyric timestamps)":"LRC אוטומטי (חותמות זמן)","Auto lyric quality score":"ציון איכות מילים אוטומטי"},
+       "Start training":"התחל אימון","Runs":"ריצות","Refresh":"רענון","Stop":"עצירה","Create sample":"צור דוגמה","Format input":"עצב קלט","Understand codes":"נתח קודים","Audio codes":"קודי אודיו","Auto LRC (lyric timestamps)":"LRC אוטומטי (חותמות זמן)","Auto lyric quality score":"ציון איכות מילים אוטומטי","LM-assisted labeling (understand on codes)":"תיוג בעזרת LM (הבנת קודים)","Format preloaded lyrics with LM":"עיצוב מילים קיימות עם LM"},
 };
 const _EN = new WeakMap();  // text node -> original English (GC'd with the node)
 const t = s => (I18N[$("lang").value] || {})[s] || s;
@@ -326,8 +329,19 @@ $("build_ds").onclick = async () => {
   $("ds_status").textContent = "building…";
   try {
     const out = await post("/v1/train/build_dataset",
-      {audio_dir: $("ds_audio_dir").value, output_dir: $("ds_out_dir").value});
-    $("ds_status").textContent = JSON.stringify(out);
+      {audio_dir: $("ds_audio_dir").value, output_dir: $("ds_out_dir").value,
+       label_with_lm: $("ds_label_lm").checked,
+       format_lyrics: $("ds_format_lyrics").checked});
+    $("ds_status").textContent = (out.scan || "") + " — " + (out.status || JSON.stringify(out));
+    // Annotation preview table (labels per sample from sidecar/CSV/LM)
+    const box = $("ds_labels"); box.innerHTML = "";
+    (out.labels || []).forEach(l => {
+      const d = document.createElement("div");
+      d.textContent = l.file + " [" + (l.source || "none") + "] "
+        + (l.caption || "").slice(0, 80)
+        + (l.bpm ? ("  bpm " + l.bpm) : "") + (l.keyscale ? ("  " + l.keyscale) : "");
+      box.appendChild(d);
+    });
     if (out.output_dir && !$("tr_dataset").value) $("tr_dataset").value = out.output_dir;
   } catch (e) { $("ds_status").textContent = "error: " + e; }
 };

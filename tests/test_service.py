@@ -311,3 +311,42 @@ def test_auto_lrc_and_score_in_results(handlers, tmp_path):
     assert "lrc" in a and isinstance(a["lrc"], str)
     assert "lyrics_score" in a and 0.0 <= a["lyrics_score"] <= 1.0
     assert a["sentence_timestamps"]
+
+
+def test_job_result_mirror_survives_store_gc(handlers, tmp_path):
+    """Persistent result mirror (ref diskcache mirror, api_server.py:1345-1420):
+    /query_result serves completed jobs from the sqlite cache after the
+    in-memory store forgets them."""
+    import http.client
+    import threading
+
+    from acestep_tpu.service.api_server import serve
+
+    dit, _ = handlers
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, payload):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        c.request("POST", path, body=json.dumps(payload),
+                  headers={"Content-Type": "application/json"})
+        out = json.loads(c.getresponse().read())
+        c.close()
+        return out
+
+    task_id = post("/release_task", {"caption": "mirror", "duration": 2.0,
+                                     "thinking": False, "seed": 2})["task_id"]
+    for _ in range(240):
+        st = post("/query_result", {"task_ids": [task_id]})["results"][0]
+        if st["status"] in (1, 2):
+            break
+        time.sleep(0.5)
+    assert st["status"] == 1, st
+
+    # Simulate in-memory GC dropping the job
+    server.service.store._jobs.clear()
+    st2 = post("/query_result", {"task_ids": [task_id]})["results"][0]
+    assert st2["status"] == 1
+    assert st2["result"]["audio_paths"] == st["result"]["audio_paths"]
+    server.shutdown()
