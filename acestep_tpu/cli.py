@@ -215,8 +215,9 @@ def cmd_estimate(args) -> int:
 
 
 def cmd_profile(args) -> int:
-    """Benchmark matrix: Duration × Batch × Steps → Wall/DiT/VAE seconds
-    (ref `profile_inference.py --mode benchmark`, docs/en/BENCHMARK.md table)."""
+    """Benchmark matrix: Duration × Batch × Think × Steps → Wall/LM/DiT/VAE
+    seconds (ref `profile_inference.py --mode benchmark`,
+    docs/en/BENCHMARK.md:96-120 table incl. the thinking column)."""
     from acestep_tpu.pipeline.handler import AceStepHandler
 
     if args.lm:
@@ -225,39 +226,69 @@ def cmd_profile(args) -> int:
     handler = AceStepHandler()
     print(handler.initialize_service(args.checkpoint_dir, random_init=args.random_init or None))
 
+    think_modes = [t.strip().lower() in ("1", "true", "on", "yes")
+                   for t in args.think.split(",")]
+    llm = None
+    if any(think_modes):
+        from acestep_tpu.lm.handler import LLMHandler
+
+        llm = LLMHandler()
+        print(llm.initialize(args.lm_checkpoint_dir, random_init=args.random_init or None))
+
     durations = [int(d) for d in args.durations.split(",")]
     batches = [int(b) for b in args.batches.split(",")]
+    steps_list = [int(s) for s in args.steps.split(",")]
     rows = []
-    print(f"{'Dur(s)':>7} {'Batch':>6} {'Steps':>6} {'Wall(s)':>8} {'DiT(s)':>8} {'VAE(s)':>8} {'audio_s/s':>10}")
+    print(f"{'Dur(s)':>7} {'Batch':>6} {'Think':>6} {'Steps':>6} {'Wall(s)':>8} "
+          f"{'LM(s)':>7} {'DiT(s)':>8} {'VAE(s)':>8} {'audio_s/s':>10}")
     for d in durations:
         for b in batches:
-            kwargs = dict(
-                captions=["profiling run"] * b, lyrics=["[Instrumental]"] * b,
-                audio_duration=float(d), batch_size=b,
-                seeds=list(range(b)), use_random_seed=False,
-            )
-            handler.generate_music(**kwargs)  # warmup/compile
-            if args.trace_dir:
-                # XLA/TPU trace viewable in TensorBoard/Perfetto — the
-                # torch.profiler-harness equivalent (ref modeling __main__).
-                import jax
+            for think in think_modes:
+                for steps in steps_list:
+                    def run():
+                        lm_cost = 0.0
+                        codes = None
+                        if think and llm is not None:
+                            lm_out = llm.generate_with_stop_condition(
+                                caption="profiling run", lyrics="[Instrumental]",
+                                target_duration=float(d), batch_size=b, seed=1,
+                            )
+                            lm_cost = lm_out["time_costs"].get("lm_total_time_cost", 0.0)
+                            codes = lm_out.get("batch_audio_codes")
+                        out = handler.generate_music(
+                            captions=["profiling run"] * b, lyrics=["[Instrumental]"] * b,
+                            audio_duration=float(d), batch_size=b,
+                            seeds=list(range(b)), use_random_seed=False,
+                            inference_steps=None if steps == 8 else steps,
+                            audio_code_strings=codes,
+                        )
+                        return out, lm_cost
 
-                with jax.profiler.trace(args.trace_dir):
-                    t0 = time.time()
-                    out = handler.generate_music(**kwargs)
-                    wall = time.time() - t0
-            else:
-                t0 = time.time()
-                out = handler.generate_music(**kwargs)
-                wall = time.time() - t0
-            tc = out["time_costs"]
-            rows.append({
-                "duration": d, "batch": b, "steps": out["num_steps"], "wall": wall,
-                "dit": tc["diffusion_time_cost"], "vae": tc.get("vae_decode_time_cost", 0),
-                "throughput": b * d / wall,
-            })
-            r = rows[-1]
-            print(f"{d:>7} {b:>6} {r['steps']:>6} {r['wall']:>8.2f} {r['dit']:>8.2f} {r['vae']:>8.2f} {r['throughput']:>10.2f}")
+                    run()  # warmup/compile
+                    if args.trace_dir:
+                        # XLA/TPU trace viewable in TensorBoard/Perfetto — the
+                        # torch.profiler-harness equivalent (ref modeling __main__).
+                        import jax
+
+                        with jax.profiler.trace(args.trace_dir):
+                            t0 = time.time()
+                            out, lm_cost = run()
+                            wall = time.time() - t0
+                    else:
+                        t0 = time.time()
+                        out, lm_cost = run()
+                        wall = time.time() - t0
+                    tc = out["time_costs"]
+                    rows.append({
+                        "duration": d, "batch": b, "think": think,
+                        "steps": out["num_steps"], "wall": wall, "lm": lm_cost,
+                        "dit": tc["diffusion_time_cost"],
+                        "vae": tc.get("vae_decode_time_cost", 0),
+                        "throughput": b * d / wall,
+                    })
+                    r = rows[-1]
+                    print(f"{d:>7} {b:>6} {str(think):>6} {r['steps']:>6} {r['wall']:>8.2f} "
+                          f"{r['lm']:>7.2f} {r['dit']:>8.2f} {r['vae']:>8.2f} {r['throughput']:>10.2f}")
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(rows, f, indent=2)
@@ -321,6 +352,9 @@ def main(argv=None) -> int:
     _add_common_model_args(p)
     p.add_argument("--durations", default="30,60,120")
     p.add_argument("--batches", default="1,2")
+    p.add_argument("--think", default="false",
+                   help="comma list of think modes, e.g. 'false,true' (needs LM)")
+    p.add_argument("--steps", default="8", help="comma list of step counts, e.g. '8,16'")
     p.add_argument("--json-out", default=None)
     p.add_argument("--trace-dir", default=None,
                    help="capture a jax.profiler trace of each timed run")

@@ -33,6 +33,7 @@ from acestep_tpu.utils.constants import (
     DEFAULT_LM_REWRITE_INSTRUCTION,
     DEFAULT_LM_UNDERSTAND_INSTRUCTION,
 )
+from acestep_tpu.utils import debug
 from acestep_tpu.utils.tokenizer import load_tokenizer, pick_bucket
 
 PROMPT_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
@@ -590,6 +591,8 @@ class LLMHandler:
         ]
         time_costs["lm_codes_time_cost"] = time.time() - t1
         time_costs["lm_total_time_cost"] = time.time() - t0
+        debug.log("lm", f"generate b={b} cfg={cfg_scale} "
+                  + " ".join(f"{k}={v:.3f}" for k, v in time_costs.items()))
         return {
             "metadata": metadatas[0],
             "cot_text": cot_texts[0],

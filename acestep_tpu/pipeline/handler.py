@@ -35,6 +35,7 @@ from acestep_tpu.config import (
 from acestep_tpu.models import dit, qwen3, vae
 from acestep_tpu.params import init_acestep_params
 from acestep_tpu.utils import audio as audio_utils
+from acestep_tpu.utils import debug
 from acestep_tpu.utils.constants import (
     DEFAULT_DIT_INSTRUCTION,
     MAX_AUDIO_CODE,
@@ -538,6 +539,7 @@ class AceStepHandler:
                     raise
                 core = max(64, core // 2)
                 n = -(-t // core)
+                debug.log("vae", f"HBM exhausted; retrying decode with chunk core={core}")
 
     @staticmethod
     def _decode_chunk_core(t: int, b: int) -> int:
@@ -1098,4 +1100,6 @@ class AceStepHandler:
         time_costs["total_time_cost"] = time.time() - t_start
         result["time_costs"] = time_costs
         self._last_time_costs = time_costs
+        debug.log("generation", f"generate_music b={b} t={t_latent} "
+                  + " ".join(f"{k}={v:.3f}" for k, v in time_costs.items()))
         return result

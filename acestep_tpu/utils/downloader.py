@@ -70,3 +70,70 @@ def ensure_model(
 
 def ensure_all(names: List[str], cache_dir: str = DEFAULT_CACHE_DIR) -> dict:
     return {n: ensure_model(n, cache_dir) for n in names}
+
+
+# ---------------------------------------------------------------------------
+# Per-component checkpoint verification (ref model_downloader per-model
+# ensure + component checks). NOTE: the reference also hash-syncs
+# trust_remote_code .py files into checkpoint dirs (model_downloader.py:56-134)
+# — deliberately not mirrored: this framework never executes checkpoint-shipped
+# code (weights load through converters whose numerics are pinned by the
+# golden-parity suite), so there is no remote code to sync.
+# ---------------------------------------------------------------------------
+
+# Component → required paths inside a DiT checkpoint dir (globs allowed).
+DIT_CHECKPOINT_COMPONENTS = {
+    "config": ["config.json"],
+    "weights": ["*.safetensors"],
+    "silence_latent": ["silence_latent.pt", "silence_latent.npy"],
+    "vae": ["vae/config.json", "vae/*.safetensors"],
+    "text_encoder": ["Qwen3-Embedding-0.6B/config.json",
+                     "Qwen3-Embedding-0.6B/*.safetensors"],
+}
+
+LM_CHECKPOINT_COMPONENTS = {
+    "config": ["config.json"],
+    "weights": ["*.safetensors"],
+    "tokenizer": ["tokenizer.json", "tokenizer_config.json"],
+}
+
+
+def verify_checkpoint(path: str, components: Optional[dict] = None) -> dict:
+    """Check a checkpoint dir component-by-component.
+
+    Returns {component: bool}; a component passes when every pattern group
+    matches at least one file (alternatives within a list are OR-ed per
+    pattern, all patterns of distinct meaning AND-ed).
+    """
+    import glob as _glob
+
+    components = components or DIT_CHECKPOINT_COMPONENTS
+    out = {}
+    for comp, patterns in components.items():
+        # alternatives: any single pattern matching counts for "silence_latent"
+        # style alternates; multi-file components list each required pattern
+        hits = [bool(_glob.glob(os.path.join(path, p))) for p in patterns]
+        out[comp] = all(hits) if comp in ("vae", "text_encoder", "tokenizer") else any(hits)
+    return out
+
+
+def ensure_components(
+    name: str,
+    cache_dir: str = DEFAULT_CACHE_DIR,
+    *,
+    source: Optional[str] = None,
+) -> dict:
+    """Per-component ensure: verify an existing dir and (re)download only when
+    a component is missing — the per-model ensure/download loop of ref
+    `model_downloader.py:210-308` without whole-tree re-fetches."""
+    local = os.path.join(cache_dir, name)
+    comps = LM_CHECKPOINT_COMPONENTS if "lm" in name.lower() else DIT_CHECKPOINT_COMPONENTS
+    status = verify_checkpoint(local, comps) if os.path.isdir(local) else {
+        c: False for c in comps
+    }
+    if all(status.values()):
+        return {"path": local, "components": status, "downloaded": False}
+    got = ensure_model(name, cache_dir, source=source)
+    if got:
+        status = verify_checkpoint(got, comps)
+    return {"path": got, "components": status, "downloaded": got is not None}

@@ -6,10 +6,21 @@ Metric: seconds-of-audio generated per wall-second per chip (batch × duration
 / median pipeline time), the BASELINE.json north-star. Baseline: the
 reference's headline "full song < 2 s on A100" (README.md:28,42) → a 180 s
 song in 2 s ≈ 90 audio-seconds/s.
+
+Measurement protocol (the dev chip is SHARED; co-tenant load adds one-sided
+1-6x slowdowns minutes apart):
+- two operating points (batch 2 and 4 at 60 s) unless BENCH_BATCH pins one;
+- per point: plain median AND fast-5 median of the reps;
+- headline = best point's fast-5 median (sustained quiet-window throughput);
+  `value_plain_median` reports the same point's plain median;
+- window-noise diagnostics (max/min spread) are emitted so a noisy window is
+  visible in the record rather than silently folded into the number.
+Set BENCH_DP/SP/TP to run the sharded serving path on a mesh.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import time
@@ -17,13 +28,65 @@ import time
 BASELINE_AUDIO_SECONDS_PER_SEC = 90.0  # A100 headline: 180 s song in < 2 s
 
 DURATION_S = float(os.environ.get("BENCH_DURATION_S", 60))
-BATCH = int(os.environ.get("BENCH_BATCH", 2))
-REPS = int(os.environ.get("BENCH_REPS", 13))
+REPS = int(os.environ.get("BENCH_REPS", 8))
+BATCHES = (
+    [int(os.environ["BENCH_BATCH"])]
+    if os.environ.get("BENCH_BATCH")
+    else [2, 4]
+)
+
+
+def _measure_point(handler, batch: int, reps: int):
+    import jax
+    import jax.numpy as jnp
+
+    kwargs = dict(
+        captions=["an energetic synthwave track with driving bass"] * batch,
+        lyrics=["[Instrumental]"] * batch,
+        audio_duration=DURATION_S,
+        batch_size=batch,
+        seeds=list(range(batch)),
+        use_random_seed=False,
+        shift=3.0,
+        decode_audio=True,
+    )
+    probe = jax.jit(lambda x: x * 2)
+    ones = jnp.ones((8, 128))
+
+    out = handler.generate_music(**kwargs)  # warmup/compile
+    times = []
+    tc = out["time_costs"]
+    for _ in range(reps):
+        # Settle between reps: free the previous run's device buffers NOW,
+        # drain the device queue, give remote deallocations a moment —
+        # otherwise cleanup backlogs the tunnel and inflates the next run.
+        del out
+        gc.collect()
+        float(jnp.sum(probe(ones)))
+        time.sleep(1.0)
+        t0 = time.time()
+        out = handler.generate_music(**kwargs)
+        times.append(time.time() - t0)
+        tc = out["time_costs"]
+        fast = sorted(times)[:5]
+        if len(fast) == 5 and fast[-1] <= fast[0] * 1.12:
+            break  # quiet-window estimate converged early
+    del out
+    srt = sorted(times)
+    fast5 = srt[: min(5, len(srt))]
+    return {
+        "batch": batch,
+        "fast5_median_wall_s": round(fast5[len(fast5) // 2], 3),
+        "median_wall_s": round(srt[len(srt) // 2], 3),
+        "min_wall_s": round(srt[0], 3),
+        "noise_spread": round(srt[-1] / srt[0], 2),  # >1.5 ⇒ noisy window
+        "runs_s": [round(t, 3) for t in times],
+        "time_costs": {k: round(v, 3) for k, v in tc.items()},
+    }
 
 
 def main():
     import jax
-    import numpy as np
 
     from acestep_tpu.pipeline.handler import AceStepHandler
 
@@ -35,66 +98,23 @@ def main():
     if dp * sp * tp > 1:
         handler.enable_mesh(dp=dp, sp=sp, tp=tp)
 
-    kwargs = dict(
-        captions=["an energetic synthwave track with driving bass"] * BATCH,
-        lyrics=["[Instrumental]"] * BATCH,
-        audio_duration=DURATION_S,
-        batch_size=BATCH,
-        seeds=list(range(BATCH)),
-        use_random_seed=False,
-        shift=3.0,
-        decode_audio=True,
-    )
-
-    import gc
-
-    import jax.numpy as jnp
-
-    # Warmup (compile)
-    out = handler.generate_music(**kwargs)
-    probe = jax.jit(lambda x: x * 2)
-    ones = jnp.ones((8, 128))
-
-    times = []
-    tc = out["time_costs"]
-    for _ in range(REPS):
-        # Settle between reps: drop host references so the previous run's
-        # device buffers free NOW, drain the device queue, and give the
-        # remote deallocations a moment — otherwise cleanup backlogs the
-        # tunnel and inflates the next run by up to 2x.
-        del out
-        gc.collect()
-        float(jnp.sum(probe(ones)))
-        time.sleep(1.0)
-        t0 = time.time()
-        out = handler.generate_music(**kwargs)
-        times.append(time.time() - t0)
-        tc = out["time_costs"]
-        # Early exit once the quiet-window estimate is stable.
-        fast = sorted(times)[:5]
-        if len(fast) == 5 and fast[-1] <= fast[0] * 1.15:
-            break
-
-    # The dev-environment TPU chip is SHARED: co-tenant load adds one-sided
-    # slowdowns (the same program measures 1.1s in a quiet window and 7s under
-    # a noisy neighbor, minutes apart). The framework's sustained latency is
-    # estimated as the median of the 5 fastest of up to 13 runs; every raw
-    # run is reported in detail for inspection.
-    srt = sorted(times)
-    fast5 = srt[: min(5, len(srt))]
-    med = fast5[len(fast5) // 2]
-    value = BATCH * DURATION_S / med
+    points = [_measure_point(handler, b, REPS) for b in BATCHES]
+    best = max(points, key=lambda p: p["batch"] * DURATION_S / p["fast5_median_wall_s"])
+    value = best["batch"] * DURATION_S / best["fast5_median_wall_s"]
+    value_plain = best["batch"] * DURATION_S / best["median_wall_s"]
     result = {
         "metric": "seconds-of-audio/sec/chip (text-enc + DiT 8-step + VAE decode)",
         "value": round(value, 2),
         "unit": "audio_s/s",
         "vs_baseline": round(value / BASELINE_AUDIO_SECONDS_PER_SEC, 3),
         "detail": {
-            "batch": BATCH,
+            "value_plain_median": round(value_plain, 2),
+            "vs_baseline_plain_median": round(value_plain / BASELINE_AUDIO_SECONDS_PER_SEC, 3),
             "duration_s": DURATION_S,
-            "fast5_median_wall_s": round(med, 3), "median_wall_s": round(srt[len(srt) // 2], 3),
-            "runs_s": [round(t, 3) for t in times],
-            "time_costs": {k: round(v, 3) for k, v in tc.items()},
+            "headline_point": best["batch"],
+            "window_noisy": any(p["noise_spread"] > 1.5 for p in points),
+            "points": points,
+            "mesh": {"dp": dp, "sp": sp, "tp": tp},
             "device": str(jax.devices()[0]),
         },
     }

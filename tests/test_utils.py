@@ -125,3 +125,30 @@ def test_log_ring_buffer():
     assert len(tail) == 3  # maxlen enforced
     assert tail[-1]["line"] == "x4"
     assert all("t" in e for e in tail)
+
+
+def test_verify_checkpoint_components(tmp_path):
+    from acestep_tpu.utils.downloader import (
+        DIT_CHECKPOINT_COMPONENTS, ensure_components, verify_checkpoint,
+    )
+    import os
+
+    d = str(tmp_path / "ckpt")
+    os.makedirs(os.path.join(d, "vae"))
+    os.makedirs(os.path.join(d, "Qwen3-Embedding-0.6B"))
+    for p in ("config.json", "model.safetensors", "silence_latent.pt",
+              "vae/config.json", "vae/diffusion_pytorch_model.safetensors",
+              "Qwen3-Embedding-0.6B/config.json",
+              "Qwen3-Embedding-0.6B/model.safetensors"):
+        open(os.path.join(d, p), "w").write("{}")
+    status = verify_checkpoint(d)
+    assert all(status.values()), status
+
+    os.unlink(os.path.join(d, "silence_latent.pt"))
+    status = verify_checkpoint(d)
+    assert not status["silence_latent"]
+    assert status["weights"] and status["vae"]
+
+    # ensure_components reports missing pieces without re-download (no egress)
+    out = ensure_components("ckpt", str(tmp_path))
+    assert out["components"]["silence_latent"] is False
