@@ -137,6 +137,35 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_build_dataset(args) -> int:
+    """Scan/label/preprocess an audio directory (the annotation-script role of
+    ref `scripts/lora_data_prepare/`, using the built-in LM instead of
+    external captioning/transcription services)."""
+    from acestep_tpu.pipeline.handler import AceStepHandler
+    from acestep_tpu.training.dataset_builder import DatasetBuilder
+
+    dit = AceStepHandler()
+    print(dit.initialize_service(args.checkpoint_dir, random_init=args.random_init or None))
+    llm = None
+    if args.label_with_lm:
+        from acestep_tpu.lm.handler import LLMHandler
+
+        llm = LLMHandler()
+        print(llm.initialize(args.lm_checkpoint_dir, random_init=args.random_init or None))
+
+    builder = DatasetBuilder(dit, llm)
+    samples, msg = builder.scan_directory(args.audio_dir)
+    print(f"scan: {msg}")
+    if args.label_with_lm:
+        for line in builder.label_all(format_lyrics=args.format_lyrics):
+            print("  " + line)
+        print(f"labels saved to {builder.save_labels()}")
+    out_dir = args.output_dir or args.audio_dir.rstrip("/") + "_tensors"
+    written, msg = builder.preprocess_to_tensors(out_dir, max_duration=args.max_duration)
+    print(msg)
+    return 0
+
+
 def _profile_lm(args) -> int:
     """LM decode throughput (tokens/s) across batch sizes — the comparison
     point for nano-vllm's published 1 434 tok/s (Qwen3-0.6B, RTX 4070,
@@ -336,6 +365,17 @@ def main(argv=None) -> int:
     t.add_argument("--batch-size", type=int, default=1)
     t.add_argument("--resume-from", default=None)
     t.set_defaults(fn=cmd_train)
+
+    bd = sub.add_parser("build-dataset", help="scan/label/preprocess audio into training tensors")
+    _add_common_model_args(bd)
+    bd.add_argument("--audio-dir", required=True)
+    bd.add_argument("--output-dir", default=None)
+    bd.add_argument("--label-with-lm", action="store_true",
+                    help="LM-assisted captions/metas via understand-on-codes")
+    bd.add_argument("--format-lyrics", action="store_true",
+                    help="normalize preloaded lyrics with the LM")
+    bd.add_argument("--max-duration", type=float, default=240.0)
+    bd.set_defaults(fn=cmd_build_dataset)
 
     e = sub.add_parser("estimate", help="rank attention modules by gradient sensitivity")
     _add_common_model_args(e)

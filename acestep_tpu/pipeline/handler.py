@@ -611,13 +611,27 @@ class AceStepHandler:
         scale = scale.reshape(b, 1, 1).astype(np.float32)
 
         out = np.empty((b, 2, t * hop), np.int16)
-        pos = 0
-        for w in wav_chunks:
-            arr = np.asarray(w).astype(np.float32)  # (B, Lc, 2)
-            take = min(arr.shape[1], t * hop - pos)
+
+        def convert(arr_bf16, pos, take):
+            # ~5 passes over the chunk bytes; runs on a worker thread so it
+            # overlaps the device→host transfer of the NEXT chunk (the
+            # transfer, not host math, bounds this path through slow links).
+            arr = np.asarray(arr_bf16, np.float32)  # (B, Lc, 2)
             pcm = np.clip(arr[:, :take].transpose(0, 2, 1) * scale, -1.0, 1.0)
             out[:, :, pos : pos + take] = np.round(pcm * 32767.0).astype(np.int16)
-            pos += take
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        pos = 0
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = []
+            for w in wav_chunks:
+                arr = np.asarray(w)  # blocks until this chunk's DMA lands
+                take = min(arr.shape[1], t * hop - pos)
+                futs.append(pool.submit(convert, arr, pos, take))
+                pos += take
+            for f in futs:
+                f.result()
         if return_int16:
             return out
         return out.astype(np.float32) / 32767.0

@@ -506,6 +506,9 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 if st is None:
                     return self._json(404, {"error": "unknown run"})
                 return self._json(200, st)
+            if url.path == "/v1/train/export":
+                return self._json(200, service.training.export_adapter(
+                    body.get("run_id", ""), body.get("target_dir")))
             if url.path == "/v1/train/stop":
                 return self._json(200, {"stopped": service.training.stop(body.get("run_id", ""))})
             if url.path == "/v1/train/list":

@@ -37,6 +37,8 @@ class TrainingService:
         lcfg = LoRAConfig(
             rank=int(payload.get("rank", 32)),
             alpha=float(payload.get("alpha", 32.0)),
+            adapter_type=str(payload.get("adapter_type", "lora")).lower(),
+            lokr_factor=int(payload.get("lokr_factor", 8)),
         )
         tcfg = TrainingConfig(
             learning_rate=float(payload.get("learning_rate", 1e-4)),
@@ -88,6 +90,26 @@ class TrainingService:
         from acestep_tpu.params import unstack_decoder_params
 
         return unstack_decoder_params(self.dit_handler.params, self.dit_handler.config)
+
+    def export_adapter(self, run_id: str, target_dir: Optional[str] = None) -> Dict[str, Any]:
+        """Export a run's trained adapter for serving (ref train REST export
+        endpoint): returns the adapter.npz path, optionally copying it to
+        `target_dir` so the LoRA REST ops can load it by name."""
+        import shutil
+
+        with self._lock:
+            state = self._runs.get(run_id)
+        if state is None:
+            return {"success": False, "error": f"unknown run {run_id}"}
+        adapter = os.path.join(state["output_dir"], "adapter.npz")
+        if not os.path.exists(adapter):
+            return {"success": False, "error": "no adapter checkpoint written yet"}
+        out = adapter
+        if target_dir:
+            os.makedirs(target_dir, exist_ok=True)
+            out = os.path.join(target_dir, f"{run_id}.npz")
+            shutil.copy2(adapter, out)
+        return {"success": True, "adapter_path": out, "step": state.get("step")}
 
     def status(self, run_id: str) -> Optional[Dict[str, Any]]:
         with self._lock:

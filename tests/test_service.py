@@ -350,3 +350,48 @@ def test_job_result_mirror_survives_store_gc(handlers, tmp_path):
     assert st2["status"] == 1
     assert st2["result"]["audio_paths"] == st["result"]["audio_paths"]
     server.shutdown()
+
+
+def test_train_export_endpoint_and_lokr_param(handlers, tmp_path):
+    """adapter_type=lokr runs + /v1/train/export returns the adapter
+    (ref train REST LoKR exposure + export endpoint)."""
+    import numpy as _np
+
+    from acestep_tpu.service.train_api import TrainingService
+    from acestep_tpu.training.dataset import save_sample, write_manifest
+
+    dit, _ = handlers
+    svc = TrainingService(dit)
+    ds_dir = str(tmp_path / "tensors")
+    os.makedirs(ds_dir, exist_ok=True)
+    rng = _np.random.default_rng(0)
+    entries = []
+    for i in range(2):
+        save_sample(os.path.join(ds_dir, f"s{i}.npz"), {
+            "target_latents": rng.standard_normal((16, 64)).astype(_np.float32),
+            "encoder_hidden_states": rng.standard_normal((8, TINY_DIT.hidden_size)).astype(_np.float32),
+            "encoder_attention_mask": _np.ones((8,), _np.int32),
+            "context_latents": rng.standard_normal((16, 128)).astype(_np.float32),
+            "attention_mask": _np.ones((16,), _np.int32),
+        })
+        entries.append({"file": f"s{i}.npz"})
+    write_manifest(ds_dir, entries)
+
+    out = svc.start_run({"dataset_dir": ds_dir, "max_steps": 2, "rank": 4,
+                         "adapter_type": "lokr", "lokr_factor": 4,
+                         "output_dir": str(tmp_path / "run"), "checkpoint_every": 2})
+    run_id = out["run_id"]
+    for _ in range(120):
+        st = svc.status(run_id)
+        if st["status"] in ("completed", "failed", "stopped"):
+            break
+        time.sleep(1)
+    assert st["status"] == "completed", st.get("error")
+    exp = svc.export_adapter(run_id, str(tmp_path / "adapters"))
+    assert exp["success"], exp
+    assert os.path.exists(exp["adapter_path"])
+    import json as _json
+    import numpy as _np2
+    z = _np2.load(exp["adapter_path"], allow_pickle=True)
+    meta = _json.loads(str(z["__meta__"]))
+    assert meta["adapter_type"] == "lokr"
