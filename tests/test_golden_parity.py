@@ -311,3 +311,81 @@ def test_zz_write_parity_report():
     path = os.path.join(os.path.dirname(__file__), "..", "docs", "PARITY.md")
     with open(path, "w") as f:
         f.write("\n".join(lines))
+
+
+# ---------------------------------------------------------------------------
+# BASE model (CFG-batched linspace+shift loop, APG/ADG guidance) vs the
+# reference base file (`modeling_acestep_v15_base.py:1783-1990`,
+# `apg_guidance.py:5-182`)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def base_golden():
+    z = np.load(os.path.join(GOLDEN_DIR, "base_tiny.npz"))
+    sd = {k[3:]: z[k] for k in z.files if k.startswith("sd/")}
+    inp = {k[3:]: jnp.asarray(z[k]) for k in z.files if k.startswith("in/")}
+    out = {k[4:]: z[k] for k in z.files if k.startswith("out/")}
+    params = convert_torch_state_dict(sd, TINY, jnp.float32)
+    return params, inp, out
+
+
+def test_apg_momentum_chain_golden(base_golden):
+    _, IN, OUT = base_golden
+    momentum = jnp.zeros(IN["apg_cond"].shape[1:], jnp.float32)
+    for i in range(3):
+        got, momentum = dit.apg_forward(
+            IN["apg_cond"][i], IN["apg_uncond"][i], jnp.float32(3.0), momentum,
+        )
+        _assert_close(f"apg_forward@step{i}", got, OUT["apg_chain"][i], tol=2e-5)
+
+
+def test_adg_golden(base_golden):
+    """ADG parity at batch 1 — the only batch the reference supports (its
+    cos(theta) of shape (n*t,1) broadcasts against (n,t,c) only when n==1;
+    this JAX version generalizes to any batch)."""
+    _, IN, OUT = base_golden
+    got = dit.adg_forward(
+        IN["adg_latents"][:1], IN["apg_cond"][0][:1], IN["apg_uncond"][0][:1],
+        jnp.float32(0.7), 3.0,
+    )
+    _assert_close("adg_forward", got, OUT["adg"], tol=2e-5)
+
+
+@pytest.mark.parametrize("tag,use_adg,gs,ci", [
+    ("cfg_apg", False, 3.0, (0.0, 1.0)),
+    ("cfg_adg", True, 3.0, (0.0, 1.0)),
+    ("cfg_interval", False, 3.0, (0.3, 0.8)),
+    ("noguidance", False, 1.0, (0.0, 1.0)),
+])
+def test_base_trajectory_golden(base_golden, tag, use_adg, gs, ci):
+    params, IN, OUT = base_golden
+    b = 1 if use_adg else 2  # ref ADG is batch-1-only
+    sl = slice(0, b)
+    enc, enc_m, ctx = dit.prepare_condition(
+        params, TINY,
+        text_hidden_states=IN["text_h"][sl], text_attention_mask=IN["text_m"][sl],
+        lyric_hidden_states=IN["lyric_h"][sl], lyric_attention_mask=IN["lyric_m"][sl],
+        refer_packed=IN["refer_packed"][sl],
+        refer_order_mask=IN["refer_order"][sl].astype(jnp.int32),
+        src_latents=IN["src_latents"][sl], chunk_masks=IN["chunk_masks"][sl],
+        is_covers=IN["is_covers"][sl], attention_mask=IN["attn_mask"][sl],
+        silence_latent=IN["silence_latent"], max_refs=1,
+    )
+    kvs = dit.precompute_cross_kv(params["decoder"], TINY, enc)
+    null_kvs = None
+    if gs > 1.0:
+        null_states = jnp.broadcast_to(
+            params["null_condition_emb"].astype(enc.dtype), enc.shape
+        )
+        null_kvs = dit.precompute_cross_kv(params["decoder"], TINY, null_states)
+    sched = dit.build_linspace_schedule(6, shift=2.0)
+    t_next = sched[1:] + [0.0]
+    xt = dit.denoise_scan(
+        params["decoder"], TINY, IN["noise"][sl],
+        jnp.asarray(sched, jnp.float32), jnp.asarray(t_next, jnp.float32),
+        ctx, kvs, None, None, None, null_kvs, None,
+        guidance_scale=gs, use_adg=use_adg,
+        cfg_interval_start=ci[0], cfg_interval_end=ci[1],
+    )
+    _assert_close(f"base_trajectory@{tag}", xt, OUT[f"gen_{tag}"], tol=5e-5)

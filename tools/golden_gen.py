@@ -280,6 +280,115 @@ def gen_qwen3_fixture():
     print(f"wrote {path}: {len(data)} arrays")
 
 
+def _import_reference_base():
+    """Import the reference BASE model file standalone (it carries the same
+    non-package import fallback for config + apg_guidance,
+    modeling_acestep_v15_base.py:44-50)."""
+    base_dir = "/root/reference/acestep/models/base"
+    sys.path.insert(0, base_dir)
+    spec = importlib.util.spec_from_file_location(
+        "ref_base_modeling", os.path.join(base_dir, "modeling_acestep_v15_base.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_base_modeling"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def gen_base_fixture():
+    """Base-model goldens: APG momentum chain, ADG, and the CFG-batched
+    linspace+shift denoise loop (`modeling_acestep_v15_base.py:1783-1990`,
+    `apg_guidance.py:5-120`)."""
+    mod = _import_reference_base()
+    import apg_guidance as apg  # from the base dir put on sys.path
+
+    cfg = tiny_config(mod)
+    torch.manual_seed(0)
+    model = mod.AceStepConditionGenerationModel(cfg).float().eval()
+    rng = np.random.default_rng(77)
+
+    B, T = 2, 20
+    D_AC = cfg.audio_acoustic_hidden_dim
+
+    def randn(*shape, scale=1.0):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    inputs = {
+        "text_h": randn(B, 7, cfg.text_hidden_dim),
+        "text_m": np.ones((B, 7), np.float32),
+        "lyric_h": randn(B, 11, cfg.text_hidden_dim),
+        "lyric_m": np.ones((B, 11), np.float32),
+        "refer_packed": randn(B, cfg.timbre_fix_frame, cfg.timbre_hidden_dim),
+        "refer_order": np.arange(B, dtype=np.int64),
+        "src_latents": randn(B, T, D_AC),
+        "attn_mask": np.ones((B, T), np.float32),
+        "chunk_masks": np.ones((B, T, D_AC), np.float32),
+        "is_covers": np.zeros((B,), np.float32),
+        "silence_latent": randn(1, 25, D_AC),
+        "noise": randn(B, T, D_AC),
+        # APG/ADG unit inputs
+        "apg_cond": randn(3, B, T, D_AC),  # 3 sequential steps (momentum carry)
+        "apg_uncond": randn(3, B, T, D_AC),
+        "adg_latents": randn(B, T, D_AC),
+    }
+    tt = {k: torch.from_numpy(v) for k, v in inputs.items()}
+
+    out = {}
+    with torch.no_grad():
+        # APG with momentum carried across 3 calls (dims=[1] as the base loop uses)
+        buf = apg.MomentumBuffer()
+        apg_outs = []
+        for i in range(3):
+            apg_outs.append(apg.apg_forward(
+                pred_cond=tt["apg_cond"][i], pred_uncond=tt["apg_uncond"][i],
+                guidance_scale=3.0, momentum_buffer=buf, dims=[1],
+            ))
+        out["apg_chain"] = torch.stack(apg_outs)
+
+        # NOTE: the reference's adg_forward broadcasts cos(theta) of shape
+        # (n*t, 1) against (n, t, c) — it only works at batch size 1 (crashes
+        # for B>1); goldens are recorded at B=1 accordingly.
+        out["adg"] = apg.adg_forward(
+            latents=tt["adg_latents"][:1], noise_pred_cond=tt["apg_cond"][0][:1],
+            noise_pred_uncond=tt["apg_uncond"][0][:1], sigma=0.7, guidance_scale=3.0,
+        )
+
+        model.prepare_noise = lambda ctx, seed=None: tt["noise"]
+        for tag, kw in (
+            ("cfg_apg", dict(diffusion_guidance_sale=3.0, use_adg=False)),
+            ("cfg_adg", dict(diffusion_guidance_sale=3.0, use_adg=True, b1=True)),
+            ("cfg_interval", dict(diffusion_guidance_sale=3.0, use_adg=False,
+                                  cfg_interval_start=0.3, cfg_interval_end=0.8)),
+            ("noguidance", dict(diffusion_guidance_sale=1.0)),
+        ):
+            b1 = kw.pop("b1", False)  # ref ADG is batch-1-only (see note above)
+            sl = (slice(0, 1) if b1 else slice(None))
+            model.prepare_noise = lambda ctx, seed=None, _sl=sl: tt["noise"][_sl]
+            g = model.generate_audio(
+                text_hidden_states=tt["text_h"][sl], text_attention_mask=tt["text_m"][sl],
+                lyric_hidden_states=tt["lyric_h"][sl], lyric_attention_mask=tt["lyric_m"][sl],
+                refer_audio_acoustic_hidden_states_packed=tt["refer_packed"][sl],
+                refer_audio_order_mask=tt["refer_order"][sl],
+                src_latents=tt["src_latents"][sl], chunk_masks=tt["chunk_masks"][sl],
+                is_covers=tt["is_covers"][sl], silence_latent=tt["silence_latent"],
+                attention_mask=tt["attn_mask"][sl], infer_method="ode",
+                infer_steps=6, shift=2.0, use_progress_bar=False, **kw,
+            )
+            out[f"gen_{tag}"] = g["target_latents"]
+
+    data = {}
+    for k, v in model.state_dict().items():
+        data["sd/" + k] = v.detach().numpy().astype(np.float32)
+    for k, v in inputs.items():
+        data["in/" + k] = v
+    for k, v in out.items():
+        data["out/" + k] = v.detach().numpy().astype(np.float32)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, "base_tiny.npz")
+    np.savez_compressed(path, **data)
+    print(f"wrote {path}: {len(data)} arrays")
+
+
 def gen_vae_fixture():
     """Tiny Oobleck VAE (torch mirror of diffusers' module graph with
     weight-normed convs — see tools/torch_oobleck.py) → fixture for the
@@ -319,3 +428,5 @@ if __name__ == "__main__":
         gen_qwen3_fixture()
     if which in ("all", "vae"):
         gen_vae_fixture()
+    if which in ("all", "base"):
+        gen_base_fixture()
