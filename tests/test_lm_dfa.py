@@ -293,10 +293,11 @@ GENRES_SMALL = ["rock", "jazz", "synthwave", "lofi hip hop", "ambient drone"]
 GENRES_WIDE = [chr(33 + i) + "x" for i in range(150)]
 
 
-def _walk_equivalence(fsm_factory, seed, steps=800):
+def _walk_equivalence(fsm_factory, seed, steps=800, vocab=VOCAB, tkz=None):
     """Random-walk the host FSM; assert the DFA tables stay in lockstep."""
     fsm = fsm_factory()
-    dfa = compile_cot_dfa(fsm_factory(), VOCAB)
+    tkz = tkz or TOK
+    dfa = compile_cot_dfa(fsm_factory(), vocab)
     rng = np.random.default_rng(seed)
     state = dfa.start_state
     for _ in range(steps):
@@ -317,7 +318,7 @@ def _walk_equivalence(fsm_factory, seed, steps=800):
             assert dfa.allow_other[state]
             assert bool(dfa.prob_end[state]) == (spec.kind == "prob_end")
             nl = fsm.canonical_newline
-            cand = [t for t in TOK.encode("qz7 ,") if t not in set(spec.ids or [])]
+            cand = [t for t in tkz.encode("qz7 ,") if t not in set(spec.ids or [])]
             pool = cand + ([nl] if spec.kind == "prob_end" or nl not in set(spec.ids or []) else [])
             tok = int(rng.choice(pool))
         else:
@@ -485,3 +486,100 @@ def test_lm_batch_chunking():
     assert len(out["batch_metadata"]) == 5
     for md in out["batch_metadata"]:
         assert 30 <= int(md["bpm"]) <= 300
+
+
+# ---------------------------------------------------------------------------
+# Realistic byte-level BPE (Qwen-style: trained merges + 64k added audio-code
+# special tokens via the `tokenizers` library) — the closest offline stand-in
+# for the real Qwen tokenizer the DFA has not yet met (STATUS known-gap).
+# ---------------------------------------------------------------------------
+
+
+class _BBPE:
+    """HF-tokenizer-shaped wrapper over a trained `tokenizers` BPE."""
+
+    def __init__(self):
+        from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+        from acestep_tpu.utils.constants import VALID_KEYSCALES, VALID_LANGUAGES
+
+        tok = Tokenizer(models.BPE(unk_token=None))
+        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        tok.decoder = decoders.ByteLevel()
+        corpus = (
+            [f"bpm: {v}\n" for v in range(30, 301, 7)]
+            + [f"duration: {v}\n" for v in range(10, 601, 13)]
+            + [f"keyscale: {k}\n" for k in sorted(VALID_KEYSCALES)]
+            + [f"language: {l}\n" for l in VALID_LANGUAGES]
+            + ["timesignature: 4\n", "caption: an energetic synthwave track\n"] * 50
+        ) * 5
+        trainer = trainers.BpeTrainer(
+            vocab_size=3000, special_tokens=["<pad>", "<bos>", "<eos>"]
+        )
+        tok.train_from_iterator(corpus, trainer)
+        tok.add_special_tokens(
+            ["<think>", "</think>", "<|im_start|>", "<|im_end|>"]
+            + [f"<|audio_code_{i}|>" for i in range(64000)]
+        )
+        self._tok = tok
+        self.eos_token_id = 2
+        self.pad_token_id = 0
+        self.vocab_size = tok.get_vocab_size()
+
+    def encode(self, text, max_length=None, add_special_tokens=False):
+        ids = self._tok.encode(text).ids
+        return ids[:max_length] if max_length else ids
+
+    def decode(self, ids):
+        return self._tok.decode([int(i) for i in ids], skip_special_tokens=False)
+
+    def __call__(self, text, max_length=None):
+        return {"input_ids": self.encode(text, max_length)}
+
+
+@pytest.fixture(scope="module")
+def bbpe():
+    return _BBPE()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dfa_walk_realistic_bbpe(bbpe, seed):
+    """Random-walk equivalence on trained byte-level BPE merges (multi-token
+    values whose merges differ by context — the failure mode mock tokenizers
+    can't produce)."""
+    def factory():
+        f = ConstrainedDecoderFSM(bbpe, skip_genres=False,
+                                  genres_vocab=["synthwave", "lofi hip hop", "drone"])
+        f.reset(phase="cot", stop_at_reasoning=True)
+        return f
+
+    _walk_equivalence(factory, seed, steps=1000, vocab=bbpe.vocab_size, tkz=bbpe)
+
+
+def test_device_e2e_realistic_bbpe(bbpe):
+    """Full two-phase generate on the BBPE tokenizer: code tokens are
+    DISCOVERED from the added specials (contiguous 64k range), the device DFA
+    emits a valid CoT, and the codes phase samples real code-token ids."""
+    cfg = Qwen3Config(vocab_size=bbpe.vocab_size + 64, hidden_size=64,
+                      intermediate_size=128, num_hidden_layers=2,
+                      num_attention_heads=2, num_key_value_heads=1, head_dim=32)
+    h = LLMHandler(config=cfg)
+    h.initialize(random_init=True, seed=3)
+    h.tokenizer = bbpe
+    h.fsm = ConstrainedDecoderFSM(bbpe)
+    h._dfa_cache = {}
+    h.prefill_cache.clear()
+    assert h.fsm.code_token_start > 0 and h.fsm.num_code_tokens == 64_000
+
+    out = h.generate_with_stop_condition(
+        caption="synthwave", lyrics="", temperature=0.8,
+        target_duration=3.0, seed=11,
+    )
+    md = out["metadata"]
+    assert 30 <= int(md["bpm"]) <= 300
+    assert int(md["timesignature"]) in (2, 3, 4, 6)
+    codes = out["codes"]
+    assert len(codes) == 15  # 3 s × 5 codes/s
+    assert all(0 <= c < 64000 for c in codes)
+    # the code string round-trips through the shared parser
+    assert h.parse_lm_output(out["audio_codes"])[1].count("audio_code") == 15
