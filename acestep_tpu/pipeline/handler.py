@@ -853,6 +853,7 @@ class AceStepHandler:
         normalize_db: Optional[float] = None,
         return_int16: bool = False,
         return_condition: bool = False,
+        async_finish: bool = False,
     ) -> Dict[str, Any]:
         """Run the DiT-side generation pipeline. Returns latents + audio + timings."""
         assert self.initialized, "call initialize_service() first"
@@ -1090,28 +1091,44 @@ class AceStepHandler:
             result["lyric_token_ids"] = lyric_ids[:, :valid]
 
         if decode_audio:
-            t0 = time.time()
-            if decode_job is not None:
-                try:
-                    wavs = self._decode_latents_finish(
-                        *decode_job, t_exact,
-                        normalize_db=normalize_db, return_int16=return_int16,
-                    )
-                except Exception as e:  # noqa: BLE001 — HBM ladder fallback
-                    if "RESOURCE_EXHAUSTED" not in str(e):
-                        raise
+            def _finish():
+                t1 = time.time()
+                if decode_job is not None:
+                    try:
+                        wavs = self._decode_latents_finish(
+                            *decode_job, t_exact,
+                            normalize_db=normalize_db, return_int16=return_int16,
+                        )
+                    except Exception as e:  # noqa: BLE001 — HBM ladder fallback
+                        if "RESOURCE_EXHAUSTED" not in str(e):
+                            raise
+                        wavs = self.decode_latents(
+                            pred, chunk_frames=128,
+                            normalize_db=normalize_db, return_int16=return_int16,
+                        )
+                else:
                     wavs = self.decode_latents(
-                        pred, chunk_frames=128,
-                        normalize_db=normalize_db, return_int16=return_int16,
+                        pred, normalize_db=normalize_db, return_int16=return_int16
                     )
-            else:
-                wavs = self.decode_latents(
-                    pred, normalize_db=normalize_db, return_int16=return_int16
-                )
-            time_costs["vae_decode_time_cost"] = time.time() - t0
-            result["audios"] = wavs
+                time_costs["vae_decode_time_cost"] = time.time() - t1
+                time_costs["total_time_cost"] = time.time() - t_start
+                result["audios"] = wavs
+                return wavs
 
-        time_costs["total_time_cost"] = time.time() - t_start
+            if async_finish:
+                # Pipelined serving: the decode compute is already in the
+                # in-order device queue and its chunk transfers stream in the
+                # background; the caller invokes result["finish"]() AFTER
+                # dispatching the next request's denoise, hiding this
+                # request's transfer + host PCM work under the next request's
+                # compute (a sustained-throughput capability the single-GPU
+                # reference has no equivalent of).
+                result["finish"] = _finish
+            else:
+                _finish()
+
+        if "total_time_cost" not in time_costs:
+            time_costs["total_time_cost"] = time.time() - t_start
         result["time_costs"] = time_costs
         self._last_time_costs = time_costs
         debug.log("generation", f"generate_music b={b} t={t_latent} "

@@ -85,6 +85,37 @@ def _measure_point(handler, batch: int, reps: int):
     }
 
 
+def _measure_pipelined(handler, batch: int, n_req: int = 4):
+    """Sustained serving throughput: request N+1's conditioning + denoise
+    dispatch while request N's decode transfers and converts (async_finish).
+    Returns audio-s/s over n_req back-to-back requests (best of 2 rounds)."""
+    kwargs = dict(
+        captions=["an energetic synthwave track with driving bass"] * batch,
+        lyrics=["[Instrumental]"] * batch,
+        audio_duration=DURATION_S,
+        batch_size=batch,
+        seeds=list(range(batch)),
+        use_random_seed=False,
+        decode_audio=True,
+        async_finish=True,
+    )
+    best = 0.0
+    for _ in range(2):
+        gc.collect()
+        time.sleep(1.0)
+        t0 = time.time()
+        prev = None
+        for _i in range(n_req):
+            out = handler.generate_music(**kwargs)
+            if prev is not None:
+                prev["finish"]()
+            prev = out
+        prev["finish"]()
+        wall = time.time() - t0
+        best = max(best, n_req * batch * DURATION_S / wall)
+    return round(best, 2)
+
+
 def main():
     import jax
 
@@ -100,6 +131,7 @@ def main():
 
     points = [_measure_point(handler, b, REPS) for b in BATCHES]
     best = max(points, key=lambda p: p["batch"] * DURATION_S / p["fast5_median_wall_s"])
+    pipelined = _measure_pipelined(handler, best["batch"])
     value = best["batch"] * DURATION_S / best["fast5_median_wall_s"]
     value_plain = best["batch"] * DURATION_S / best["median_wall_s"]
     result = {
@@ -109,6 +141,7 @@ def main():
         "vs_baseline": round(value / BASELINE_AUDIO_SECONDS_PER_SEC, 3),
         "detail": {
             "value_plain_median": round(value_plain, 2),
+            "pipelined_sustained_audio_s_per_s": pipelined,
             "vs_baseline_plain_median": round(value_plain / BASELINE_AUDIO_SECONDS_PER_SEC, 3),
             "duration_s": DURATION_S,
             "headline_point": best["batch"],

@@ -208,3 +208,21 @@ def test_multi_reference_timbre(handler):
         decode_audio=False,
     )
     assert np.isfinite(out["latents"]).all()
+
+
+def test_async_finish_pipelining(handler):
+    """async_finish returns a finish() closure; interleaved requests produce
+    bit-identical audio to the serial path (sustained-throughput serving)."""
+    kw = dict(captions="pipelined", lyrics="[Instrumental]", audio_duration=2.0,
+              batch_size=1, use_random_seed=False, return_int16=True)
+    ref1 = handler.generate_music(**kw, seeds=[11])
+    ref2 = handler.generate_music(**kw, seeds=[22])
+
+    a = handler.generate_music(**kw, seeds=[11], async_finish=True)
+    assert "audios" not in a and callable(a["finish"])
+    b = handler.generate_music(**kw, seeds=[22], async_finish=True)
+    wav_a = a["finish"]()
+    wav_b = b["finish"]()
+    np.testing.assert_array_equal(wav_a, ref1["audios"])
+    np.testing.assert_array_equal(wav_b, ref2["audios"])
+    assert a["time_costs"]["total_time_cost"] > 0
