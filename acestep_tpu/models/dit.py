@@ -844,6 +844,7 @@ def generate_audio(
     infer_steps: Optional[int] = None,
     max_refs: int = 1,
     return_condition: bool = False,
+    noise: Optional[jax.Array] = None,  # injection hook (golden tests)
 ) -> Dict[str, Any]:
     """Full turbo/base generation (ref turbo generate_audio :1780-2001).
 
@@ -878,7 +879,8 @@ def generate_audio(
 
     b, t, d = src_latents.shape
     seeds = list(seeds) if seeds is not None else list(range(b))
-    noise = prepare_noise((b, t, d), seeds, src_latents.dtype)
+    if noise is None:
+        noise = prepare_noise((b, t, d), seeds, src_latents.dtype)
 
     # Cover-noise initialization: start partway down the schedule from src.
     if cover_noise_strength > 0.0:

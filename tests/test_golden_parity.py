@@ -389,3 +389,46 @@ def test_base_trajectory_golden(base_golden, tag, use_adg, gs, ci):
         cfg_interval_start=ci[0], cfg_interval_end=ci[1],
     )
     _assert_close(f"base_trajectory@{tag}", xt, OUT[f"gen_{tag}"], tol=5e-5)
+
+
+def test_cover_noise_and_switch_trajectories_golden(dit_golden):
+    """Cover-noise schedule entry (renoise from src partway down the schedule)
+    and the mid-trajectory non-cover switch (audio_cover_strength < 1) against
+    the reference loop (ref turbo :1891-1945, :1957-1965)."""
+    params, IN, OUT = dit_golden
+    # Fully-valid masks: these goldens run generate_audio itself, whose
+    # serving path applies the padding masks the reference drops — all-ones
+    # text/lyric/latent masks make the conventions nearly coincide (see module
+    # docstring). One residual deviation remains by design: the packed-timbre
+    # sequence still has ONE pad slot (sample 1 has 1 ref vs sample 0's 2) that
+    # this build masks out of cross-attention while the reference attends it —
+    # ~2e-4 over 8 steps. The 1e-3 tolerance bounds that; a wrong schedule
+    # truncation / renoise entry / segment switch would be O(1).
+    common = dict(
+        text_hidden_states=IN["text_h"],
+        text_attention_mask=jnp.ones_like(IN["text_m"]),
+        lyric_hidden_states=IN["lyric_h"],
+        lyric_attention_mask=jnp.ones_like(IN["lyric_m"]),
+        refer_packed=IN["refer_packed"],
+        refer_order_mask=IN["refer_order"].astype(jnp.int32),
+        src_latents=IN["src_latents"], chunk_masks=IN["chunk_masks"],
+        is_covers=jnp.ones_like(IN["is_covers"]),
+        silence_latent=IN["silence_latent"],
+        attention_mask=jnp.ones_like(IN["attn_mask"]),
+        infer_method="ode", max_refs=2, noise=IN["noise"],
+    )
+    g = dit.generate_audio(params, TINY, **common, shift=3.0)
+    _assert_close("generate_audio@cover_plain", g["target_latents"],
+                  OUT["gen_cover_plain"], tol=1e-3)
+
+    g = dit.generate_audio(params, TINY, **common, shift=3.0,
+                           cover_noise_strength=0.6)
+    _assert_close("generate_audio@cover_noise", g["target_latents"],
+                  OUT["gen_cover_noise"], tol=1e-3)
+
+    g = dit.generate_audio(params, TINY, **common, shift=3.0,
+                           audio_cover_strength=0.5,
+                           non_cover_text_hidden_states=IN["text_h"] * 0.5,
+                           non_cover_text_attention_mask=jnp.ones_like(IN["text_m"]))
+    _assert_close("generate_audio@cover_switch", g["target_latents"],
+                  OUT["gen_cover_switch"], tol=1e-3)

@@ -166,6 +166,23 @@ def gen_dit_fixture():
         )
         out["prep_enc_h"], out["prep_enc_m"], out["prep_ctx"] = p_enc_h, p_enc_m, p_ctx
 
+        # All-covers variant (pins the hints-as-src path used by cover runs)
+        _, _, p_ctx_cov = model.prepare_condition(
+            text_hidden_states=tt["text_h"],
+            text_attention_mask=tt["text_m"],
+            lyric_hidden_states=tt["lyric_h"],
+            lyric_attention_mask=tt["lyric_m"],
+            refer_audio_acoustic_hidden_states_packed=tt["refer_packed"],
+            refer_audio_order_mask=tt["refer_order"],
+            hidden_states=tt["src_latents"],
+            attention_mask=tt["attn_mask"],
+            silence_latent=tt["silence_latent"],
+            src_latents=tt["src_latents"],
+            chunk_masks=tt["chunk_masks"],
+            is_covers=torch.ones_like(tt["is_covers"]),
+        )
+        out["prep_ctx_cover"] = p_ctx_cov
+
         # Decoder single forwards at two timesteps
         for tag, tv in (("t10", 1.0), ("t03", 0.3)):
             tvec = torch.full((B,), tv)
@@ -182,23 +199,53 @@ def gen_dit_fixture():
 
         # Full 8-step ODE trajectories with pinned noise (shift 3 and 2)
         model.prepare_noise = lambda ctx, seed=None: tt["noise"]
+        gen_common = dict(
+            text_hidden_states=tt["text_h"],
+            text_attention_mask=tt["text_m"],
+            lyric_hidden_states=tt["lyric_h"],
+            lyric_attention_mask=tt["lyric_m"],
+            refer_audio_acoustic_hidden_states_packed=tt["refer_packed"],
+            refer_audio_order_mask=tt["refer_order"],
+            src_latents=tt["src_latents"],
+            chunk_masks=tt["chunk_masks"],
+            is_covers=tt["is_covers"],
+            silence_latent=tt["silence_latent"],
+            attention_mask=tt["attn_mask"],
+            infer_method="ode",
+        )
         for shift in (3.0, 2.0):
-            g = model.generate_audio(
-                text_hidden_states=tt["text_h"],
-                text_attention_mask=tt["text_m"],
-                lyric_hidden_states=tt["lyric_h"],
-                lyric_attention_mask=tt["lyric_m"],
-                refer_audio_acoustic_hidden_states_packed=tt["refer_packed"],
-                refer_audio_order_mask=tt["refer_order"],
-                src_latents=tt["src_latents"],
-                chunk_masks=tt["chunk_masks"],
-                is_covers=tt["is_covers"],
-                silence_latent=tt["silence_latent"],
-                attention_mask=tt["attn_mask"],
-                infer_method="ode",
-                shift=shift,
-            )
+            g = model.generate_audio(**gen_common, shift=shift)
             out[f"gen_latents_shift{int(shift)}"] = g["target_latents"]
+
+        # Cover-path goldens run with FULLY-VALID masks: these are the only
+        # goldens exercising generate_audio itself, whose serving path applies
+        # the padding masks the reference decoder drops (see module docstring
+        # note in test_golden_parity.py) — all-ones masks make the two
+        # conventions coincide and isolate the cover-segment logic.
+        ones_masks = dict(
+            text_attention_mask=torch.ones_like(tt["text_m"]),
+            lyric_attention_mask=torch.ones_like(tt["lyric_m"]),
+            attention_mask=torch.ones_like(tt["attn_mask"]),
+            is_covers=torch.ones_like(tt["is_covers"]),
+        )
+        g = model.generate_audio(**{**gen_common, **ones_masks}, shift=3.0)
+        out["gen_cover_plain"] = g["target_latents"]
+
+        # Cover-noise entry: renoise from src partway down the schedule
+        # (ref :1924-1945 truncation + renoise), all samples covers.
+        g = model.generate_audio(**{**gen_common, **ones_masks},
+                                 shift=3.0, cover_noise_strength=0.6)
+        out["gen_cover_noise"] = g["target_latents"]
+
+        # Mid-trajectory non-cover switch (audio_cover_strength < 1,
+        # ref :1891-1911 second prepare_condition + :1957-1965 swap).
+        g = model.generate_audio(
+            **{**gen_common, **ones_masks},
+            shift=3.0, audio_cover_strength=0.5,
+            non_cover_text_hidden_states=tt["text_h"] * 0.5,
+            non_cover_text_attention_mask=torch.ones_like(tt["text_m"]),
+        )
+        out["gen_cover_switch"] = g["target_latents"]
 
     data = {}
     for k, v in model.state_dict().items():
