@@ -404,6 +404,8 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                     n = 200
                 return self._json(200, {"lines": service.logs.tail(n)})
             if url.path == "/v1/models":
+                from acestep_tpu.utils.downloader import list_available_models
+
                 return self._json(
                     200,
                     {
@@ -414,7 +416,10 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                                 "tasks": ["text2music", "repaint", "cover", "extract", "lego", "complete"],
                             }
                             for name, h in service.dit_handlers.items()
-                        ]
+                        ],
+                        # Local checkpoint catalog with component verification
+                        # (ref init_service_catalog; ACESTEP_CHECKPOINT_ROOT)
+                        "catalog": list_available_models(),
                     },
                 )
             if url.path == "/v1/audio":

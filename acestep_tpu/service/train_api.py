@@ -44,6 +44,7 @@ class TrainingService:
             learning_rate=float(payload.get("learning_rate", 1e-4)),
             max_steps=int(payload.get("max_steps", 1000)),
             batch_size=int(payload.get("batch_size", 1)),
+            gradient_accumulation_steps=int(payload.get("gradient_accumulation_steps", 1)),
             checkpoint_every=int(payload.get("checkpoint_every", 200)),
             output_dir=output_dir,
             resume_from=payload.get("resume_from"),

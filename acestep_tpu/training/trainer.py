@@ -58,6 +58,7 @@ class TrainingConfig:
     timestep_mu: float = -0.4
     timestep_sigma: float = 1.0
     checkpoint_every: int = 200
+    gradient_accumulation_steps: int = 1  # ref trainer.py:722,822-843
     log_every: int = 10
     seed: int = 0
     output_dir: str = "./lora_output"
@@ -141,6 +142,13 @@ class LoRATrainer:
             optax.clip_by_global_norm(self.tcfg.max_grad_norm),
             optax.adamw(sched, weight_decay=self.tcfg.weight_decay),
         )
+        if self.tcfg.gradient_accumulation_steps > 1:
+            # Gradient accumulation (ref trainer.py:722,822-843): optimizer
+            # updates apply every k micro-batches; intermediate steps only
+            # accumulate (one jitted program either way).
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=self.tcfg.gradient_accumulation_steps
+            )
         self.opt_state = self.tx.init(self.lora)
         self.step = 0
         self._jit_step = self._build_step()

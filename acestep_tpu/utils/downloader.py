@@ -117,6 +117,25 @@ def verify_checkpoint(path: str, components: Optional[dict] = None) -> dict:
     return out
 
 
+def list_available_models(root: Optional[str] = None) -> List[dict]:
+    """Checkpoint catalog (ref init_service_catalog.get_available_acestep_v15_models
+    :27-40): scan `root` (default ACESTEP_CHECKPOINT_ROOT or ./checkpoints)
+    for acestep-* model dirs, with per-component verification status."""
+    root = root or os.environ.get("ACESTEP_CHECKPOINT_ROOT", "./checkpoints")
+    out: List[dict] = []
+    if not os.path.isdir(root):
+        return out
+    for name in sorted(os.listdir(root)):
+        path = os.path.join(root, name)
+        if not (os.path.isdir(path) and name.startswith("acestep-")):
+            continue
+        comps = LM_CHECKPOINT_COMPONENTS if "lm" in name.lower() else DIT_CHECKPOINT_COMPONENTS
+        status = verify_checkpoint(path, comps)
+        out.append({"name": name, "path": path, "components": status,
+                    "complete": all(status.values())})
+    return out
+
+
 def ensure_components(
     name: str,
     cache_dir: str = DEFAULT_CACHE_DIR,

@@ -217,3 +217,53 @@ def test_gradient_sensitivity_estimation(base_params, tmp_path):
     b = {r["module"]: r["sensitivity"] for r in res_stacked}
     for m in names:
         assert abs(a[m] - b[m]) <= 1e-3 * max(1.0, abs(a[m])), m
+
+
+def test_gradient_accumulation_multisteps(tmp_path):
+    """gradient_accumulation_steps=2 halves the number of applied optimizer
+    updates (optax.MultiSteps; ref trainer.py:722,822-843)."""
+    import jax
+    import jax.numpy as jnp
+
+    from acestep_tpu.params import init_acestep_params
+    from acestep_tpu.training.trainer import LoRAConfig, LoRATrainer, TrainingConfig
+
+    cfg = TINY
+    base = init_acestep_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+
+    def batches():
+        while True:
+            yield {
+                "target_latents": rng.standard_normal((1, 16, 64)).astype(np.float32),
+                "context_latents": rng.standard_normal((1, 16, 128)).astype(np.float32),
+                "attention_mask": np.ones((1, 16), np.int32),
+                "encoder_hidden_states": rng.standard_normal((1, 8, cfg.hidden_size)).astype(np.float32),
+                "encoder_attention_mask": np.ones((1, 8), np.int32),
+            }
+
+    def run(accum, steps=6):
+        trainer = LoRATrainer(
+            base, cfg, LoRAConfig(rank=2),
+            TrainingConfig(max_steps=steps, gradient_accumulation_steps=accum,
+                           warmup_steps=1, output_dir=str(tmp_path / f"a{accum}"),
+                           checkpoint_every=100),
+        )
+        snaps = []
+        for step, loss, _ in trainer.train(batches()):
+            snaps.append(np.concatenate(
+                [np.asarray(x).ravel() for x in jax.tree.leaves(trainer.lora)]
+            ))
+            if step >= steps:
+                break
+        return snaps
+
+    def n_changes(snaps):
+        return sum(
+            0 if np.array_equal(a, b) else 1 for a, b in zip(snaps, snaps[1:])
+        )
+
+    plain = n_changes(run(1))
+    accum = n_changes(run(2))
+    assert plain >= 4  # every micro-step applies (first may be lr=0 warmup)
+    assert 1 <= accum <= plain // 2 + 1  # applies only every 2nd micro-step

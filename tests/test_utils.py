@@ -152,3 +152,30 @@ def test_verify_checkpoint_components(tmp_path):
     # ensure_components reports missing pieces without re-download (no egress)
     out = ensure_components("ckpt", str(tmp_path))
     assert out["components"]["silence_latent"] is False
+
+
+def test_checkpoint_catalog(tmp_path):
+    """list_available_models (ref init_service_catalog:27-40): scans a root
+    for acestep-* dirs with component verification."""
+    import os
+
+    from acestep_tpu.utils.downloader import list_available_models
+
+    root = str(tmp_path)
+    d = os.path.join(root, "acestep-v15-turbo")
+    os.makedirs(os.path.join(d, "vae"))
+    os.makedirs(os.path.join(d, "Qwen3-Embedding-0.6B"))
+    for p in ("config.json", "model.safetensors", "silence_latent.pt",
+              "vae/config.json", "vae/x.safetensors",
+              "Qwen3-Embedding-0.6B/config.json",
+              "Qwen3-Embedding-0.6B/m.safetensors"):
+        open(os.path.join(d, p), "w").write("{}")
+    os.makedirs(os.path.join(root, "acestep-5Hz-lm-0.6B"))
+    os.makedirs(os.path.join(root, "not-a-model"))
+
+    cat = list_available_models(root)
+    names = [c["name"] for c in cat]
+    assert names == ["acestep-5Hz-lm-0.6B", "acestep-v15-turbo"]
+    by = {c["name"]: c for c in cat}
+    assert by["acestep-v15-turbo"]["complete"]
+    assert not by["acestep-5Hz-lm-0.6B"]["complete"]
