@@ -395,3 +395,77 @@ def test_train_export_endpoint_and_lokr_param(handlers, tmp_path):
     z = _np2.load(exp["adapter_path"], allow_pickle=True)
     meta = _json.loads(str(z["__meta__"]))
     assert meta["adapter_type"] == "lokr"
+
+
+def test_lora_rest_lifecycle_end_to_end(handlers, tmp_path):
+    """Train → export → REST load/toggle/scale/status → adapter changes the
+    generated latents (full LoRA serving loop over HTTP)."""
+    import http.client
+    import threading
+
+    import numpy as _np
+
+    from acestep_tpu.service.api_server import serve
+    from acestep_tpu.service.train_api import TrainingService
+    from acestep_tpu.training.dataset import save_sample, write_manifest
+
+    dit, _ = handlers
+    svc = TrainingService(dit)
+    ds_dir = str(tmp_path / "tensors")
+    os.makedirs(ds_dir, exist_ok=True)
+    rng = _np.random.default_rng(0)
+    entries = []
+    for i in range(2):
+        save_sample(os.path.join(ds_dir, f"s{i}.npz"), {
+            "target_latents": rng.standard_normal((16, 64)).astype(_np.float32),
+            "encoder_hidden_states": rng.standard_normal((8, TINY_DIT.hidden_size)).astype(_np.float32),
+            "encoder_attention_mask": _np.ones((8,), _np.int32),
+            "context_latents": rng.standard_normal((16, 128)).astype(_np.float32),
+            "attention_mask": _np.ones((16,), _np.int32),
+        })
+        entries.append({"file": f"s{i}.npz"})
+    write_manifest(ds_dir, entries)
+    run_id = svc.start_run({"dataset_dir": ds_dir, "max_steps": 2, "rank": 4,
+                            "learning_rate": 0.5, "warmup_steps": 0,
+                            "output_dir": str(tmp_path / "run"),
+                            "checkpoint_every": 2})["run_id"]
+    for _ in range(120):
+        st = svc.status(run_id)
+        if st["status"] in ("completed", "failed"):
+            break
+        time.sleep(1)
+    assert st["status"] == "completed", st.get("error")
+    adapter = svc.export_adapter(run_id, str(tmp_path / "adapters"))["adapter_path"]
+
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, payload):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        c.request("POST", path, body=json.dumps(payload),
+                  headers={"Content-Type": "application/json"})
+        out = json.loads(c.getresponse().read())
+        c.close()
+        return out
+
+    gen_kw = dict(captions="lora check", lyrics="[Instrumental]", audio_duration=2.0,
+                  batch_size=1, seeds=[5], use_random_seed=False, decode_audio=False)
+    base_latents = dit.generate_music(**gen_kw)["latents"]
+
+    assert post("/v1/lora/load", {"name": "test", "path": adapter})["success"]
+    st = post("/v1/lora/status", {})
+    assert "test" in json.dumps(st)
+    lora_latents = dit.generate_music(**gen_kw)["latents"]
+    assert not np.array_equal(base_latents, lora_latents)
+
+    assert post("/v1/lora/toggle", {"name": "test", "enabled": False})["success"]
+    off_latents = dit.generate_music(**gen_kw)["latents"]
+    np.testing.assert_array_equal(off_latents, base_latents)
+
+    assert post("/v1/lora/toggle", {"name": "test", "enabled": True})["success"]
+    assert post("/v1/lora/scale", {"name": "test", "scale": 0.5})["success"]
+    half_latents = dit.generate_music(**gen_kw)["latents"]
+    assert not np.array_equal(half_latents, lora_latents)
+    assert post("/v1/lora/unload", {"name": "test"})["success"]
+    server.shutdown()
