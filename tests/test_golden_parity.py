@@ -291,26 +291,7 @@ def test_vae_golden():
     _assert_close("vae.decode", got.transpose(0, 2, 1), z["out/dec"], tol=1e-5)
 
 
-def test_zz_write_parity_report():
-    """Emit docs/PARITY.md from the collected per-module errors (runs last)."""
-    if len(_report) < 10:  # only write when the full module ran
-        pytest.skip("partial run")
-    lines = [
-        "# Numerical parity vs the reference implementation\n",
-        "Per-module max-abs-error of this repo's JAX forward vs activations",
-        "recorded from the REFERENCE PyTorch code (torch CPU f32, seeded random",
-        "weights, tiny faithful config). Regenerate: `python tools/golden_gen.py`",
-        "then `pytest tests/test_golden_parity.py`. See that test's docstring",
-        "for the decoder mask-convention note.\n",
-        "| module | max abs err |",
-        "|---|---|",
-    ]
-    for k in sorted(_report):
-        lines.append(f"| {k} | {_report[k]:.2e} |")
-    lines.append("")
-    path = os.path.join(os.path.dirname(__file__), "..", "docs", "PARITY.md")
-    with open(path, "w") as f:
-        f.write("\n".join(lines))
+
 
 
 # ---------------------------------------------------------------------------
@@ -432,3 +413,25 @@ def test_cover_noise_and_switch_trajectories_golden(dit_golden):
                            non_cover_text_attention_mask=jnp.ones_like(IN["text_m"]))
     _assert_close("generate_audio@cover_switch", g["target_latents"],
                   OUT["gen_cover_switch"], tol=1e-3)
+
+
+def test_zz_write_parity_report():
+    """Emit docs/PARITY.md from the collected per-module errors (runs last)."""
+    if len(_report) < 10:  # only write when the full module ran
+        pytest.skip("partial run")
+    lines = [
+        "# Numerical parity vs the reference implementation\n",
+        "Per-module max-abs-error of this repo's JAX forward vs activations",
+        "recorded from the REFERENCE PyTorch code (torch CPU f32, seeded random",
+        "weights, tiny faithful config). Regenerate: `python tools/golden_gen.py`",
+        "then `pytest tests/test_golden_parity.py`. See that test's docstring",
+        "for the decoder mask-convention note.\n",
+        "| module | max abs err |",
+        "|---|---|",
+    ]
+    for k in sorted(_report):
+        lines.append(f"| {k} | {_report[k]:.2e} |")
+    lines.append("")
+    path = os.path.join(os.path.dirname(__file__), "..", "docs", "PARITY.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
