@@ -954,6 +954,11 @@ class AceStepHandler:
         # nearly all traffic is 0/1 refs per sample → the (N=b, max_refs=1)
         # program stays the one hot compiled path.
         tf = self.config.timbre_fix_frame
+        # The silence ref row must be exactly tf frames regardless of song
+        # length (silence_tiled is tiled to t_latent, which is < tf for
+        # durations under 30 s — real encoded refs are always padded to tf).
+        silence_ref = silence_tiled[:tf] if silence_tiled.shape[0] >= tf \
+            else self._silence_tiled(tf)
         packed, order = [], []
         encode_cache: Dict[int, np.ndarray] = {}
         max_count = 1
@@ -965,7 +970,7 @@ class AceStepHandler:
                 refs = [refs]
             refs = [r for r in refs if r is not None]
             if not refs:
-                packed.append(silence_tiled[:tf])
+                packed.append(silence_ref)
                 order.append(i)
                 continue
             max_count = max(max_count, len(refs))

@@ -209,6 +209,27 @@ def test_multi_reference_timbre(handler):
     )
     assert np.isfinite(out["latents"]).all()
 
+    # Regression: mixed batch (real refs + silence fallback) on a song SHORTER
+    # than timbre_fix_frame — the silence ref row must still be tf frames
+    # (silence_tiled is only t_latent long there; real refs pad to tf).
+    import dataclasses
+    old_cfg = handler.config
+    handler.config = dataclasses.replace(old_cfg, timbre_fix_frame=100)  # > 64-frame bucket
+    try:
+        out = handler.generate_music(
+            captions="short song refs",
+            lyrics="[Instrumental]",
+            audio_duration=2.0,
+            batch_size=2,
+            seeds=[1, 2],
+            use_random_seed=False,
+            reference_audios=[[ref1], None],
+            decode_audio=False,
+        )
+    finally:
+        handler.config = old_cfg
+    assert np.isfinite(out["latents"]).all()
+
 
 def test_async_finish_pipelining(handler):
     """async_finish returns a finish() closure; interleaved requests produce
