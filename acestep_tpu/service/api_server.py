@@ -113,6 +113,11 @@ class ApiService:
         from acestep_tpu.service.train_api import TrainingService
 
         self.training = TrainingService(dit_handler, llm_handler)
+        from acestep_tpu.service.train_api import DatasetService
+
+        # Interactive dataset explorer (ref train_api_dataset_service.py:
+        # scan/load/samples/sample-edit/save/auto_label/preprocess + polling).
+        self.dataset = DatasetService(dit_handler, llm_handler)
         from acestep_tpu.utils.logbuffer import install as _install_logbuffer
 
         # Ring buffer served at /v1/logs (ref LogBuffer/StderrLogger,
@@ -161,6 +166,15 @@ class ApiService:
                 model_name = payload.get("model", "default")
                 dit = self.dit_handlers.get(model_name, self.dit_handler)
                 result = generate_music(dit, self.llm_handler, params, cfg)
+                # Uploaded temp files are consumed by generation; remove them
+                # BEFORE the job turns terminal so clients that poll success
+                # never observe lingering uploads (the finally stays as a
+                # safety net for the crash path).
+                for p in payload0.get("_temp_files", []) or []:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
                 if result.success:
                     tc = result.extra_outputs.get("time_costs", {})
                     per_step = tc.get("diffusion_per_step_time_cost")
@@ -437,6 +451,22 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 self.end_headers()
                 self.wfile.write(data)
                 return
+            # Dataset explorer reads (ref train_api_dataset_service.py:821-852
+            # + status polling :502-614)
+            if url.path == "/v1/dataset/samples":
+                return self._json(200, service.dataset.samples())
+            if url.path.startswith("/v1/dataset/sample/"):
+                try:
+                    idx = int(url.path.rsplit("/", 1)[-1])
+                except ValueError:
+                    return self._json(400, {"error": "bad sample index"})
+                out = service.dataset.get_sample(idx)
+                return self._json(200 if out.get("success") else 404, out)
+            for kind in ("auto_label", "preprocess"):
+                prefix = f"/v1/dataset/{kind}_status"
+                if url.path.startswith(prefix):
+                    tid = url.path[len(prefix):].strip("/") or None
+                    return self._json(200, service.dataset.task_status(kind, tid))
             return self._json(404, {"error": "unknown endpoint"})
 
         def do_POST(self):  # noqa: N802
@@ -523,6 +553,35 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                     return self._json(200, service.training.build_dataset(body))
                 except KeyError as e:
                     return self._json(400, {"error": f"missing field: {e}"})
+            # Dataset explorer (ref train_api_dataset_service.py:137-920)
+            if url.path.startswith("/v1/dataset/"):
+                ds = service.dataset
+                op = url.path[len("/v1/dataset/"):]
+                try:
+                    if op == "scan":
+                        return self._json(200, ds.scan(body))
+                    if op == "load":
+                        return self._json(200, ds.load(body))
+                    if op == "save":
+                        return self._json(200, ds.save(body))
+                    if op == "auto_label":
+                        return self._json(200, ds.auto_label(body))
+                    if op == "auto_label_async":
+                        return self._json(200, ds.auto_label_async(body))
+                    if op == "preprocess":
+                        return self._json(200, ds.preprocess(body))
+                    if op == "preprocess_async":
+                        return self._json(200, ds.preprocess_async(body))
+                    if op.startswith("sample/"):
+                        try:
+                            idx = int(op.rsplit("/", 1)[-1])
+                        except ValueError:
+                            return self._json(400, {"error": "bad sample index"})
+                        out = ds.update_sample(idx, body)
+                        return self._json(200 if out.get("success") else 404, out)
+                except Exception as e:  # noqa: BLE001
+                    return self._json(500, {"success": False, "error": str(e)})
+                return self._json(404, {"error": "unknown dataset endpoint"})
             if url.path == "/v1/reinitialize":
                 # Reload checkpoints in place (ref api_server.py:3126).
                 try:
@@ -565,6 +624,10 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 except Exception as e:  # noqa: BLE001
                     return self._json(500, {"success": False, "error": str(e)})
             return self._json(404, {"error": "unknown endpoint"})
+
+        # Reference updates samples via PUT /v1/dataset/sample/{idx}
+        # (train_api_dataset_service.py:854); accept both verbs.
+        do_PUT = do_POST  # noqa: N815
 
     return Handler
 

@@ -186,3 +186,205 @@ class TrainingService:
         return {"output_dir": out_dir, "samples": len(entries), "errors": errors,
                 "scan": scan_msg, "status": msg, "labels": labels_preview,
                 "label_log": label_msgs[:20]}
+
+
+class DatasetService:
+    """Interactive dataset-explorer REST backend (ref
+    `acestep/api/train_api_dataset_service.py`: scan/load/samples/sample/{idx}/
+    save/auto_label{,_async}/preprocess{,_async} + task-status polling).
+
+    Stateful: holds one `DatasetBuilder` at a time; edits go through
+    `update_sample` so the UI can correct LM labels before preprocessing.
+    """
+
+    def __init__(self, dit_handler, llm_handler=None):
+        self.dit_handler = dit_handler
+        self.llm_handler = llm_handler
+        self.builder = None
+        self._tasks: Dict[str, Dict[str, Any]] = {}
+        self._latest: Dict[str, Optional[str]] = {"auto_label": None, "preprocess": None}
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------- dataset
+    def _require(self):
+        if self.builder is None:
+            raise ValueError("no dataset loaded — call /v1/dataset/scan or /load first")
+        return self.builder
+
+    def scan(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        from acestep_tpu.training.dataset_builder import DatasetBuilder
+
+        directory = payload.get("directory") or payload.get("audio_dir")
+        if not directory:
+            return {"success": False, "error": "missing field: directory"}
+        builder = DatasetBuilder(self.dit_handler, self.llm_handler)
+        samples, msg = builder.scan_directory(directory)
+        if builder.directory is None:
+            return {"success": False, "error": msg}
+        self.builder = builder
+        return {"success": True, "message": msg, "total_samples": len(samples),
+                "samples": [s.to_dict() for s in samples]}
+
+    def load(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        """Load a previously saved labels.json (path, or directory containing one)."""
+        from acestep_tpu.training.dataset_builder import DatasetBuilder
+
+        path = payload.get("path")
+        directory = payload.get("directory")
+        builder = DatasetBuilder(self.dit_handler, self.llm_handler)
+        builder.directory = directory or (os.path.dirname(path) if path else None)
+        try:
+            n = builder.load_labels(path)
+        except (OSError, ValueError, TypeError) as e:
+            return {"success": False, "error": str(e)}
+        self.builder = builder
+        return {"success": True, "total_samples": n,
+                "samples": [s.to_dict() for s in builder.samples]}
+
+    def samples(self) -> Dict[str, Any]:
+        try:
+            b = self._require()
+        except ValueError as e:
+            return {"success": False, "error": str(e)}
+        return {"success": True, "total_samples": len(b.samples),
+                "samples": [s.to_dict() for s in b.samples]}
+
+    def get_sample(self, idx: int) -> Dict[str, Any]:
+        try:
+            b = self._require()
+        except ValueError as e:
+            return {"success": False, "error": str(e)}
+        if not (0 <= idx < len(b.samples)):
+            return {"success": False, "error": f"invalid sample index {idx}"}
+        return {"success": True, "sample_idx": idx, "sample": b.samples[idx].to_dict()}
+
+    EDITABLE_FIELDS = ("caption", "lyrics", "raw_lyrics", "bpm", "keyscale",
+                       "timesignature", "language", "genre", "labeled")
+
+    def update_sample(self, idx: int, payload: Dict[str, Any]) -> Dict[str, Any]:
+        try:
+            b = self._require()
+        except ValueError as e:
+            return {"success": False, "error": str(e)}
+        if not (0 <= idx < len(b.samples)):
+            return {"success": False, "error": f"invalid sample index {idx}"}
+        s = b.samples[idx]
+        for k in self.EDITABLE_FIELDS:
+            if k in payload:
+                v = payload[k]
+                if k == "bpm" and v is not None:
+                    try:
+                        v = int(v)
+                    except (TypeError, ValueError):
+                        continue
+                setattr(s, k, v)
+        if payload.get("caption"):
+            s.labeled = True
+            s.label_source = s.label_source or "manual"
+        return {"success": True, "sample": s.to_dict()}
+
+    def save(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        try:
+            b = self._require()
+        except ValueError as e:
+            return {"success": False, "error": str(e)}
+        try:
+            path = b.save_labels(payload.get("path"))
+        except OSError as e:
+            return {"success": False, "error": str(e)}
+        return {"success": True, "path": path, "total_samples": len(b.samples)}
+
+    # --------------------------------------------------------------- label
+    def _label_indices(self, payload: Dict[str, Any]) -> List[int]:
+        b = self._require()
+        idxs = payload.get("indices")
+        if idxs is None:
+            idxs = list(range(len(b.samples)))
+            if payload.get("skip_labeled"):
+                idxs = [i for i in idxs if not b.samples[i].labeled]
+        return [i for i in idxs if 0 <= i < len(b.samples)]
+
+    def auto_label(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        try:
+            b = self._require()
+            idxs = self._label_indices(payload)
+        except ValueError as e:
+            return {"success": False, "error": str(e)}
+        if self.llm_handler is None:
+            return {"success": False, "error": "no LM handler loaded for auto-labeling"}
+        kw = dict(
+            format_lyrics=bool(payload.get("format_lyrics")),
+            temperature=float(payload.get("temperature", 0.7)),
+            seed=int(payload.get("seed", 0)),
+        )
+        msgs = [b.label_sample(i, **kw)[1] for i in idxs]
+        if payload.get("save", True):
+            b.save_labels()
+        labeled = sum(1 for s in b.samples if s.labeled)
+        return {"success": True, "labeled": labeled, "total": len(b.samples),
+                "messages": msgs, "samples": [b.samples[i].to_dict() for i in idxs]}
+
+    def auto_label_async(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        return self._spawn("auto_label", self.auto_label, payload)
+
+    # ----------------------------------------------------------- preprocess
+    def preprocess(self, payload: Dict[str, Any], task: Optional[Dict[str, Any]] = None
+                   ) -> Dict[str, Any]:
+        try:
+            b = self._require()
+        except ValueError as e:
+            return {"success": False, "error": str(e)}
+        out_dir = payload.get("output_dir") or (
+            (b.directory or ".").rstrip("/") + "_tensors")
+
+        def cb(i, s, status):
+            if task is not None:
+                task["current"] = i + 1
+                task["message"] = f"{s.filename}: {status}"
+
+        if task is not None:
+            task["total"] = len(b.samples)
+        written, msg = b.preprocess_to_tensors(
+            out_dir, max_duration=float(payload.get("max_duration", 240.0)),
+            progress_cb=cb,
+        )
+        return {"success": True, "output_dir": out_dir,
+                "written": len(written), "total": len(b.samples), "message": msg}
+
+    def preprocess_async(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        return self._spawn("preprocess", self.preprocess, payload, pass_task=True)
+
+    # ----------------------------------------------------------- task state
+    def _spawn(self, kind: str, fn, payload: Dict[str, Any],
+               pass_task: bool = False) -> Dict[str, Any]:
+        import uuid
+
+        task_id = uuid.uuid4().hex[:12]
+        task = {"task_id": task_id, "kind": kind, "status": "running",
+                "started": time.time(), "current": 0, "total": None,
+                "message": "", "result": None, "error": None}
+        with self._lock:
+            self._tasks[task_id] = task
+            self._latest[kind] = task_id
+
+        def worker():
+            try:
+                out = fn(payload, task) if pass_task else fn(payload)
+                task["result"] = out
+                task["status"] = "completed" if out.get("success") else "failed"
+                task["error"] = out.get("error")
+            except Exception as e:  # noqa: BLE001 — surfaced via status API
+                task["status"] = "failed"
+                task["error"] = f"{e}\n{traceback.format_exc()}"
+
+        threading.Thread(target=worker, daemon=True).start()
+        return {"success": True, "task_id": task_id}
+
+    def task_status(self, kind: str, task_id: Optional[str] = None) -> Dict[str, Any]:
+        with self._lock:
+            tid = task_id or self._latest.get(kind)
+            task = self._tasks.get(tid) if tid else None
+        if task is None:
+            return {"success": False, "error": f"no {kind} task" +
+                    (f" {task_id}" if task_id else " started yet")}
+        return {"success": True, **task}

@@ -226,10 +226,12 @@ class DatasetBuilder:
 
     # --------------------------------------------------------- preprocess
     def preprocess_to_tensors(self, output_dir: str,
-                              max_duration: float = 240.0) -> Tuple[List[str], str]:
+                              max_duration: float = 240.0,
+                              progress_cb=None) -> Tuple[List[str], str]:
         """Labeled samples → npz tensors + manifest (ref preprocess.py flow:
         VAE encode → text/lyric encode → condition-encoder pass, all folded
-        into `dataset.preprocess_audio_to_sample`)."""
+        into `dataset.preprocess_audio_to_sample`). `progress_cb(idx, sample,
+        status)` fires after each sample (ref preprocess progress_callback)."""
         from acestep_tpu.training.dataset import (
             preprocess_audio_to_sample,
             save_sample,
@@ -240,7 +242,7 @@ class DatasetBuilder:
         os.makedirs(output_dir, exist_ok=True)
         entries, written = [], []
         errors: Dict[str, str] = {}
-        for s in self.samples:
+        for i, s in enumerate(self.samples):
             try:
                 audio = audio_utils.load_audio(s.audio_path)
                 max_len = int(max_duration * 48_000)
@@ -262,8 +264,12 @@ class DatasetBuilder:
                                 "caption": s.caption, "bpm": s.bpm,
                                 "keyscale": s.keyscale, "language": s.language})
                 written.append(out_name)
+                if progress_cb is not None:
+                    progress_cb(i, s, "ok")
             except Exception as e:  # noqa: BLE001
                 errors[s.filename] = str(e)
+                if progress_cb is not None:
+                    progress_cb(i, s, f"error: {e}")
         write_manifest(output_dir, entries)
         msg = f"wrote {len(written)}/{len(self.samples)} samples to {output_dir}"
         if errors:

@@ -469,3 +469,92 @@ def test_lora_rest_lifecycle_end_to_end(handlers, tmp_path):
     assert not np.array_equal(half_latents, lora_latents)
     assert post("/v1/lora/unload", {"name": "test"})["success"]
     server.shutdown()
+
+
+def test_dataset_rest_explorer_flow(handlers, tmp_path):
+    """Interactive dataset explorer over HTTP (ref train_api_dataset_service.py):
+    scan → samples/sample → edit (PUT) → save/load → auto_label →
+    preprocess_async + status polling."""
+    import http.client
+    import threading
+    import wave
+
+    from acestep_tpu.service.api_server import serve
+
+    dit, llm = handlers
+    d = str(tmp_path / "songs")
+    os.makedirs(d)
+    rng = np.random.default_rng(0)
+    for name in ("a.wav", "b.wav"):
+        pcm = (rng.standard_normal(2 * 48_000) * 2000).astype(np.int16)
+        with wave.open(os.path.join(d, name), "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(48_000)
+            w.writeframes(pcm.tobytes())
+    with open(os.path.join(d, "a.caption.txt"), "w") as f:
+        f.write("sidecar caption")
+
+    server = serve(dit, llm, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def req(method, path, payload=None):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        body = json.dumps(payload) if payload is not None else None
+        c.request(method, path, body=body,
+                  headers={"Content-Type": "application/json"})
+        out = json.loads(c.getresponse().read())
+        c.close()
+        return out
+
+    # no dataset yet
+    assert not req("GET", "/v1/dataset/samples")["success"]
+
+    out = req("POST", "/v1/dataset/scan", {"directory": d})
+    assert out["success"] and out["total_samples"] == 2, out
+    samples = req("GET", "/v1/dataset/samples")
+    assert samples["total_samples"] == 2
+    s0 = req("GET", "/v1/dataset/sample/0")
+    assert s0["success"] and s0["sample"]["caption"] == "sidecar caption"
+    assert not req("GET", "/v1/dataset/sample/9")["success"]
+
+    # edit via PUT (reference verb) and POST
+    out = req("PUT", "/v1/dataset/sample/1",
+              {"caption": "manual caption", "bpm": "95", "keyscale": "D minor"})
+    assert out["success"] and out["sample"]["labeled"]
+    assert out["sample"]["bpm"] == 95 and out["sample"]["label_source"] == "manual"
+    out = req("POST", "/v1/dataset/sample/1", {"lyrics": "la la"})
+    assert out["sample"]["lyrics"] == "la la"
+
+    # persist + reload
+    save = req("POST", "/v1/dataset/save", {})
+    assert save["success"] and os.path.exists(save["path"])
+    out = req("POST", "/v1/dataset/load", {"path": save["path"]})
+    assert out["success"] and out["total_samples"] == 2
+    assert out["samples"][1]["caption"] == "manual caption"
+
+    # LM-assisted labeling of the remaining unlabeled sample
+    out = req("POST", "/v1/dataset/auto_label", {"skip_labeled": True})
+    assert out["success"], out
+    assert all(s["labeled"] for s in req("GET", "/v1/dataset/samples")["samples"])
+
+    # async preprocess with status polling
+    out = req("POST", "/v1/dataset/preprocess_async",
+              {"output_dir": str(tmp_path / "tensors")})
+    assert out["success"]
+    tid = out["task_id"]
+    for _ in range(240):
+        st = req("GET", f"/v1/dataset/preprocess_status/{tid}")
+        if st.get("status") in ("completed", "failed"):
+            break
+        time.sleep(0.5)
+    assert st["status"] == "completed", st
+    assert st["result"]["written"] == 2
+    # latest-task polling without an id (ref GET /preprocess_status)
+    assert req("GET", "/v1/dataset/preprocess_status")["task_id"] == tid
+
+    from acestep_tpu.training.dataset import PreprocessedDataset
+
+    assert len(PreprocessedDataset(str(tmp_path / "tensors"))) == 2
+    server.shutdown()
