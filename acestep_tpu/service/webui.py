@@ -108,6 +108,22 @@ STUDIO_HTML = """<!DOCTYPE html>
 </div>
 
 <div id="tab-training" style="display:none">
+<fieldset><legend>Dataset explorer</legend>
+  <div class="row">
+    <div><label>Audio directory (on server)</label><input type="text" id="dx_dir" placeholder="/data/songs"></div>
+    <div><label>Labels file path</label><input type="text" id="dx_labels" placeholder="/data/songs/labels.json"></div>
+  </div>
+  <div class="row">
+    <div><button id="dx_scan" class="tool">Scan</button></div>
+    <div><button id="dx_load" class="tool">Load labels</button></div>
+    <div><button id="dx_save" class="tool">Save labels</button></div>
+    <div><button id="dx_label" class="tool">Auto-label unlabeled</button></div>
+    <div><button id="dx_prep" class="tool">Preprocess to tensors</button></div>
+  </div>
+  <div id="dx_status" class="small"></div>
+  <div id="dx_table"></div>
+</fieldset>
+
 <fieldset><legend>Build dataset</legend>
   <div class="row">
     <div><label>Audio directory (on server)</label><input type="text" id="ds_audio_dir" placeholder="/data/songs"></div>
@@ -165,7 +181,7 @@ const I18N = {
        "Output dataset dir":"数据集输出目录","LoRA run":"LoRA 训练","Dataset dir":"数据集目录",
        "Output dir":"输出目录","Rank":"秩","LR":"学习率","Max steps":"最大步数",
        "Checkpoint every":"保存间隔","Start training":"开始训练","Runs":"运行记录","Alpha":"Alpha","BPM":"BPM",
-       "Refresh":"刷新","Stop":"停止","Create sample":"生成示例","Format input":"格式化输入","Understand codes":"解析音频码","Audio codes":"音频码","Auto LRC (lyric timestamps)":"自动 LRC（歌词时间戳）","Auto lyric quality score":"自动歌词质量评分","LM-assisted labeling (understand on codes)":"LM 辅助标注（基于音频码理解）","Format preloaded lyrics with LM":"用 LM 格式化已有歌词"},
+       "Refresh":"刷新","Stop":"停止","Create sample":"生成示例","Format input":"格式化输入","Understand codes":"解析音频码","Audio codes":"音频码","Auto LRC (lyric timestamps)":"自动 LRC（歌词时间戳）","Auto lyric quality score":"自动歌词质量评分","LM-assisted labeling (understand on codes)":"LM 辅助标注（基于音频码理解）","Format preloaded lyrics with LM":"用 LM 格式化已有歌词","Dataset explorer":"数据集浏览器","Labels file path":"标注文件路径","Scan":"扫描","Load labels":"加载标注","Save labels":"保存标注","Auto-label unlabeled":"自动标注未标注项","Preprocess to tensors":"预处理为张量"},
   ja: {"Tab":"タブ","Generate":"生成","Training":"学習","Mode":"モード","Simple":"シンプル",
        "Custom":"カスタム","Remix":"リミックス","Repaint":"リペイント","Extract":"抽出",
        "Lego":"レゴ","Complete":"補完","Prompt":"プロンプト","Caption":"キャプション",
@@ -178,7 +194,7 @@ const I18N = {
        "Output dataset dir":"出力データセットディレクトリ","LoRA run":"LoRA 学習",
        "Dataset dir":"データセットディレクトリ","Output dir":"出力ディレクトリ","Rank":"ランク",
        "LR":"学習率","Max steps":"最大ステップ","Checkpoint every":"チェックポイント間隔","Alpha":"アルファ","BPM":"BPM",
-       "Start training":"学習開始","Runs":"実行一覧","Refresh":"更新","Stop":"停止","Create sample":"サンプル作成","Format input":"入力を整形","Understand codes":"コード解析","Audio codes":"オーディオコード","Auto LRC (lyric timestamps)":"自動 LRC（歌詞タイムスタンプ）","Auto lyric quality score":"自動歌詞品質スコア","LM-assisted labeling (understand on codes)":"LM 自動ラベリング（コード理解）","Format preloaded lyrics with LM":"LM で既存歌詞を整形"},
+       "Start training":"学習開始","Runs":"実行一覧","Refresh":"更新","Stop":"停止","Create sample":"サンプル作成","Format input":"入力を整形","Understand codes":"コード解析","Audio codes":"オーディオコード","Auto LRC (lyric timestamps)":"自動 LRC（歌詞タイムスタンプ）","Auto lyric quality score":"自動歌詞品質スコア","LM-assisted labeling (understand on codes)":"LM 自動ラベリング（コード理解）","Format preloaded lyrics with LM":"LM で既存歌詞を整形","Dataset explorer":"データセットエクスプローラー","Labels file path":"ラベルファイルパス","Scan":"スキャン","Load labels":"ラベル読込","Save labels":"ラベル保存","Auto-label unlabeled":"未ラベルを自動ラベル","Preprocess to tensors":"テンソルへ前処理"},
   he: {"Tab":"לשונית","Generate":"יצירה","Training":"אימון","Mode":"מצב","Simple":"פשוט",
        "Custom":"מותאם אישית","Remix":"רמיקס","Repaint":"צביעה מחדש","Extract":"חילוץ",
        "Lego":"לגו","Complete":"השלמה","Prompt":"הנחיה","Caption":"כיתוב",
@@ -191,7 +207,7 @@ const I18N = {
        "Output dataset dir":"תיקיית פלט למערך","LoRA run":"ריצת LoRA",
        "Dataset dir":"תיקיית מערך נתונים","Output dir":"תיקיית פלט","Rank":"דרגה",
        "LR":"קצב למידה","Max steps":"מקס׳ צעדים","Checkpoint every":"שמירה כל","Alpha":"אלפא","BPM":"BPM",
-       "Start training":"התחל אימון","Runs":"ריצות","Refresh":"רענון","Stop":"עצירה","Create sample":"צור דוגמה","Format input":"עצב קלט","Understand codes":"נתח קודים","Audio codes":"קודי אודיו","Auto LRC (lyric timestamps)":"LRC אוטומטי (חותמות זמן)","Auto lyric quality score":"ציון איכות מילים אוטומטי","LM-assisted labeling (understand on codes)":"תיוג בעזרת LM (הבנת קודים)","Format preloaded lyrics with LM":"עיצוב מילים קיימות עם LM"},
+       "Start training":"התחל אימון","Runs":"ריצות","Refresh":"רענון","Stop":"עצירה","Create sample":"צור דוגמה","Format input":"עצב קלט","Understand codes":"נתח קודים","Audio codes":"קודי אודיו","Auto LRC (lyric timestamps)":"LRC אוטומטי (חותמות זמן)","Auto lyric quality score":"ציון איכות מילים אוטומטי","LM-assisted labeling (understand on codes)":"תיוג בעזרת LM (הבנת קודים)","Format preloaded lyrics with LM":"עיצוב מילים קיימות עם LM","Dataset explorer":"סייר מערך נתונים","Labels file path":"נתיב קובץ תיוגים","Scan":"סריקה","Load labels":"טעינת תיוגים","Save labels":"שמירת תיוגים","Auto-label unlabeled":"תיוג אוטומטי ללא-מתויגים","Preprocess to tensors":"עיבוד מקדים לטנזורים"},
 };
 const _EN = new WeakMap();  // text node -> original English (GC'd with the node)
 const t = s => (I18N[$("lang").value] || {})[s] || s;
@@ -322,6 +338,110 @@ $("btn_understand").onclick = async () => {
     $("tool_status").textContent = JSON.stringify(
       {bpm: out.bpm, duration: out.duration, keyscale: out.keyscale, language: out.language});
   } catch (e) { $("tool_status").textContent = "error: " + e; }
+};
+
+// ---- Dataset explorer (interactive annotation editor driving the stateful
+// /v1/dataset/* routes: scan/load/edit/save + async auto_label/preprocess
+// with task polling — ref training-tab annotation flow) ----
+async function dsReq(method, path, body) {
+  const r = await fetch(path, {method, headers: {"Content-Type": "application/json"},
+                               body: body === undefined ? undefined : JSON.stringify(body)});
+  return r.json();
+}
+function dsCell(idx, field, value, wide) {
+  const inp = document.createElement(wide ? "textarea" : "input");
+  if (!wide) inp.type = "text";
+  inp.value = value == null ? "" : value;
+  inp.style.minHeight = wide ? "2.2em" : "";
+  inp.onchange = async () => {
+    const out = await dsReq("PUT", "/v1/dataset/sample/" + idx, {[field]: inp.value});
+    $("dx_status").textContent = out.success ? ("saved " + field + " for sample " + idx)
+                                             : ("error: " + out.error);
+  };
+  return inp;
+}
+function renderDsTable(samples) {
+  const box = $("dx_table"); box.innerHTML = "";
+  samples.forEach((s, i) => {
+    const div = document.createElement("div"); div.className = "result";
+    const head = document.createElement("div"); head.className = "small";
+    head.textContent = "#" + i + "  " + (s.filename || s.audio_path) + "  ["
+      + (s.label_source || (s.labeled ? "labeled" : "unlabeled")) + "]"
+      + (s.duration ? ("  " + Number(s.duration).toFixed(1) + "s") : "");
+    div.appendChild(head);
+    const row = document.createElement("div"); row.className = "row";
+    const cap = document.createElement("div"); cap.style.flex = "3";
+    cap.appendChild(dsCell(i, "caption", s.caption));
+    const bpm = document.createElement("div");
+    bpm.appendChild(dsCell(i, "bpm", s.bpm));
+    const key = document.createElement("div");
+    key.appendChild(dsCell(i, "keyscale", s.keyscale));
+    row.appendChild(cap); row.appendChild(bpm); row.appendChild(key);
+    div.appendChild(row);
+    const det = document.createElement("details");
+    const sum = document.createElement("summary"); sum.className = "small";
+    sum.textContent = "lyrics"; det.appendChild(sum);
+    det.appendChild(dsCell(i, "lyrics", s.lyrics, true));
+    div.appendChild(det);
+    box.appendChild(div);
+  });
+  if (!samples.length) box.innerHTML = '<div class="small">no samples</div>';
+}
+async function dsRefresh() {
+  const out = await dsReq("GET", "/v1/dataset/samples");
+  if (out.success) renderDsTable(out.samples);
+  return out;
+}
+$("dx_scan").onclick = async () => {
+  $("dx_status").textContent = "scanning…";
+  const out = await dsReq("POST", "/v1/dataset/scan", {directory: $("dx_dir").value});
+  $("dx_status").textContent = out.success ? out.message : ("error: " + out.error);
+  if (out.success) renderDsTable(out.samples);
+};
+$("dx_load").onclick = async () => {
+  const out = await dsReq("POST", "/v1/dataset/load",
+    $("dx_labels").value ? {path: $("dx_labels").value} : {directory: $("dx_dir").value});
+  $("dx_status").textContent = out.success ? (out.total_samples + " samples loaded")
+                                           : ("error: " + out.error);
+  if (out.success) renderDsTable(out.samples);
+};
+$("dx_save").onclick = async () => {
+  const out = await dsReq("POST", "/v1/dataset/save",
+    $("dx_labels").value ? {path: $("dx_labels").value} : {});
+  $("dx_status").textContent = out.success ? ("saved " + out.path) : ("error: " + out.error);
+};
+async function dsPollTask(kind, task_id) {
+  for (;;) {
+    await new Promise(res => setTimeout(res, 1200));
+    const st = await dsReq("GET", "/v1/dataset/" + kind + "_status/" + task_id);
+    if (!st.success) return st;
+    const prog = (st.total ? (st.current + "/" + st.total + "  ") : "") + (st.message || "");
+    if (st.status === "completed" || st.status === "failed") return st;
+    $("dx_status").textContent = kind + " running… " + prog;
+  }
+}
+$("dx_label").onclick = async () => {
+  $("dx_status").textContent = "labeling…";
+  const out = await dsReq("POST", "/v1/dataset/auto_label_async", {skip_labeled: true});
+  if (!out.success) { $("dx_status").textContent = "error: " + out.error; return; }
+  const st = await dsPollTask("auto_label", out.task_id);
+  $("dx_status").textContent = st.status === "completed"
+    ? ("labeled " + (st.result.labeled || 0) + "/" + (st.result.total || 0))
+    : ("error: " + (st.error || JSON.stringify(st)));
+  dsRefresh();
+};
+$("dx_prep").onclick = async () => {
+  $("dx_status").textContent = "preprocessing…";
+  const body = {};
+  if ($("ds_out_dir").value) body.output_dir = $("ds_out_dir").value;
+  const out = await dsReq("POST", "/v1/dataset/preprocess_async", body);
+  if (!out.success) { $("dx_status").textContent = "error: " + out.error; return; }
+  const st = await dsPollTask("preprocess", out.task_id);
+  if (st.status === "completed") {
+    $("dx_status").textContent = "wrote " + st.result.written + "/" + st.result.total
+      + " → " + st.result.output_dir;
+    if (!$("tr_dataset").value) $("tr_dataset").value = st.result.output_dir;
+  } else $("dx_status").textContent = "error: " + (st.error || JSON.stringify(st));
 };
 
 // ---- Training tab (drives /v1/train/* — ref train UI tab parity) ----
