@@ -14,7 +14,11 @@ Measurement protocol (the dev chip is SHARED; co-tenant load adds one-sided
 - headline = best point's fast-5 median (sustained quiet-window throughput);
   `value_plain_median` reports the same point's plain median;
 - window-noise diagnostics (max/min spread) are emitted so a noisy window is
-  visible in the record rather than silently folded into the number.
+  visible in the record rather than silently folded into the number;
+- quiet-window retry: if a pass's spread is > 1.5 (co-tenant burst), wait
+  BENCH_RETRY_WAIT_S (90 s) and re-measure, up to BENCH_QUIET_PASSES (3)
+  passes total; each batch point keeps its quietest pass and every pass's
+  spread is recorded (`pass_noise_spreads`).
 Set BENCH_DP/SP/TP to run the sharded serving path on a mesh.
 """
 
@@ -129,7 +133,21 @@ def main():
     if dp * sp * tp > 1:
         handler.enable_mesh(dp=dp, sp=sp, tp=tp)
 
-    points = [_measure_point(handler, b, REPS) for b in BATCHES]
+    max_passes = int(os.environ.get("BENCH_QUIET_PASSES", 3))
+    retry_wait_s = float(os.environ.get("BENCH_RETRY_WAIT_S", 90))
+    points = None
+    pass_spreads = []
+    for pass_i in range(max_passes):
+        if pass_i:
+            time.sleep(retry_wait_s)  # let the co-tenant burst pass
+        cur = [_measure_point(handler, b, REPS) for b in BATCHES]
+        pass_spreads.append([p["noise_spread"] for p in cur])
+        points = cur if points is None else [
+            c if c["noise_spread"] < p["noise_spread"] else p
+            for c, p in zip(cur, points)
+        ]
+        if all(p["noise_spread"] <= 1.5 for p in points):
+            break
     best = max(points, key=lambda p: p["batch"] * DURATION_S / p["fast5_median_wall_s"])
     pipelined = _measure_pipelined(handler, best["batch"])
     value = best["batch"] * DURATION_S / best["fast5_median_wall_s"]
@@ -146,6 +164,8 @@ def main():
             "duration_s": DURATION_S,
             "headline_point": best["batch"],
             "window_noisy": any(p["noise_spread"] > 1.5 for p in points),
+            "quiet_passes": len(pass_spreads),
+            "pass_noise_spreads": pass_spreads,
             "points": points,
             "mesh": {"dp": dp, "sp": sp, "tp": tp},
             "device": str(jax.devices()[0]),
