@@ -92,7 +92,8 @@ def _measure_point(handler, batch: int, reps: int):
 def _measure_pipelined(handler, batch: int, n_req: int = 4):
     """Sustained serving throughput: request N+1's conditioning + denoise
     dispatch while request N's decode transfers and converts (async_finish).
-    Returns audio-s/s over n_req back-to-back requests (best of 2 rounds)."""
+    Returns audio-s/s over n_req back-to-back requests; best round of 2, with
+    up to 2 extra rounds while consecutive rounds disagree by >1.3x (noise)."""
     kwargs = dict(
         captions=["an energetic synthwave track with driving bass"] * batch,
         lyrics=["[Instrumental]"] * batch,
@@ -103,8 +104,10 @@ def _measure_pipelined(handler, batch: int, n_req: int = 4):
         decode_audio=True,
         async_finish=True,
     )
-    best = 0.0
-    for _ in range(2):
+    vals = []
+    for round_i in range(4):
+        if round_i >= 2 and max(vals[-2:]) / min(vals[-2:]) <= 1.3:
+            break  # consecutive rounds agree — window is stable
         gc.collect()
         time.sleep(1.0)
         t0 = time.time()
@@ -116,8 +119,8 @@ def _measure_pipelined(handler, batch: int, n_req: int = 4):
             prev = out
         prev["finish"]()
         wall = time.time() - t0
-        best = max(best, n_req * batch * DURATION_S / wall)
-    return round(best, 2)
+        vals.append(n_req * batch * DURATION_S / wall)
+    return round(max(vals), 2)
 
 
 def main():
