@@ -103,6 +103,11 @@ class LLMHandler:
                 tie_word_embeddings=raw.get("tie_word_embeddings", True),
             )
             state = load_safetensors_state(checkpoint_dir)
+            if not state:
+                raise FileNotFoundError(
+                    f"LM checkpoint at {checkpoint_dir!r} has no *.safetensors "
+                    "weights; re-download it or pass random_init=True"
+                )
             self.params = convert_torch_qwen3_state(state, self.config, self.dtype)
             self.tokenizer = load_tokenizer(checkpoint_dir)
 

@@ -84,33 +84,65 @@ class MusicStampsAligner:
         self.tokenizer = tokenizer
         self.fps = frames_per_second
 
-    def _preprocess_attention(
-        self, attn: np.ndarray, smooth_width: int = 7
-    ) -> np.ndarray:
-        """Average heads/layers, normalize per text token, median-smooth."""
-        while attn.ndim > 2:
-            attn = attn.mean(axis=0)
-        attn = attn.astype(np.float64)
-        attn = attn / np.maximum(attn.sum(axis=-1, keepdims=True), 1e-9)
-        return median_filter(attn, smooth_width)
+    def _apply_bidirectional_consensus(
+        self,
+        stack: np.ndarray,  # (..., n_text, n_frames) — heads/layers stacked
+        violence_level: float = 2.0,
+        medfilt_width: int = 1,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Bidirectional-consensus denoising (ref dit_alignment.py:55-101):
 
-    def _bidirectional_consensus(self, attn: np.ndarray) -> np.ndarray:
-        """Forward+reverse DTW consensus (ref :55-101): align both directions
-        and keep the geometric mean of the two path-weight maps."""
-        fwd = attn
-        rev = attn[::-1, ::-1]
-        return np.sqrt(np.maximum(fwd, 1e-12) * np.maximum(rev[::-1, ::-1], 1e-12))
+        A. token→frame × frame→token probability product — a cell survives
+           only if the token claims the frame AND the frame claims the token;
+        B. row/column median suppression scaled by `violence_level` (kills
+           horizontal and vertical crossing lines);
+        C. power sharpening (²);
+        D. z-score normalization;
+        E. median filtering, then head averaging.
+
+        Returns (calc_matrix, energy_matrix): the z-scored consensus map DTW
+        paths through (reference feeds `dtw_cpu(-calc_matrix)`), and the
+        pre-z-score energy for confidence scoring.
+
+        Deviation noted: the capture path hands us attention PROBABILITIES
+        (already softmaxed over text per audio frame — dit.py
+        `dit_cross_attention_capture`), so the two directions are formed by
+        per-axis renormalization rather than the reference's softmax over raw
+        scores; the consensus product/suppression/sharpening pipeline is
+        otherwise identical.
+        """
+        p = np.asarray(stack, np.float64)
+        while p.ndim > 3:
+            p = p.reshape(-1, p.shape[-2], p.shape[-1])
+        if p.ndim == 2:
+            p = p[None]
+        row = p / np.maximum(p.sum(axis=-1, keepdims=True), 1e-12)  # token→frame
+        col = p / np.maximum(p.sum(axis=-2, keepdims=True), 1e-12)  # frame→token
+        proc = row * col
+        proc = np.maximum(
+            proc - violence_level * np.median(proc, axis=-1, keepdims=True), 0.0
+        )
+        proc = np.maximum(
+            proc - violence_level * np.median(proc, axis=-2, keepdims=True), 0.0
+        )
+        proc = proc**2
+        energy = proc.mean(axis=0)
+        z = (proc - proc.mean()) / (proc.std() + 1e-9)
+        calc = median_filter(z, medfilt_width).mean(axis=0)
+        return calc, energy
 
     def token_timestamps(
         self,
         attention: np.ndarray,  # (..., n_text_tokens, n_audio_frames)
         token_ids: Sequence[int],
+        violence_level: float = 2.0,
+        medfilt_width: int = 1,
     ) -> List[TokenTimestamp]:
-        attn = self._preprocess_attention(np.asarray(attention))
-        attn = self._bidirectional_consensus(attn)
-        n_text = min(len(token_ids), attn.shape[0])
-        attn = attn[:n_text]
-        cost = -np.log(np.maximum(attn, 1e-12))
+        calc, _ = self._apply_bidirectional_consensus(
+            np.asarray(attention), violence_level, medfilt_width
+        )
+        n_text = min(len(token_ids), calc.shape[0])
+        cost = -calc[:n_text]
         ti, fi = dtw_align(cost)
 
         stamps: List[TokenTimestamp] = []

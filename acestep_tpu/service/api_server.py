@@ -361,35 +361,40 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
             payload = {**params.to_dict(), "batch_size": 1, "audio_format": "wav",
                        "thinking": bool(body.get("thinking", True))}
             task = service.submit(payload)
-            emit({"id": cid, "object": "chat.completion.chunk",
-                  "choices": [{"delta": {"role": "assistant",
-                                          "content": f"queued {task['task_id']}"}, "index": 0}]})
-            while True:
-                time.sleep(1.0)
-                job = service.store.get(task["task_id"])
-                if job is None or job["status"] in ("succeeded", "failed"):
-                    break
+            # A dropped client raises on the next SSE write; stop polling then
+            # (the job itself keeps running — it may be another poller's too).
+            try:
                 emit({"id": cid, "object": "chat.completion.chunk",
-                      "choices": [{"delta": {"content": f"progress {job['progress']:.0%}"},
-                                    "index": 0}]})
-            if job and job["status"] == "succeeded":
-                import base64 as _b64
+                      "choices": [{"delta": {"role": "assistant",
+                                              "content": f"queued {task['task_id']}"}, "index": 0}]})
+                while True:
+                    time.sleep(1.0)
+                    job = service.store.get(task["task_id"])
+                    if job is None or job["status"] in ("succeeded", "failed"):
+                        break
+                    emit({"id": cid, "object": "chat.completion.chunk",
+                          "choices": [{"delta": {"content": f"progress {job['progress']:.0%}"},
+                                        "index": 0}]})
+                if job and job["status"] == "succeeded":
+                    import base64 as _b64
 
-                parts = []
-                for p in job["result"]["audio_paths"]:
-                    with open(p, "rb") as f:
-                        parts.append({"type": "audio",
-                                      "audio": {"data": _b64.b64encode(f.read()).decode(),
-                                                "format": p.rsplit(".", 1)[-1]}})
-                emit({"id": cid, "object": "chat.completion.chunk",
-                      "choices": [{"delta": {"content": parts}, "index": 0,
-                                    "finish_reason": "stop"}]})
-            else:
-                emit({"id": cid, "object": "chat.completion.chunk",
-                      "choices": [{"delta": {"content": f"error: {(job or {}).get('error', 'unknown')}"},
-                                    "index": 0, "finish_reason": "error"}]})
-            self.wfile.write(b"data: [DONE]\n\n")
-            self.wfile.flush()
+                    parts = []
+                    for p in job["result"]["audio_paths"]:
+                        with open(p, "rb") as f:
+                            parts.append({"type": "audio",
+                                          "audio": {"data": _b64.b64encode(f.read()).decode(),
+                                                    "format": p.rsplit(".", 1)[-1]}})
+                    emit({"id": cid, "object": "chat.completion.chunk",
+                          "choices": [{"delta": {"content": parts}, "index": 0,
+                                        "finish_reason": "stop"}]})
+                else:
+                    emit({"id": cid, "object": "chat.completion.chunk",
+                          "choices": [{"delta": {"content": f"error: {(job or {}).get('error', 'unknown')}"},
+                                        "index": 0, "finish_reason": "error"}]})
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                service.logs.append(f"SSE client disconnected ({cid}); polling stopped")
 
         def do_GET(self):  # noqa: N802
             url = urlparse(self.path)
@@ -418,11 +423,19 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                     n = 200
                 return self._json(200, {"lines": service.logs.tail(n)})
             if url.path == "/v1/models":
+                from acestep_tpu.service.openrouter import models_response
                 from acestep_tpu.utils.downloader import list_available_models
 
+                ids = [
+                    "acestep-v15-tpu" if name == "default" else name
+                    for name in service.dit_handlers
+                ]
                 return self._json(
                     200,
                     {
+                        # OpenAI-format listing for OpenRouter-style clients
+                        # (ref openrouter_api_server.py GET /v1/models)
+                        **models_response(ids),
                         "models": [
                             {
                                 "id": "acestep-v15-tpu" if name == "default" else name,

@@ -115,29 +115,45 @@ def handle_chat_completions(
     messages = body.get("messages", [])
     model = body.get("model", "acestep-v15-tpu")
     params, audio_bytes = parse_chat_messages(messages)
+    tmp_upload: Optional[str] = None
     if audio_bytes:
         import tempfile
 
         with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
             f.write(audio_bytes)
-            params.reference_audio = f.name
+            tmp_upload = params.reference_audio = f.name
         params.task_type = "cover"
     params.thinking = bool(body.get("thinking", True)) and llm_handler is not None
     cfg = GenerationConfig(batch_size=1, audio_format="wav", output_dir=output_dir)
-    result = generate_music(dit_handler, llm_handler, params, cfg)
+    try:
+        result = generate_music(dit_handler, llm_handler, params, cfg)
+    finally:
+        # The upload was only needed during generation (ref parity: the job
+        # server cleans multipart temp files after the job turns terminal).
+        if tmp_upload:
+            import os
+
+            try:
+                os.remove(tmp_upload)
+            except OSError:
+                pass
     return chat_completion_response(model, result)
 
 
-def models_response() -> Dict[str, Any]:
+def models_response(model_ids: Optional[List[str]] = None) -> Dict[str, Any]:
+    """OpenAI-format model listing (ref openrouter_api_server.py GET
+    /v1/models); merged into the job server's /v1/models response so OpenAI
+    clients read `.data` while the studio UI keeps reading `.models`."""
     return {
         "object": "list",
         "data": [
             {
-                "id": "acestep-v15-tpu",
+                "id": mid,
                 "object": "model",
                 "created": 0,
                 "owned_by": "acestep-tpu",
                 "capabilities": {"audio_generation": True},
             }
+            for mid in (model_ids or ["acestep-v15-tpu"])
         ],
     }

@@ -144,3 +144,66 @@ def test_lyric_quality_score_tag_mask_and_capture_dict():
     cap = {2: rng.random((1, 4, 6, 20)).astype(np.float32)}
     out = scorer.score(cap, [3] * 6, {2: [1, 3]})
     assert 0.0 <= out["lyrics_score"] <= 1.0
+
+
+def test_bidirectional_consensus_recovers_noisy_diagonal():
+    """Synthetic alignment (VERDICT r2 next #6): a known token↔frame diagonal
+    corrupted by a horizontal crossing line (one token attending everywhere),
+    a vertical crossing line (every token attending one frame) and uniform
+    noise. The bidirectional consensus must (a) measurably change the result
+    vs single-direction DTW and (b) recover stamps CLOSER to ground truth."""
+    rng = np.random.default_rng(0)
+    tok = ByteFallbackTokenizer()
+    n_tok, n_frames = 16, 64
+    token_ids = tok.encode("abcdefghijklmnop")[:n_tok]
+    assert len(token_ids) == n_tok
+
+    truth_start = {i: 4 * i for i in range(n_tok)}
+    attn = np.zeros((n_tok, n_frames))
+    for i in range(n_tok):
+        attn[i, 4 * i : 4 * i + 4] = 1.0
+    noisy = attn.copy()
+    noisy[5, :] += 0.9          # horizontal crossing line
+    noisy[:, 30] += 0.9         # vertical crossing line
+    noisy += rng.uniform(0.0, 0.25, noisy.shape)
+    # Mimic the capture path's orientation: probabilities over text per frame.
+    probs = noisy / noisy.sum(axis=0, keepdims=True)
+
+    fps = 4.0
+    aligner = MusicStampsAligner(tok, frames_per_second=fps)
+
+    def mean_start_err(stamps):
+        errs = []
+        by_tok = {s.token: s for s in stamps}
+        for i, tid in enumerate(token_ids):
+            s = by_tok.get(tok.decode([tid]))
+            if s is None:
+                errs.append(n_frames / fps)  # dropped token: max penalty
+            else:
+                errs.append(abs(s.start - truth_start[i] / fps))
+        return float(np.mean(errs))
+
+    consensus_stamps = aligner.token_timestamps(probs, token_ids)
+
+    # Single-direction baseline: row-normalized attention straight into DTW
+    # (what the aligner effectively did before the consensus was real).
+    row = probs / np.maximum(probs.sum(axis=-1, keepdims=True), 1e-12)
+    ti, fi = dtw_align(-row)
+    single_stamps = []
+    from acestep_tpu.scoring.alignment import TokenTimestamp
+
+    for i in range(n_tok):
+        frames = fi[ti == i]
+        if len(frames):
+            single_stamps.append(TokenTimestamp(
+                token=tok.decode([token_ids[i]]),
+                start=float(frames.min()) / fps,
+                end=float(frames.max() + 1) / fps,
+            ))
+
+    err_consensus = mean_start_err(consensus_stamps)
+    err_single = mean_start_err(single_stamps)
+    # (a) the consensus is not a no-op and (b) it improves stamp error
+    assert err_consensus < err_single, (err_consensus, err_single)
+    # (c) absolute quality: within one true token-span (1 s) on average
+    assert err_consensus < 1.0, err_consensus

@@ -466,6 +466,95 @@ def gen_vae_fixture():
     print(f"wrote {path}: {len(data)} arrays")
 
 
+def gen_checkpoint_fixture():
+    """Write a REAL on-disk checkpoint in the reference layout
+    (ref init_service_loader.py:13-161 + llm_inference.py:534-541):
+
+        checkpoint_tiny/
+          config.json            — reference AceStepConfig.to_dict() keys
+          model.safetensors      — reference turbo model state_dict
+          silence_latent.pt      — torch tensor (1, T, acoustic)
+          vae/config.json + diffusion_pytorch_model.safetensors
+          Qwen3-Embedding-0.6B/config.json + model.safetensors
+          acestep-5Hz-lm-0.6B/config.json + model.safetensors + genres_vocab.txt
+
+    Unlike the activation fixtures, this family is INTERNALLY CONSISTENT
+    (DiT text_hidden_dim == text-encoder hidden_size, VAE latent dim ==
+    DiT acoustic dim) so `tests/test_checkpoint_load.py` can drive ONE full
+    generate_music through weights that went through the disk loader.
+    """
+    from safetensors.numpy import save_file
+
+    from torch_oobleck import AutoencoderOobleckMirror
+
+    ckpt = os.path.join(OUT_DIR, "checkpoint_tiny")
+    os.makedirs(ckpt, exist_ok=True)
+
+    def save_st(state_dict, path):
+        save_file(
+            {k: v.detach().numpy().astype(np.float32) for k, v in state_dict.items()},
+            path,
+        )
+
+    # --- DiT (reference turbo model; acoustic dim 16 keeps the matching VAE
+    # small, text_hidden_dim 64 matches the tiny Qwen3 embedding below) ---
+    mod = _import_reference_turbo()
+    cfg = tiny_config(mod)
+    cfg.audio_acoustic_hidden_dim = 16
+    cfg.in_channels = 48  # 16 noisy + 16 src + 16 chunk-mask
+    cfg.timbre_hidden_dim = 16  # timbre encoder consumes VAE (acoustic) latents
+    cfg.text_hidden_dim = 64
+    torch.manual_seed(11)
+    model = mod.AceStepConditionGenerationModel(cfg).float().eval()
+    save_st(model.state_dict(), os.path.join(ckpt, "model.safetensors"))
+    import json as _json
+
+    with open(os.path.join(ckpt, "config.json"), "w") as f:
+        _json.dump(cfg.to_dict(), f, indent=1, default=str)
+
+    # silence_latent.pt — random (not zeros) so the test can PROVE it loaded
+    torch.manual_seed(12)
+    torch.save(torch.randn(1, 25, 16) * 0.1, os.path.join(ckpt, "silence_latent.pt"))
+
+    # --- VAE (torch mirror of the diffusers graph; encode mean dim 16) ---
+    vdir = os.path.join(ckpt, "vae")
+    os.makedirs(vdir, exist_ok=True)
+    torch.manual_seed(13)
+    vae_kw = dict(
+        encoder_hidden_size=32, downsampling_ratios=[2, 4, 4],
+        channel_multiples=[1, 1, 1], decoder_channels=16,
+        decoder_input_channels=16, audio_channels=2,
+    )
+    vmodel = AutoencoderOobleckMirror(**vae_kw).float().eval()
+    save_st(vmodel.state_dict(), os.path.join(vdir, "diffusion_pytorch_model.safetensors"))
+    with open(os.path.join(vdir, "config.json"), "w") as f:
+        # hop 32 @ 800 Hz keeps the 25 latent-frames/s contract
+        _json.dump({**vae_kw, "sampling_rate": 800}, f, indent=1)
+
+    # --- text encoder + 5 Hz LM (both tiny REAL transformers Qwen3) ---
+    from transformers.models.qwen3 import Qwen3Config as HFQwen3Config
+    from transformers.models.qwen3.modeling_qwen3 import Qwen3ForCausalLM
+
+    qcfg = HFQwen3Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, rope_theta=1_000_000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=True, attention_dropout=0.0,
+        max_position_embeddings=2048,
+    )
+    for sub, seed in (("Qwen3-Embedding-0.6B", 14), ("acestep-5Hz-lm-0.6B", 15)):
+        d = os.path.join(ckpt, sub)
+        os.makedirs(d, exist_ok=True)
+        torch.manual_seed(seed)
+        qmodel = Qwen3ForCausalLM(qcfg).float().eval()
+        save_st(qmodel.state_dict(), os.path.join(d, "model.safetensors"))
+        with open(os.path.join(d, "config.json"), "w") as f:
+            _json.dump(qcfg.to_dict(), f, indent=1, default=str)
+    with open(os.path.join(ckpt, "acestep-5Hz-lm-0.6B", "genres_vocab.txt"), "w") as f:
+        f.write("synthwave\nambient\nrock\n")
+    print(f"wrote {ckpt}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -477,3 +566,5 @@ if __name__ == "__main__":
         gen_vae_fixture()
     if which in ("all", "base"):
         gen_base_fixture()
+    if which in ("all", "checkpoint"):
+        gen_checkpoint_fixture()
