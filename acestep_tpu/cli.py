@@ -75,10 +75,71 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_download(args) -> int:
+    """Per-component ensure/download of the standard checkpoint set (ref
+    model_downloader.py:210-308 ensure loop). Exits nonzero when any
+    component of any requested model is still missing — the first step of
+    the real-weights readiness drill (README 'Certifying an install')."""
+    from acestep_tpu.utils.downloader import ensure_components
+
+    names = [n.strip() for n in args.models.split(",") if n.strip()]
+    ok = True
+    for name in names:
+        out = ensure_components(name, args.cache_dir)
+        missing = [c for c, good in out["components"].items() if not good]
+        state = "complete" if not missing else f"MISSING: {', '.join(missing)}"
+        print(f"{name}: {out['path'] or '(no source reachable)'} — {state}"
+              + ("  [downloaded]" if out["downloaded"] else ""))
+        ok = ok and not missing
+    return 0 if ok else 1
+
+
+def cmd_verify_checkpoint(args) -> int:
+    """Verify one checkpoint dir component-by-component (DiT layout unless the
+    dir name says lm). Step 2 of the readiness drill; step 3 is
+    `python tools/parity_check.py <dir>` against the torch reference."""
+    from acestep_tpu.utils.downloader import (
+        DIT_CHECKPOINT_COMPONENTS,
+        LM_CHECKPOINT_COMPONENTS,
+        verify_checkpoint,
+    )
+
+    comps = (
+        LM_CHECKPOINT_COMPONENTS
+        if args.lm or "lm" in os.path.basename(os.path.normpath(args.path)).lower()
+        else DIT_CHECKPOINT_COMPONENTS
+    )
+    status = verify_checkpoint(args.path, comps)
+    for comp, good in status.items():
+        print(f"  {comp:>14}: {'ok' if good else 'MISSING'}")
+    if all(status.values()):
+        print(f"{args.path}: complete")
+        return 0
+    print(f"{args.path}: INCOMPLETE")
+    return 1
+
+
 def cmd_serve(args) -> int:
     from acestep_tpu.lm.handler import LLMHandler
     from acestep_tpu.pipeline.handler import AceStepHandler
     from acestep_tpu.service.api_server import serve
+
+    # Startup component check (ref init_service per-component ensure): a
+    # named checkpoint dir must be complete before binding the port —
+    # ensure_components re-fetches only what's missing when a source is
+    # reachable, and an incomplete dir aborts with the components named
+    # instead of crashing mid-request.
+    if args.checkpoint_dir and not args.random_init:
+        from acestep_tpu.utils.downloader import ensure_components
+
+        name = os.path.basename(os.path.normpath(args.checkpoint_dir))
+        out = ensure_components(name, os.path.dirname(os.path.normpath(args.checkpoint_dir)) or ".")
+        missing = [c for c, good in out["components"].items() if not good]
+        if missing:
+            print(f"checkpoint {args.checkpoint_dir} incomplete — missing: "
+                  f"{', '.join(missing)} (run `acestep-tpu download` with network "
+                  f"access, then `verify-checkpoint`)", file=sys.stderr)
+            return 1
 
     dit = AceStepHandler()
     print(dit.initialize_service(args.checkpoint_dir, random_init=args.random_init or None))
@@ -345,6 +406,20 @@ def main(argv=None) -> int:
     g.add_argument("--format", default="flac")
     g.add_argument("--output-dir", default="./outputs")
     g.set_defaults(fn=cmd_generate)
+
+    dl = sub.add_parser("download", help="ensure/download checkpoint components")
+    dl.add_argument("--models",
+                    default="acestep-v15-turbo,acestep-5Hz-lm-0.6B",
+                    help="comma list of model names (see downloader.MODEL_REPOS)")
+    dl.add_argument("--cache-dir",
+                    default=os.environ.get("ACESTEP_CHECKPOINT_ROOT")
+                    or os.path.expanduser("~/.cache/acestep_tpu/checkpoints"))
+    dl.set_defaults(fn=cmd_download)
+
+    vc = sub.add_parser("verify-checkpoint", help="verify a checkpoint dir per component")
+    vc.add_argument("path")
+    vc.add_argument("--lm", action="store_true", help="use the LM checkpoint layout")
+    vc.set_defaults(fn=cmd_verify_checkpoint)
 
     s = sub.add_parser("serve", help="start the REST job API server")
     _add_common_model_args(s)

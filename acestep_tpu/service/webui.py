@@ -101,6 +101,22 @@ STUDIO_HTML = """<!DOCTYPE html>
   </div>
 </fieldset>
 
+<fieldset id="audioRow" style="display:none"><legend>Audio input</legend>
+  <label>Source audio (the track to remix / repaint / extract / lego / complete)</label>
+  <input type="file" id="src_file" accept="audio/*,.wav,.flac,.mp3,.ogg,.opus,.aac,.m4a">
+  <div id="src_info" class="small"></div>
+  <div id="refRow">
+    <label>Reference audio for timbre (optional, multiple allowed)</label>
+    <input type="file" id="ref_files" accept="audio/*,.wav,.flac,.mp3,.ogg,.opus,.aac,.m4a" multiple>
+  </div>
+  <div class="row" id="strengthRow">
+    <div><label>Cover strength</label>
+      <input type="number" id="cover_strength" value="1.0" min="0" max="1" step="0.05"></div>
+    <div id="coverNoiseCol"><label>Cover noise</label>
+      <input type="number" id="cover_noise" value="0.0" min="0" max="1" step="0.05"></div>
+  </div>
+</fieldset>
+
 <button id="go">Generate</button>
 <div id="status"></div>
 <progress id="bar" value="0" max="1" style="display:none"></progress>
@@ -169,7 +185,7 @@ const $ = id => document.getElementById(id);
 
 // ---- i18n (reference ships en/zh/ja/he, SURVEY §2.6) ----
 const I18N = {
-  zh: {"Tab":"标签页","Generate":"生成","Training":"训练","Mode":"模式","Simple":"简单",
+  zh: {"Audio input":"音频输入","Source audio (the track to remix / repaint / extract / lego / complete)":"源音频（要翻唱/重绘/提取/叠轨/补全的曲目）","Reference audio for timbre (optional, multiple allowed)":"音色参考音频（可选，可多个）","Cover strength":"翻唱强度","Cover noise":"翻唱噪声","This mode needs a source audio file":"此模式需要上传源音频文件","Tab":"标签页","Generate":"生成","Training":"训练","Mode":"模式","Simple":"简单",
        "Custom":"自定义","Remix":"翻唱","Repaint":"重绘","Extract":"提取","Lego":"叠轨",
        "Complete":"补全","Prompt":"提示词","Caption":"描述",
        "Lyrics ([Instrumental] for none)":"歌词（纯音乐填 [Instrumental]）","Settings":"设置",
@@ -182,7 +198,7 @@ const I18N = {
        "Output dir":"输出目录","Rank":"秩","LR":"学习率","Max steps":"最大步数",
        "Checkpoint every":"保存间隔","Start training":"开始训练","Runs":"运行记录","Alpha":"Alpha","BPM":"BPM",
        "Refresh":"刷新","Stop":"停止","Create sample":"生成示例","Format input":"格式化输入","Understand codes":"解析音频码","Audio codes":"音频码","Auto LRC (lyric timestamps)":"自动 LRC（歌词时间戳）","Auto lyric quality score":"自动歌词质量评分","LM-assisted labeling (understand on codes)":"LM 辅助标注（基于音频码理解）","Format preloaded lyrics with LM":"用 LM 格式化已有歌词","Dataset explorer":"数据集浏览器","Labels file path":"标注文件路径","Scan":"扫描","Load labels":"加载标注","Save labels":"保存标注","Auto-label unlabeled":"自动标注未标注项","Preprocess to tensors":"预处理为张量"},
-  ja: {"Tab":"タブ","Generate":"生成","Training":"学習","Mode":"モード","Simple":"シンプル",
+  ja: {"Audio input":"オーディオ入力","Source audio (the track to remix / repaint / extract / lego / complete)":"ソース音声（リミックス／リペイント／抽出／レゴ／補完する曲）","Reference audio for timbre (optional, multiple allowed)":"音色リファレンス音声（任意・複数可）","Cover strength":"カバー強度","Cover noise":"カバーノイズ","This mode needs a source audio file":"このモードにはソース音声ファイルが必要です","Tab":"タブ","Generate":"生成","Training":"学習","Mode":"モード","Simple":"シンプル",
        "Custom":"カスタム","Remix":"リミックス","Repaint":"リペイント","Extract":"抽出",
        "Lego":"レゴ","Complete":"補完","Prompt":"プロンプト","Caption":"キャプション",
        "Lyrics ([Instrumental] for none)":"歌詞（なしは [Instrumental]）","Settings":"設定",
@@ -195,7 +211,7 @@ const I18N = {
        "Dataset dir":"データセットディレクトリ","Output dir":"出力ディレクトリ","Rank":"ランク",
        "LR":"学習率","Max steps":"最大ステップ","Checkpoint every":"チェックポイント間隔","Alpha":"アルファ","BPM":"BPM",
        "Start training":"学習開始","Runs":"実行一覧","Refresh":"更新","Stop":"停止","Create sample":"サンプル作成","Format input":"入力を整形","Understand codes":"コード解析","Audio codes":"オーディオコード","Auto LRC (lyric timestamps)":"自動 LRC（歌詞タイムスタンプ）","Auto lyric quality score":"自動歌詞品質スコア","LM-assisted labeling (understand on codes)":"LM 自動ラベリング（コード理解）","Format preloaded lyrics with LM":"LM で既存歌詞を整形","Dataset explorer":"データセットエクスプローラー","Labels file path":"ラベルファイルパス","Scan":"スキャン","Load labels":"ラベル読込","Save labels":"ラベル保存","Auto-label unlabeled":"未ラベルを自動ラベル","Preprocess to tensors":"テンソルへ前処理"},
-  he: {"Tab":"לשונית","Generate":"יצירה","Training":"אימון","Mode":"מצב","Simple":"פשוט",
+  he: {"Audio input":"קלט אודיו","Source audio (the track to remix / repaint / extract / lego / complete)":"אודיו מקור (הרצועה לרמיקס / צביעה מחדש / חילוץ / לגו / השלמה)","Reference audio for timbre (optional, multiple allowed)":"אודיו ייחוס לגוון (אופציונלי, ניתן כמה)","Cover strength":"עוצמת קאבר","Cover noise":"רעש קאבר","This mode needs a source audio file":"מצב זה דורש קובץ אודיו מקור","Tab":"לשונית","Generate":"יצירה","Training":"אימון","Mode":"מצב","Simple":"פשוט",
        "Custom":"מותאם אישית","Remix":"רמיקס","Repaint":"צביעה מחדש","Extract":"חילוץ",
        "Lego":"לגו","Complete":"השלמה","Prompt":"הנחיה","Caption":"כיתוב",
        "Lyrics ([Instrumental] for none)":"מילים ([Instrumental] ללא מילים)","Settings":"הגדרות",
@@ -231,10 +247,37 @@ document.querySelectorAll('input[name=tab]').forEach(r => r.onchange = () => {
   $("tab-training").style.display = (t === "training") ? "block" : "none";
   if (t === "training") refreshRuns();
 });
+// Modes that edit an existing track need a source-audio upload (ref
+// mode_ui.py:49 show_src_audio = cover|repaint|extract|lego|complete).
+const AUDIO_MODES = ["Remix", "Repaint", "Extract", "Lego", "Complete"];
 document.querySelectorAll('input[name=mode]').forEach(r => r.onchange = () => {
-  $("repaintRow").style.display =
-    (document.querySelector('input[name=mode]:checked').value === "Repaint") ? "flex" : "none";
+  const mode = document.querySelector('input[name=mode]:checked').value;
+  $("repaintRow").style.display = (mode === "Repaint") ? "flex" : "none";
+  $("audioRow").style.display = AUDIO_MODES.includes(mode) ? "block" : "none";
+  $("refRow").style.display = (mode === "Remix") ? "block" : "none";
+  $("coverNoiseCol").style.display = (mode === "Remix") ? "block" : "none";
 });
+
+// Duration of the uploaded source (for repaint-range validation): decode the
+// metadata in the browser; falls back to null for formats it can't sniff.
+let srcDuration = null;
+$("src_file").onchange = () => {
+  srcDuration = null; $("src_info").textContent = "";
+  const f = $("src_file").files[0];
+  if (!f) return;
+  const url = URL.createObjectURL(f);
+  const a = new Audio();
+  a.preload = "metadata";
+  a.onloadedmetadata = () => {
+    if (isFinite(a.duration)) {
+      srcDuration = a.duration;
+      $("src_info").textContent = f.name + " — " + a.duration.toFixed(1) + " s";
+    } else $("src_info").textContent = f.name;
+    URL.revokeObjectURL(url);
+  };
+  a.onerror = () => { $("src_info").textContent = f.name; URL.revokeObjectURL(url); };
+  a.src = url;
+};
 async function post(path, body) {
   const r = await fetch(path, {method: "POST", headers: {"Content-Type": "application/json"},
                                body: JSON.stringify(body)});
@@ -257,10 +300,41 @@ $("go").onclick = async () => {
     payload.repainting_start = parseFloat($("rstart").value);
     payload.repainting_end = parseFloat($("rend").value);
   }
+  const needsAudio = AUDIO_MODES.includes(mode);
+  if (needsAudio) {
+    if (!$("src_file").files[0]) {
+      $("status").textContent = t("This mode needs a source audio file"); return;
+    }
+    payload.audio_cover_strength = parseFloat($("cover_strength").value);
+    if (mode === "Remix") payload.cover_noise_strength = parseFloat($("cover_noise").value);
+    if (mode === "Repaint" && srcDuration != null) {
+      const rs = payload.repainting_start, re = payload.repainting_end;
+      if (rs < 0 || rs >= srcDuration) {
+        $("status").textContent = "repaint start outside the uploaded audio (0–"
+          + srcDuration.toFixed(1) + " s)"; return;
+      }
+      if (re !== -1 && (re <= rs || re > srcDuration + 0.05)) {
+        $("status").textContent = "repaint end must be in (" + rs + ", "
+          + srcDuration.toFixed(1) + "] s or -1"; return;
+      }
+    }
+  }
   $("go").disabled = true; $("bar").style.display = "block";
   $("status").textContent = "submitting…";
   try {
-    const {task_id} = await post("/release_task", payload);
+    let resp;
+    if (needsAudio) {
+      // multipart /release_task: file parts become server temp paths
+      // (src_audio, repeated reference_audio), scalars JSON-coerced.
+      const fd = new FormData();
+      Object.entries(payload).forEach(([k, v]) => fd.append(k, JSON.stringify(v)));
+      fd.append("src_audio", $("src_file").files[0]);
+      [...$("ref_files").files].forEach(f => fd.append("reference_audio", f));
+      resp = await (await fetch("/release_task", {method: "POST", body: fd})).json();
+    } else {
+      resp = await post("/release_task", payload);
+    }
+    const task_id = resp.task_id;
     $("status").textContent = "queued: " + task_id;
     for (;;) {
       await new Promise(res => setTimeout(res, 1500));

@@ -29,16 +29,34 @@ def test_tp_plan_shards_kernels():
         num_timbre_encoder_hidden_layers=1, num_attention_pooler_hidden_layers=1,
         fsq_dim=64, timbre_fix_frame=8,
     )
+    from jax.sharding import PartitionSpec as P
+
+    from acestep_tpu.models.dit import stack_layers_by_parity
+
     mesh = make_mesh(dp=4, tp=2)
     params = init_acestep_params(jax.random.PRNGKey(0), cfg, jnp.float32)
     sharded = shard_params_tp(mesh, params)
-    q = sharded["decoder"]["layers"][0]["self_attn"]["q_proj"]["kernel"]
-    # colwise → output dim split over tp
-    assert "tp" in str(q.sharding.spec)
-    o = sharded["decoder"]["layers"][0]["self_attn"]["o_proj"]["kernel"]
-    assert str(o.sharding.spec.rank if False else o.sharding.spec)  # exists
+    attn = sharded["decoder"]["layers"][0]["self_attn"]
+    mlp = sharded["decoder"]["layers"][0]["mlp"]
+    # colwise → output dim split over tp; rowwise → input dim split
+    assert attn["q_proj"]["kernel"].sharding.spec == P(None, "tp")
+    assert attn["o_proj"]["kernel"].sharding.spec == P("tp", None)
+    assert mlp["down_proj"]["kernel"].sharding.spec == P("tp", None)
     norm = sharded["decoder"]["norm_out"]["weight"]
     assert norm.sharding.is_fully_replicated
+
+    # Scan-STACKED serving layout: 3-D kernels with a leading per-layer axis
+    # keep the same plan shifted one axis right.
+    stacked = dict(params)
+    stacked["decoder"] = dict(params["decoder"])
+    stacked["decoder"]["layers"] = stack_layers_by_parity(params["decoder"]["layers"])
+    sharded3 = shard_params_tp(mesh, stacked)
+    for parity in ("sliding", "full"):
+        attn3 = sharded3["decoder"]["layers"][parity]["self_attn"]
+        mlp3 = sharded3["decoder"]["layers"][parity]["mlp"]
+        assert attn3["q_proj"]["kernel"].sharding.spec == P(None, None, "tp")
+        assert attn3["o_proj"]["kernel"].sharding.spec == P(None, "tp", None)
+        assert mlp3["down_proj"]["kernel"].sharding.spec == P(None, "tp", None)
 
 
 def test_data_parallel_generation_on_mesh():
@@ -92,6 +110,7 @@ def test_lm_tensor_parallel_matches_single_device():
     )
     h = LLMHandler(cfg, dtype=jnp.float32)
     h.initialize(random_init=True)
+    params_unsharded = h.params  # enable_tensor_parallel rebinds h.params
 
     prompt = h.build_formatted_prompt("ambient pads", "")
     ids, mask, bucket = h._encode_prompts([prompt], budget=8)
@@ -123,6 +142,27 @@ def test_lm_tensor_parallel_matches_single_device():
         jnp.asarray([int(mask[0].sum())], jnp.int32), cache1,
     )
     np.testing.assert_allclose(np.asarray(tok1), np.asarray(tok0), rtol=2e-4, atol=2e-4)
+
+    # Multi-step decode equivalence: the TP-sharded KV cache must stay
+    # consistent across successive decode steps, not just one.
+    caches = [cache0b, None]
+    pos = int(mask[0].sum()) + 1
+    caches[1] = cache1
+    _, caches[1] = qwen3.decode_step(
+        h.params, cfg, jnp.asarray([7], jnp.int32),
+        jnp.asarray([pos - 1], jnp.int32), caches[1],
+    )
+    logits_seq = [[], []]
+    for step in range(4):
+        tok = jnp.asarray([11 + step], jnp.int32)
+        p = jnp.asarray([pos + step], jnp.int32)
+        l0, caches[0] = qwen3.decode_step(params_unsharded, cfg, tok, p, caches[0])
+        l1, caches[1] = qwen3.decode_step(h.params, cfg, tok, p, caches[1])
+        logits_seq[0].append(np.asarray(l0))
+        logits_seq[1].append(np.asarray(l1))
+    np.testing.assert_allclose(
+        np.stack(logits_seq[1]), np.stack(logits_seq[0]), rtol=5e-4, atol=5e-4
+    )
 
     # End-to-end two-phase generation still runs under TP shardings.
     out = h.generate_with_stop_condition(

@@ -295,6 +295,175 @@ def test_release_task_multipart_upload(handlers, tmp_path):
     server.shutdown()
 
 
+def test_base_model_serving_guidance_sweep(handlers, tmp_path):
+    """Base/sft-model serving e2e (VERDICT r2 next #5): a base-version model
+    loaded as a SECOND registry entry serves CFG requests (guidance 7.5,
+    linspace-50 schedule) over REST, and a guidance sweep reuses ONE compiled
+    denoise program — guidance_scale/cfg_interval_* are traced operands, not
+    jit-static (ref base generate_audio CFG loop,
+    modeling_acestep_v15_base.py; the eager reference has no recompile trap,
+    so neither may this server)."""
+    import dataclasses
+    import http.client
+    import threading
+
+    from acestep_tpu.models import dit as dit_mod
+    from acestep_tpu.service.api_server import serve
+
+    dit, llm = handlers
+    base_cfg = dataclasses.replace(TINY_DIT, model_version="base")
+    base_h = AceStepHandler(base_cfg, TINY_VAE, TINY_TEXT, dtype=jnp.float32)
+    base_h.initialize_service(random_init=True)
+
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path),
+                   extra_dit_handlers={"acestep-v15-base": base_h})
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, payload):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        c.request("POST", path, body=json.dumps(payload),
+                  headers={"Content-Type": "application/json"})
+        out = json.loads(c.getresponse().read())
+        c.close()
+        return out
+
+    def get(path):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        c.request("GET", path)
+        out = json.loads(c.getresponse().read())
+        c.close()
+        return out
+
+    models = get("/v1/models")
+    names = {m["id"] for m in models["models"]}
+    assert {"acestep-v15-tpu", "acestep-v15-base"} <= names
+    versions = {m["id"]: m.get("version") for m in models["models"]}
+    assert versions["acestep-v15-base"] == "base"
+
+    def run(guidance):
+        payload = {
+            "model": "acestep-v15-base", "caption": "orchestral swell",
+            "lyrics": "[Instrumental]", "duration": 2.0, "seed": 11,
+            "batch_size": 1, "inference_steps": 50, "guidance_scale": guidance,
+            "thinking": False, "audio_format": "wav",
+        }
+        task_id = post("/release_task", payload)["task_id"]
+        for _ in range(360):
+            st = post("/query_result", {"task_ids": [task_id]})["results"][0]
+            if st["status"] in (1, 2):
+                break
+            time.sleep(0.5)
+        assert st["status"] == 1, st
+        with open(st["result"]["audio_paths"][0], "rb") as f:
+            return f.read()
+
+    wav_a = run(7.5)
+    n_compiled = dit_mod.denoise_scan._cache_size()
+    wav_b = run(4.0)
+    assert dit_mod.denoise_scan._cache_size() == n_compiled, (
+        "guidance sweep recompiled the 50-step denoise program"
+    )
+    assert wav_a != wav_b, "guidance value had no effect on the output"
+    server.shutdown()
+
+
+def test_webui_upload_drives_repaint(handlers, tmp_path):
+    """The studio page can drive audio-input modes (VERDICT r2 next #4): this
+    replays EXACTLY the request the UI's FormData submit builds — every scalar
+    field JSON-encoded (JSON.stringify), file parts src_audio + repeated
+    reference_audio — and the job must complete. Also pins the UI wiring
+    itself: file inputs, mode-gated visibility, FormData path, repaint-range
+    validation against the uploaded duration."""
+    dit, llm = handlers
+    import http.client
+    import io
+    import threading
+    import wave
+
+    from acestep_tpu.service.api_server import serve
+    from acestep_tpu.service.webui import STUDIO_HTML
+
+    # --- UI wiring (ref mode_ui.py:49: src audio for cover/repaint/extract/
+    # lego/complete; upload submitted via FormData to multipart /release_task)
+    for frag in (
+        'id="src_file"', 'id="ref_files"', "new FormData()",
+        'fd.append("src_audio"', 'fd.append("reference_audio", f)',
+        "AUDIO_MODES", '"Remix", "Repaint", "Extract", "Lego", "Complete"',
+        "srcDuration", "repaint start outside the uploaded audio",
+    ):
+        assert frag in STUDIO_HTML, frag
+
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def wav_bytes(seed: int, seconds: float = 2.0) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(48_000)
+            rng = np.random.default_rng(seed)
+            pcm = (rng.standard_normal(int(2 * 48_000 * seconds)) * 3000).astype(np.int16)
+            w.writeframes(pcm.tobytes())
+        return buf.getvalue()
+
+    # The UI JSON.stringify()s every scalar: strings arrive QUOTED.
+    fields = {
+        "caption": '"remix me"', "lyrics": '"[Instrumental]"', "duration": "2.0",
+        "seed": "5", "batch_size": "1", "inference_steps": "2",
+        "guidance_scale": "7.0", "thinking": "false", "task_type": '"cover"',
+        "audio_format": '"wav"', "auto_lrc": "false", "auto_score": "false",
+        "audio_cover_strength": "0.8", "cover_noise_strength": "0.0",
+    }
+    boundary = "uiformboundary7"
+    parts = [
+        f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"\r\n\r\n{v}\r\n'.encode()
+        for k, v in fields.items()
+    ]
+    parts.append(
+        (f'--{boundary}\r\nContent-Disposition: form-data; name="src_audio"; '
+         f'filename="src.wav"\r\nContent-Type: audio/wav\r\n\r\n').encode()
+        + wav_bytes(0) + b"\r\n"
+    )
+    for i in (1, 2):  # two timbre refs, as the UI's multiple-file input sends
+        parts.append(
+            (f'--{boundary}\r\nContent-Disposition: form-data; name="reference_audio"; '
+             f'filename="ref{i}.wav"\r\nContent-Type: audio/wav\r\n\r\n').encode()
+            + wav_bytes(i) + b"\r\n"
+        )
+    parts.append(f"--{boundary}--\r\n".encode())
+    body = b"".join(parts)
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", "/release_task", body=body,
+                 headers={"Content-Type": f"multipart/form-data; boundary={boundary}",
+                          "Content-Length": str(len(body))})
+    resp = json.loads(conn.getresponse().read())
+    conn.close()
+    task_id = resp["task_id"]
+
+    def post(path, payload):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        c.request("POST", path, body=json.dumps(payload),
+                  headers={"Content-Type": "application/json"})
+        out = json.loads(c.getresponse().read())
+        c.close()
+        return out
+
+    status = None
+    for _ in range(240):
+        out = post("/query_result", {"task_ids": [task_id]})
+        status = out["results"][0]
+        if status["status"] in (1, 2):
+            break
+        time.sleep(0.5)
+    assert status["status"] == 1, status
+    assert status["result"]["audio_paths"][0].endswith(".wav")
+    server.shutdown()
+
+
 def test_auto_lrc_and_score_in_results(handlers, tmp_path):
     """auto_lrc/auto_score params surface LRC text and the composite lyric
     quality score per sample (ref UI auto-LRC post-pass as a REST-able param)."""
