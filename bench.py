@@ -285,6 +285,30 @@ def main():
     best = max(points, key=lambda p: p["batch"] * DURATION_S / p["fast5_median_wall_s"])
     pipelined = _measure_pipelined(handler, best["batch"])
 
+    # Long-duration operating point (VERDICT r2 next #7): the max-duration
+    # shapes the reference advertises (constants.py:58-59, up to 600 s) are
+    # the slowest per audio-second; record 1×300 s explicitly.
+    long_point = None
+    if os.environ.get("BENCH_LONG", "1") != "0":
+        global DURATION_S
+        short = DURATION_S
+        DURATION_S = float(os.environ.get("BENCH_LONG_DURATION_S", 300))
+        try:
+            long_point = _measure_point(
+                handler, 1, min(REPS, int(os.environ.get("BENCH_LONG_REPS", 4)))
+            )
+            long_point["audio_s_per_s"] = round(
+                DURATION_S / long_point["median_wall_s"], 2
+            )
+            long_dev_wall = max(
+                long_point["median_wall_s"] - long_point["decode_transfer_median_s"],
+                1e-6,
+            )
+            long_point["audio_s_per_s_device"] = round(DURATION_S / long_dev_wall, 2)
+            long_point["duration_s"] = DURATION_S
+        finally:
+            DURATION_S = short
+
     think_point = None
     if os.environ.get("BENCH_THINK", "1") != "0":
         from acestep_tpu.lm.handler import LLMHandler
@@ -319,6 +343,7 @@ def main():
             "pipelined": pipelined,
             "pipelined_sustained_audio_s_per_s": pipelined["pipelined_audio_s_per_s"],
             "thinking_on": think_point,
+            "long_duration": long_point,
             "duration_s": DURATION_S,
             "headline_point": best["batch"],
             "window_noisy": any(p["noise_spread"] > 1.5 for p in points),
