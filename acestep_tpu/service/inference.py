@@ -133,6 +133,19 @@ def generate_music(
         if repaint and rep_end is not None and rep_end < 0:
             rep_end = merged["duration"]
 
+        # Instruction: an explicit non-default value overrides; otherwise it
+        # is generated from the task (+ track_name / complete_track_classes),
+        # as the reference UI does per mode change (ui_helpers.py:126-145) —
+        # without this, every non-text2music task would be conditioned on the
+        # text2music instruction text.
+        from acestep_tpu.utils.constants import TASK_INSTRUCTIONS
+
+        instruction = params.instruction
+        if not instruction or instruction == TASK_INSTRUCTIONS["text2music"]:
+            instruction = dit_handler.generate_instruction(
+                params.task_type, params.track_name, params.complete_track_classes
+            )
+
         out = dit_handler.generate_music(
             captions=[merged["caption"]] * b,
             lyrics=[lyrics] * b,
@@ -141,7 +154,7 @@ def generate_music(
             vocal_languages=[merged["language"]] * b,
             audio_duration=merged["duration"],
             task_type=params.task_type,
-            instructions=[params.instruction] * b if params.instruction else None,
+            instructions=[instruction] * b,
             seeds=config.seeds if config.seeds is not None else (params.seed if params.seed >= 0 else None),
             use_random_seed=config.use_random_seed and params.seed < 0 and config.seeds is None,
             inference_steps=(None if params.inference_steps == 8 else params.inference_steps),

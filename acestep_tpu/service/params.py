@@ -14,7 +14,15 @@ class GenerationParams:
 
     # Required inputs
     task_type: str = "text2music"
+    # Left at this default, the instruction is AUTO-GENERATED from task_type
+    # (+ track_name / complete_track_classes) — the role the reference UI's
+    # update_instruction_ui fills (ui_helpers.py:126-145); set it explicitly
+    # to override.
     instruction: str = "Fill the audio semantic mask based on the given conditions:"
+    # Extract/Lego: which stem (constants.TRACK_NAMES); Complete: which track
+    # classes to add (ref task_utils.py:69-101 instruction templates).
+    track_name: Optional[str] = None
+    complete_track_classes: Optional[List[str]] = None
 
     # Audio uploads. reference_audio accepts one path or a LIST of paths —
     # multiple timbre references are packed per sample with an order mask

@@ -295,6 +295,52 @@ def test_release_task_multipart_upload(handlers, tmp_path):
     server.shutdown()
 
 
+def test_task_instruction_auto_generated(handlers, tmp_path):
+    """The service layer must condition each task on ITS instruction text, not
+    the text2music default (ref UI regenerates it per mode+track,
+    ui_helpers.py:126-145; templates task_utils.py:69-101). track_name /
+    complete_track_classes parameterize Extract/Lego/Complete."""
+    dit, _ = handlers
+    from acestep_tpu.utils.constants import TASK_INSTRUCTIONS
+
+    recorded = {}
+    real = dit.generate_music
+
+    def spy(**kwargs):
+        recorded["instructions"] = kwargs.get("instructions")
+        return real(**kwargs)
+
+    dit.generate_music = spy
+    try:
+        cfg = GenerationConfig(batch_size=1, output_dir=str(tmp_path),
+                               use_random_seed=False)
+
+        def run(**p):
+            r = generate_music(dit, None, GenerationParams(
+                caption="x", duration=2.0, seed=1, thinking=False, **p,
+            ), cfg, save_audio=False)
+            assert r.success, r.error
+            return recorded["instructions"][0]
+
+        assert run(task_type="repaint", repainting_start=0.0,
+                   repainting_end=1.0) == TASK_INSTRUCTIONS["repaint"]
+        assert run(task_type="extract", track_name="drums") \
+            == "Extract the DRUMS track from the audio:"
+        assert run(task_type="extract") == TASK_INSTRUCTIONS["extract_default"]
+        assert run(task_type="lego", track_name="bass",
+                   repainting_start=0.0, repainting_end=1.0) \
+            == "Generate the BASS track based on the audio context:"
+        assert run(task_type="complete", complete_track_classes=["drums", "bass"]) \
+            == "Complete the input track with DRUMS | BASS:"
+        # explicit non-default instruction is respected verbatim
+        assert run(task_type="repaint", repainting_start=0.0, repainting_end=1.0,
+                   instruction="Custom instruction:") == "Custom instruction:"
+        # text2music keeps its default
+        assert run(task_type="text2music") == TASK_INSTRUCTIONS["text2music"]
+    finally:
+        dit.generate_music = real
+
+
 def test_base_model_serving_guidance_sweep(handlers, tmp_path):
     """Base/sft-model serving e2e (VERDICT r2 next #5): a base-version model
     loaded as a SECOND registry entry serves CFG requests (guidance 7.5,
