@@ -142,8 +142,18 @@ def generate_music(
 
         instruction = params.instruction
         if not instruction or instruction == TASK_INSTRUCTIONS["text2music"]:
+            task_for_instr = params.task_type
+            if task_for_instr == "text2music" and (
+                (audio_codes or "").strip()
+                or (batch_codes and any((c or "").strip() for c in batch_codes))
+            ):
+                # Audio codes auto-switch text2music → cover (ref
+                # generate_music_request.py:46-56) — the conditioning mask
+                # already flips per-sample on code hints; the instruction
+                # text must follow.
+                task_for_instr = "cover"
             instruction = dit_handler.generate_instruction(
-                params.task_type, params.track_name, params.complete_track_classes
+                task_for_instr, params.track_name, params.complete_track_classes
             )
 
         out = dit_handler.generate_music(

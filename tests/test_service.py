@@ -337,6 +337,11 @@ def test_task_instruction_auto_generated(handlers, tmp_path):
                    instruction="Custom instruction:") == "Custom instruction:"
         # text2music keeps its default
         assert run(task_type="text2music") == TASK_INSTRUCTIONS["text2music"]
+        # audio codes auto-switch text2music → cover instruction
+        # (ref generate_music_request.py:46-56)
+        assert run(task_type="text2music",
+                   audio_codes="<|audio_code_5|><|audio_code_9|>") \
+            == TASK_INSTRUCTIONS["cover"]
     finally:
         dit.generate_music = real
 
