@@ -663,13 +663,25 @@ class AceStepHandler:
 
         t1 = time.time()
         pos = 0
+        # ACESTEP_TPU_PARALLEL_FETCH=N (>1) pulls N chunk transfers
+        # concurrently — worthwhile when the link multiplexes streams (the
+        # axon tunnel) and harmless on PCIe where DMA already saturates.
+        fetch_workers = int(os.environ.get("ACESTEP_TPU_PARALLEL_FETCH", "1"))
         with ThreadPoolExecutor(max_workers=2) as pool:
             futs = []
-            for w in wav_chunks:
-                arr = np.asarray(w)  # blocks until this chunk's DMA lands
-                take = min(arr.shape[1], t * hop - pos)
-                futs.append(pool.submit(convert, arr, pos, take))
-                pos += take
+            if fetch_workers > 1 and len(wav_chunks) > 1:
+                with ThreadPoolExecutor(max_workers=fetch_workers) as fpool:
+                    # map() yields in chunk order as each transfer lands
+                    for arr in fpool.map(lambda w: np.asarray(w), wav_chunks):
+                        take = min(arr.shape[1], t * hop - pos)
+                        futs.append(pool.submit(convert, arr, pos, take))
+                        pos += take
+            else:
+                for w in wav_chunks:
+                    arr = np.asarray(w)  # blocks until this chunk's DMA lands
+                    take = min(arr.shape[1], t * hop - pos)
+                    futs.append(pool.submit(convert, arr, pos, take))
+                    pos += take
             for f in futs:
                 f.result()
         if timings is not None:

@@ -142,91 +142,130 @@ class ApiService:
         return {"task_id": task_id, "queue_position": pos}
 
     def _worker_loop(self) -> None:
+        """Serial job worker with BACK-TO-BACK PIPELINING: job N's decode
+        transfer + save (result.finish()) runs AFTER job N+1's denoise has
+        been dispatched, so under sustained load the device never idles on
+        host transfers (the single-worker role of ref api_server.py:1210-1212,
+        plus the overlap the single-GPU reference cannot do). Disable with
+        ACESTEP_PIPELINE_JOBS=0."""
+        pipeline_jobs = os.environ.get("ACESTEP_PIPELINE_JOBS", "1") != "0"
+        pending = None  # started job whose finish() is still outstanding
         while True:
-            task_id = self.queue.get()
-            job = self.store.get(task_id)
-            if job is None:
-                continue
-            payload0 = job["payload"]
-            self.store.mark(
-                task_id, status="running", progress=0.05,
-                run_meta={
-                    "started_at": time.time(),
-                    "duration_s": float(payload0.get("duration", 30) or 30),
-                    "batch": int(payload0.get("batch_size", 1) or 1),
-                    "steps": int(payload0.get("inference_steps", 8) or 8),
-                },
-            )
-            t0 = time.time()
-            try:
-                payload = job["payload"]
-                params = _params_from_payload(payload)
-                cfg = _config_from_payload(payload)
-                cfg.output_dir = self.output_dir
-                model_name = payload.get("model", "default")
-                dit = self.dit_handlers.get(model_name, self.dit_handler)
-                result = generate_music(dit, self.llm_handler, params, cfg)
-                # Uploaded temp files are consumed by generation; remove them
-                # BEFORE the job turns terminal so clients that poll success
-                # never observe lingering uploads (the finally stays as a
-                # safety net for the crash path).
-                for p in payload0.get("_temp_files", []) or []:
-                    try:
-                        os.unlink(p)
-                    except OSError:
-                        pass
-                if result.success:
-                    tc = result.extra_outputs.get("time_costs", {})
-                    per_step = tc.get("diffusion_per_step_time_cost")
-                    if per_step:
-                        rm = job.get("run_meta") or self.store.get(task_id).get("run_meta") or {}
-                        self.progress.update(
-                            rm.get("duration_s", 30), rm.get("batch", 1), float(per_step)
-                        )
-                    self.store.mark(
-                        task_id,
-                        status="succeeded",
-                        progress=1.0,
-                        result={
-                            "audio_paths": [a.get("path") for a in result.audios],
-                            "keys": [a.get("key") for a in result.audios],
-                            "seeds": [a.get("seed") for a in result.audios],
-                            "lrcs": [a.get("lrc") for a in result.audios],
-                            "lyrics_scores": [a.get("lyrics_score") for a in result.audios],
-                            "metas": result.audios[0].get("metas") if result.audios else None,
-                            "extra": {
-                                k: v
-                                for k, v in result.extra_outputs.items()
-                                if k in ("time_costs", "lm_metadata", "audio_codes")
-                            },
-                        },
+            if pending is None:
+                task_id = self.queue.get()
+            else:
+                try:
+                    task_id = self.queue.get_nowait()
+                except queue.Empty:
+                    task_id = None
+            started = self._start_job(task_id, defer=pipeline_jobs) if task_id else None
+            if pending is not None:
+                self._finalize_job(*pending)
+            pending = started
+
+    def _start_job(self, task_id: str, *, defer: bool):
+        """Run a job up to (and including) its device dispatch; returns the
+        pending (task_id, payload, t0, result) tuple to finalize, or None if
+        the job already failed/vanished."""
+        job = self.store.get(task_id)
+        if job is None:
+            return None
+        payload0 = job["payload"]
+        self.store.mark(
+            task_id, status="running", progress=0.05,
+            run_meta={
+                "started_at": time.time(),
+                "duration_s": float(payload0.get("duration", 30) or 30),
+                "batch": int(payload0.get("batch_size", 1) or 1),
+                "steps": int(payload0.get("inference_steps", 8) or 8),
+            },
+        )
+        t0 = time.time()
+        try:
+            params = _params_from_payload(payload0)
+            cfg = _config_from_payload(payload0)
+            cfg.output_dir = self.output_dir
+            model_name = payload0.get("model", "default")
+            dit = self.dit_handlers.get(model_name, self.dit_handler)
+            result = generate_music(dit, self.llm_handler, params, cfg,
+                                    defer_finish=defer)
+            # Uploaded temp files are consumed by generation (read during
+            # conditioning, before this returns); remove them BEFORE the job
+            # turns terminal so clients that poll success never observe
+            # lingering uploads (_finalize_job keeps a safety net).
+            for p in payload0.get("_temp_files", []) or []:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+            return (task_id, payload0, t0, result)
+        except Exception as e:  # noqa: BLE001 — job must fail, not the server
+            self.store.mark(task_id, status="failed", error=f"{e}\n{traceback.format_exc()}")
+            self.logs.append(f"job {task_id} crashed: {e}")
+            self._cleanup_job(payload0, t0)
+            return None
+
+    def _finalize_job(self, task_id: str, payload0: Dict[str, Any], t0: float, result) -> None:
+        """Complete a started job: finish any deferred decode/save, publish
+        the terminal status, mirror to the sqlite cache."""
+        try:
+            result.finish()
+            if result.success:
+                tc = result.extra_outputs.get("time_costs", {})
+                per_step = tc.get("diffusion_per_step_time_cost")
+                if per_step:
+                    job = self.store.get(task_id) or {}
+                    rm = job.get("run_meta") or {}
+                    self.progress.update(
+                        rm.get("duration_s", 30), rm.get("batch", 1), float(per_step)
                     )
-                    done = self.store.get(task_id)
-                    if done is not None:
-                        self.result_cache.set(
-                            "job:" + task_id,
-                            {"status": "succeeded", "result": done["result"]},
-                            ex=7 * 24 * 3600,
-                        )
-                else:
-                    self.store.mark(task_id, status="failed", error=result.error)
-                    self.logs.append(f"job {task_id} failed: {result.error}")
+                self.store.mark(
+                    task_id,
+                    status="succeeded",
+                    progress=1.0,
+                    result={
+                        "audio_paths": [a.get("path") for a in result.audios],
+                        "keys": [a.get("key") for a in result.audios],
+                        "seeds": [a.get("seed") for a in result.audios],
+                        "lrcs": [a.get("lrc") for a in result.audios],
+                        "lyrics_scores": [a.get("lyrics_score") for a in result.audios],
+                        "metas": result.audios[0].get("metas") if result.audios else None,
+                        "extra": {
+                            k: v
+                            for k, v in result.extra_outputs.items()
+                            if k in ("time_costs", "lm_metadata", "audio_codes")
+                        },
+                    },
+                )
+                done = self.store.get(task_id)
+                if done is not None:
                     self.result_cache.set(
                         "job:" + task_id,
-                        {"status": "failed", "error": result.error},
-                        ex=24 * 3600,
+                        {"status": "succeeded", "result": done["result"]},
+                        ex=7 * 24 * 3600,
                     )
-            except Exception as e:  # noqa: BLE001 — job must fail, not the server
-                self.store.mark(task_id, status="failed", error=f"{e}\n{traceback.format_exc()}")
-                self.logs.append(f"job {task_id} crashed: {e}")
-            finally:
-                for p in payload0.get("_temp_files", []) or []:
-                    try:
-                        os.unlink(p)
-                    except OSError:
-                        pass
-                self.store.record_duration(time.time() - t0)
-                self.store.gc()
+            else:
+                self.store.mark(task_id, status="failed", error=result.error)
+                self.logs.append(f"job {task_id} failed: {result.error}")
+                self.result_cache.set(
+                    "job:" + task_id,
+                    {"status": "failed", "error": result.error},
+                    ex=24 * 3600,
+                )
+        except Exception as e:  # noqa: BLE001 — job must fail, not the server
+            self.store.mark(task_id, status="failed", error=f"{e}\n{traceback.format_exc()}")
+            self.logs.append(f"job {task_id} crashed: {e}")
+        finally:
+            self._cleanup_job(payload0, t0)
+
+    def _cleanup_job(self, payload0: Dict[str, Any], t0: float) -> None:
+        for p in payload0.get("_temp_files", []) or []:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        self.store.record_duration(time.time() - t0)
+        self.store.gc()
 
 
 _PARAM_ALIASES = {

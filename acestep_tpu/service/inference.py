@@ -51,8 +51,16 @@ def generate_music(
     params: GenerationParams,
     config: Optional[GenerationConfig] = None,
     save_audio: bool = True,
+    defer_finish: bool = False,
 ) -> GenerationResult:
-    """Full pipeline (ref inference.py:309-776). Returns GenerationResult."""
+    """Full pipeline (ref inference.py:309-776). Returns GenerationResult.
+
+    `defer_finish=True` returns as soon as the denoise is done and the chunked
+    decode is QUEUED on device: `result.audios` stays empty until
+    `result.finish()` completes the decode transfer + save. A serving loop
+    calls finish() after dispatching the next request's compute, so this
+    request's device→host transfer and host PCM/save work hide under that
+    compute (the api_server worker does exactly this between queued jobs)."""
     config = config or GenerationConfig()
     t_start = time.time()
     time_costs: Dict[str, float] = {}
@@ -191,6 +199,7 @@ def generate_music(
             normalize_db=params.normalization_db if params.enable_normalization else None,
             return_int16=True,
             return_condition=params.auto_lrc or params.auto_score,
+            async_finish=defer_finish,
         )
         time_costs.update(out["time_costs"])
 
@@ -212,38 +221,65 @@ def generate_music(
                 except Exception as lrc_err:  # noqa: BLE001 — score is best-effort
                     lrc_per_sample[i] = {"success": False, "error": str(lrc_err)}
 
-        # ------------------ save ------------------
-        audios: List[Dict[str, Any]] = []
-        wavs = out["audios"]
-        os.makedirs(config.output_dir, exist_ok=True)
-        for i in range(wavs.shape[0]):
-            wav = wavs[i]  # int16 PCM, already normalized on device
-            entry: Dict[str, Any] = {
-                "params": params.to_dict(),
-                "seed": out["seeds"][i],
-                "key": audio_utils.deterministic_uuid(
-                    {**params.to_dict(), "seed": out["seeds"][i], "index": i}
-                ),
-            }
-            if save_audio:
-                path = os.path.join(config.output_dir, entry["key"])
-                entry["path"] = audio_utils.save_audio(path, wav, fmt=config.audio_format)
-            else:
-                entry["audio"] = wav
-            entry["metas"] = metas_str
-            lrc = lrc_per_sample[i] if i < len(lrc_per_sample) else None
-            if lrc and lrc.get("success"):
-                if params.auto_lrc:
-                    entry["lrc"] = lrc["lrc_text"]
-                    entry["sentence_timestamps"] = lrc["sentence_timestamps"]
-                if params.auto_score:
-                    entry["lyrics_score"] = lrc.get("lyrics_score")
-            audios.append(entry)
+        # ------------------ save (runs at finish time when deferred) --------
+        def complete_save() -> List[Dict[str, Any]]:
+            wavs = out["finish"]() if "finish" in out else out["audios"]
+            time_costs.update(out["time_costs"])  # decode/transfer splits land here
+            audios: List[Dict[str, Any]] = []
+            os.makedirs(config.output_dir, exist_ok=True)
+            for i in range(wavs.shape[0]):
+                wav = wavs[i]  # int16 PCM, already normalized on device
+                entry: Dict[str, Any] = {
+                    "params": params.to_dict(),
+                    "seed": out["seeds"][i],
+                    "key": audio_utils.deterministic_uuid(
+                        {**params.to_dict(), "seed": out["seeds"][i], "index": i}
+                    ),
+                }
+                if save_audio:
+                    path = os.path.join(config.output_dir, entry["key"])
+                    entry["path"] = audio_utils.save_audio(path, wav, fmt=config.audio_format)
+                else:
+                    entry["audio"] = wav
+                entry["metas"] = metas_str
+                lrc = lrc_per_sample[i] if i < len(lrc_per_sample) else None
+                if lrc and lrc.get("success"):
+                    if params.auto_lrc:
+                        entry["lrc"] = lrc["lrc_text"]
+                        entry["sentence_timestamps"] = lrc["sentence_timestamps"]
+                    if params.auto_score:
+                        entry["lyrics_score"] = lrc.get("lyrics_score")
+                audios.append(entry)
 
-        time_costs["pipeline_total_time_cost"] = time.time() - t_start
+            time_costs["pipeline_total_time_cost"] = time.time() - t_start
+            return audios
+
         extra["time_costs"] = time_costs
         extra["latents_shape"] = list(out["latents"].shape)
         extra["audio_codes"] = audio_codes
+
+        if defer_finish and "finish" in out:
+            def _fin(result: GenerationResult) -> None:
+                try:
+                    result.audios = complete_save()
+                    result.status_message = (
+                        f"Generated {len(result.audios)} audio(s) in "
+                        f"{time_costs['pipeline_total_time_cost']:.2f}s"
+                    )
+                except Exception as fin_err:  # noqa: BLE001
+                    result.success = False
+                    result.status_message = "Generation failed"
+                    result.error = f"{fin_err}\n{traceback.format_exc()}"
+
+            return GenerationResult(
+                audios=[],
+                status_message="decode queued (call finish())",
+                extra_outputs=extra,
+                success=True,
+                _finish=_fin,
+            )
+
+        audios = complete_save()
         return GenerationResult(
             audios=audios,
             status_message=f"Generated {len(audios)} audio(s) in {time_costs['pipeline_total_time_cost']:.2f}s",

@@ -119,16 +119,31 @@ class GenerationConfig:
 
 @dataclass
 class GenerationResult:
-    """Generation result payload (reference :197-221)."""
+    """Generation result payload (reference :197-221).
+
+    With `generate_music(..., defer_finish=True)` the device decode is already
+    queued but `audios` is empty until `finish()` runs — call it AFTER
+    dispatching the next request's compute to overlap this result's
+    device→host transfer + save under that compute (pipelined serving)."""
 
     audios: List[Dict[str, Any]] = field(default_factory=list)
     status_message: str = ""
     extra_outputs: Dict[str, Any] = field(default_factory=dict)
     success: bool = True
     error: Optional[str] = None
+    _finish: Optional[Any] = field(default=None, repr=False, compare=False)
+
+    def finish(self) -> "GenerationResult":
+        """Complete a deferred decode/save; idempotent."""
+        if self._finish is not None:
+            fn, self._finish = self._finish, None
+            fn(self)
+        return self
 
     def to_dict(self) -> Dict[str, Any]:
-        return asdict(self)
+        d = asdict(self)
+        d.pop("_finish", None)
+        return d
 
 
 @dataclass

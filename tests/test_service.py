@@ -295,6 +295,62 @@ def test_release_task_multipart_upload(handlers, tmp_path):
     server.shutdown()
 
 
+def test_pipelined_job_worker_matches_serial(handlers, tmp_path, monkeypatch):
+    """The server worker pipelines back-to-back jobs (job N's deferred
+    decode/save finishes after job N+1's denoise dispatch). Three queued jobs
+    must all succeed, in order, with results byte-identical to the serial
+    (ACESTEP_PIPELINE_JOBS=0) worker."""
+    import http.client
+    import threading
+
+    from acestep_tpu.service.api_server import serve
+
+    dit, _ = handlers
+
+    def run_jobs(pipeline: str, outdir):
+        monkeypatch.setenv("ACESTEP_PIPELINE_JOBS", pipeline)
+        server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(outdir))
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+
+        def post(path, payload):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            c.request("POST", path, body=json.dumps(payload),
+                      headers={"Content-Type": "application/json"})
+            out = json.loads(c.getresponse().read())
+            c.close()
+            return out
+
+        ids = [post("/release_task", {
+            "caption": f"pipeline test {i}", "lyrics": "[Instrumental]",
+            "duration": 2.0, "seed": 100 + i, "batch_size": 1,
+            "thinking": False, "audio_format": "wav",
+        })["task_id"] for i in range(3)]
+
+        outs = {}
+        for _ in range(360):
+            res = post("/query_result", {"task_ids": ids})["results"]
+            for tid, st in zip(ids, res):
+                if st["status"] in (1, 2):
+                    outs[tid] = st
+            if len(outs) == 3:
+                break
+            time.sleep(0.5)
+        assert len(outs) == 3
+        wavs = []
+        for tid in ids:
+            st = outs[tid]
+            assert st["status"] == 1, st
+            with open(st["result"]["audio_paths"][0], "rb") as f:
+                wavs.append(f.read())
+        server.shutdown()
+        return wavs
+
+    pipelined = run_jobs("1", tmp_path / "pipe")
+    serial = run_jobs("0", tmp_path / "serial")
+    assert pipelined == serial
+
+
 def test_task_instruction_auto_generated(handlers, tmp_path):
     """The service layer must condition each task on ITS instruction text, not
     the text2music default (ref UI regenerates it per mode+track,
