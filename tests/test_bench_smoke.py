@@ -74,3 +74,49 @@ def test_measure_think_point(bench, tiny_handlers):
     assert p["median_wall_s"] > 0
     assert p["audio_s_per_s"] > 0
     assert p["lm_median_s"] >= 0
+
+
+def test_bench_main_end_to_end(bench, tiny_handlers, monkeypatch, capsys):
+    """Run the EXACT driver entry (`bench.main()`), with the full-size
+    handler constructors patched to return the tiny ones: the one JSON line
+    must parse and carry every field the record contract promises."""
+    import json
+
+    import acestep_tpu.lm.handler as lm_mod
+    import acestep_tpu.pipeline.handler as pipe_mod
+
+    dit, llm = tiny_handlers
+
+    class FakeDit:
+        def __new__(cls, *a, **k):
+            return dit
+
+    class FakeLLM:
+        def __new__(cls, *a, **k):
+            return llm
+
+    monkeypatch.setattr(pipe_mod, "AceStepHandler", FakeDit)
+    monkeypatch.setattr(lm_mod, "LLMHandler", FakeLLM)
+    monkeypatch.setenv("BENCH_REPS", "2")
+    monkeypatch.setenv("BENCH_BATCH", "1")
+    monkeypatch.setenv("BENCH_QUIET_PASSES", "1")
+    monkeypatch.setenv("BENCH_LONG_DURATION_S", "3")
+    monkeypatch.setenv("BENCH_LONG_REPS", "1")
+    monkeypatch.setenv("BENCH_THINK_REPS", "1")
+    monkeypatch.setenv("BENCH_RETRY_WAIT_S", "0")
+    import importlib
+
+    importlib.reload(bench)
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["unit"] == "audio_s/s" and rec["value"] > 0
+    d = rec["detail"]
+    for key in ("value_plain_median", "plain_median_device", "link_probes",
+                "pipelined", "thinking_on", "long_duration", "points",
+                "pass_noise_spreads", "window_noisy"):
+        assert key in d, key
+    assert d["pipelined"]["rounds"]
+    assert d["long_duration"]["audio_s_per_s"] > 0
+    assert d["thinking_on"]["audio_s_per_s"] > 0
+    assert len(d["link_probes"]) >= 2
