@@ -225,6 +225,7 @@ class ApiService:
                     progress=1.0,
                     result={
                         "audio_paths": [a.get("path") for a in result.audios],
+                        "params_paths": [a.get("params_path") for a in result.audios],
                         "keys": [a.get("key") for a in result.audios],
                         "seeds": [a.get("seed") for a in result.audios],
                         "lrcs": [a.get("lrc") for a in result.audios],

@@ -9,6 +9,7 @@ LLMHandler.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import traceback
@@ -239,6 +240,18 @@ def generate_music(
                 if save_audio:
                     path = os.path.join(config.output_dir, entry["key"])
                     entry["path"] = audio_utils.save_audio(path, wav, fmt=config.audio_format)
+                    # Params sidecar next to the audio (ref
+                    # generation_progress.py:229-243 writes {key}.json) — the
+                    # UI's "Load params" restores a run from it.
+                    sidecar = {
+                        **entry["params"],
+                        "seed": out["seeds"][i],
+                        "metas": metas_str,
+                        "audio_codes": audio_codes,
+                    }
+                    entry["params_path"] = path + ".json"
+                    with open(entry["params_path"], "w", encoding="utf-8") as f:
+                        json.dump(sidecar, f, indent=2, ensure_ascii=False)
                 else:
                     entry["audio"] = wav
                 entry["metas"] = metas_str

@@ -74,6 +74,8 @@ STUDIO_HTML = """<!DOCTYPE html>
     <label>Audio codes</label>
     <input type="text" id="u_codes" placeholder="<|audio_code_123|>...">
   </div>
+  <label>Load params (JSON sidecar from a previous result)</label>
+  <input type="file" id="load_params" accept=".json,application/json">
   <div id="tool_status" class="small"></div>
 </fieldset>
 
@@ -204,7 +206,7 @@ const $ = id => document.getElementById(id);
 
 // ---- i18n (reference ships en/zh/ja/he, SURVEY §2.6) ----
 const I18N = {
-  zh: {"Instrumental (no vocals)":"纯音乐（无人声）","Send to Remix":"发送到翻唱","Audio codes (optional; switches generation to cover)":"音频码（可选；提供后切换为翻唱生成）","Track name (stem to extract / generate)":"音轨名称（要提取/生成的分轨）","Track classes to add (comma-separated)":"要补充的音轨类型（逗号分隔）","Audio input":"音频输入","Source audio (the track to remix / repaint / extract / lego / complete)":"源音频（要翻唱/重绘/提取/叠轨/补全的曲目）","Reference audio for timbre (optional, multiple allowed)":"音色参考音频（可选，可多个）","Cover strength":"翻唱强度","Cover noise":"翻唱噪声","This mode needs a source audio file":"此模式需要上传源音频文件","Tab":"标签页","Generate":"生成","Training":"训练","Mode":"模式","Simple":"简单",
+  zh: {"Load params (JSON sidecar from a previous result)":"加载参数（来自历史结果的 JSON 文件）","Instrumental (no vocals)":"纯音乐（无人声）","Send to Remix":"发送到翻唱","Audio codes (optional; switches generation to cover)":"音频码（可选；提供后切换为翻唱生成）","Track name (stem to extract / generate)":"音轨名称（要提取/生成的分轨）","Track classes to add (comma-separated)":"要补充的音轨类型（逗号分隔）","Audio input":"音频输入","Source audio (the track to remix / repaint / extract / lego / complete)":"源音频（要翻唱/重绘/提取/叠轨/补全的曲目）","Reference audio for timbre (optional, multiple allowed)":"音色参考音频（可选，可多个）","Cover strength":"翻唱强度","Cover noise":"翻唱噪声","This mode needs a source audio file":"此模式需要上传源音频文件","Tab":"标签页","Generate":"生成","Training":"训练","Mode":"模式","Simple":"简单",
        "Custom":"自定义","Remix":"翻唱","Repaint":"重绘","Extract":"提取","Lego":"叠轨",
        "Complete":"补全","Prompt":"提示词","Caption":"描述",
        "Lyrics ([Instrumental] for none)":"歌词（纯音乐填 [Instrumental]）","Settings":"设置",
@@ -217,7 +219,7 @@ const I18N = {
        "Output dir":"输出目录","Rank":"秩","LR":"学习率","Max steps":"最大步数",
        "Checkpoint every":"保存间隔","Start training":"开始训练","Runs":"运行记录","Alpha":"Alpha","BPM":"BPM",
        "Refresh":"刷新","Stop":"停止","Create sample":"生成示例","Format input":"格式化输入","Understand codes":"解析音频码","Audio codes":"音频码","Auto LRC (lyric timestamps)":"自动 LRC（歌词时间戳）","Auto lyric quality score":"自动歌词质量评分","LM-assisted labeling (understand on codes)":"LM 辅助标注（基于音频码理解）","Format preloaded lyrics with LM":"用 LM 格式化已有歌词","Dataset explorer":"数据集浏览器","Labels file path":"标注文件路径","Scan":"扫描","Load labels":"加载标注","Save labels":"保存标注","Auto-label unlabeled":"自动标注未标注项","Preprocess to tensors":"预处理为张量"},
-  ja: {"Instrumental (no vocals)":"インストゥルメンタル（ボーカルなし）","Send to Remix":"リミックスへ送る","Audio codes (optional; switches generation to cover)":"オーディオコード（任意；指定するとカバー生成に切替）","Track name (stem to extract / generate)":"トラック名（抽出／生成するステム）","Track classes to add (comma-separated)":"追加するトラック種別（カンマ区切り）","Audio input":"オーディオ入力","Source audio (the track to remix / repaint / extract / lego / complete)":"ソース音声（リミックス／リペイント／抽出／レゴ／補完する曲）","Reference audio for timbre (optional, multiple allowed)":"音色リファレンス音声（任意・複数可）","Cover strength":"カバー強度","Cover noise":"カバーノイズ","This mode needs a source audio file":"このモードにはソース音声ファイルが必要です","Tab":"タブ","Generate":"生成","Training":"学習","Mode":"モード","Simple":"シンプル",
+  ja: {"Load params (JSON sidecar from a previous result)":"パラメータ読込（過去の結果の JSON サイドカー）","Instrumental (no vocals)":"インストゥルメンタル（ボーカルなし）","Send to Remix":"リミックスへ送る","Audio codes (optional; switches generation to cover)":"オーディオコード（任意；指定するとカバー生成に切替）","Track name (stem to extract / generate)":"トラック名（抽出／生成するステム）","Track classes to add (comma-separated)":"追加するトラック種別（カンマ区切り）","Audio input":"オーディオ入力","Source audio (the track to remix / repaint / extract / lego / complete)":"ソース音声（リミックス／リペイント／抽出／レゴ／補完する曲）","Reference audio for timbre (optional, multiple allowed)":"音色リファレンス音声（任意・複数可）","Cover strength":"カバー強度","Cover noise":"カバーノイズ","This mode needs a source audio file":"このモードにはソース音声ファイルが必要です","Tab":"タブ","Generate":"生成","Training":"学習","Mode":"モード","Simple":"シンプル",
        "Custom":"カスタム","Remix":"リミックス","Repaint":"リペイント","Extract":"抽出",
        "Lego":"レゴ","Complete":"補完","Prompt":"プロンプト","Caption":"キャプション",
        "Lyrics ([Instrumental] for none)":"歌詞（なしは [Instrumental]）","Settings":"設定",
@@ -230,7 +232,7 @@ const I18N = {
        "Dataset dir":"データセットディレクトリ","Output dir":"出力ディレクトリ","Rank":"ランク",
        "LR":"学習率","Max steps":"最大ステップ","Checkpoint every":"チェックポイント間隔","Alpha":"アルファ","BPM":"BPM",
        "Start training":"学習開始","Runs":"実行一覧","Refresh":"更新","Stop":"停止","Create sample":"サンプル作成","Format input":"入力を整形","Understand codes":"コード解析","Audio codes":"オーディオコード","Auto LRC (lyric timestamps)":"自動 LRC（歌詞タイムスタンプ）","Auto lyric quality score":"自動歌詞品質スコア","LM-assisted labeling (understand on codes)":"LM 自動ラベリング（コード理解）","Format preloaded lyrics with LM":"LM で既存歌詞を整形","Dataset explorer":"データセットエクスプローラー","Labels file path":"ラベルファイルパス","Scan":"スキャン","Load labels":"ラベル読込","Save labels":"ラベル保存","Auto-label unlabeled":"未ラベルを自動ラベル","Preprocess to tensors":"テンソルへ前処理"},
-  he: {"Instrumental (no vocals)":"אינסטרומנטלי (ללא שירה)","Send to Remix":"שלח לרמיקס","Audio codes (optional; switches generation to cover)":"קודי אודיו (אופציונלי; מעביר ליצירת קאבר)","Track name (stem to extract / generate)":"שם רצועה (סטם לחילוץ / יצירה)","Track classes to add (comma-separated)":"סוגי רצועות להוספה (מופרד בפסיקים)","Audio input":"קלט אודיו","Source audio (the track to remix / repaint / extract / lego / complete)":"אודיו מקור (הרצועה לרמיקס / צביעה מחדש / חילוץ / לגו / השלמה)","Reference audio for timbre (optional, multiple allowed)":"אודיו ייחוס לגוון (אופציונלי, ניתן כמה)","Cover strength":"עוצמת קאבר","Cover noise":"רעש קאבר","This mode needs a source audio file":"מצב זה דורש קובץ אודיו מקור","Tab":"לשונית","Generate":"יצירה","Training":"אימון","Mode":"מצב","Simple":"פשוט",
+  he: {"Load params (JSON sidecar from a previous result)":"טעינת פרמטרים (קובץ JSON מתוצאה קודמת)","Instrumental (no vocals)":"אינסטרומנטלי (ללא שירה)","Send to Remix":"שלח לרמיקס","Audio codes (optional; switches generation to cover)":"קודי אודיו (אופציונלי; מעביר ליצירת קאבר)","Track name (stem to extract / generate)":"שם רצועה (סטם לחילוץ / יצירה)","Track classes to add (comma-separated)":"סוגי רצועות להוספה (מופרד בפסיקים)","Audio input":"קלט אודיו","Source audio (the track to remix / repaint / extract / lego / complete)":"אודיו מקור (הרצועה לרמיקס / צביעה מחדש / חילוץ / לגו / השלמה)","Reference audio for timbre (optional, multiple allowed)":"אודיו ייחוס לגוון (אופציונלי, ניתן כמה)","Cover strength":"עוצמת קאבר","Cover noise":"רעש קאבר","This mode needs a source audio file":"מצב זה דורש קובץ אודיו מקור","Tab":"לשונית","Generate":"יצירה","Training":"אימון","Mode":"מצב","Simple":"פשוט",
        "Custom":"מותאם אישית","Remix":"רמיקס","Repaint":"צביעה מחדש","Extract":"חילוץ",
        "Lego":"לגו","Complete":"השלמה","Prompt":"הנחיה","Caption":"כיתוב",
        "Lyrics ([Instrumental] for none)":"מילים ([Instrumental] ללא מילים)","Settings":"הגדרות",
@@ -282,6 +284,53 @@ document.querySelectorAll('input[name=mode]').forEach(r => r.onchange = () => {
   $("genCodesRow").style.display = (mode === "Custom") ? "block" : "none";
   if (mode !== "Custom") $("gen_codes").value = "";
 });
+
+// Load params: restore a run from a result's JSON sidecar (ref
+// metadata_loading.load_metadata — same field mapping incl. the think-off
+// rule when saved audio codes are present).
+const TASK_MODE = {text2music: "Custom", cover: "Remix", repaint: "Repaint",
+                   extract: "Extract", lego: "Lego", complete: "Complete"};
+$("load_params").onchange = () => {
+  const f = $("load_params").files[0];
+  if (!f) return;
+  const rd = new FileReader();
+  rd.onload = () => {
+    try {
+      const md = JSON.parse(rd.result);
+      const mode = TASK_MODE[md.task_type] || "Custom";
+      const radio = document.querySelector('input[name=mode][value="' + mode + '"]');
+      radio.checked = true; radio.dispatchEvent(new Event("change"));
+      if (md.caption != null) $("caption").value = md.caption;
+      if (md.lyrics != null) $("lyrics").value = md.lyrics;
+      if (md.duration != null && md.duration > 0) $("duration").value = md.duration;
+      if (md.bpm != null && md.bpm !== "N/A") $("bpm").value = md.bpm;
+      if (md.keyscale) $("keyscale").value = md.keyscale;
+      if (md.seed != null) $("seed").value = md.seed;
+      if (md.batch_size != null) $("batch").value = md.batch_size;
+      if (md.inference_steps != null) $("steps").value = md.inference_steps;
+      if (md.guidance_scale != null) $("guidance").value = md.guidance_scale;
+      if (md.audio_format) $("format").value = md.audio_format;
+      if (md.instrumental != null) $("instrumental").checked = !!md.instrumental;
+      $("auto_lrc").checked = !!md.auto_lrc;
+      $("auto_score").checked = !!md.auto_score;
+      if (md.repainting_start != null) $("rstart").value = md.repainting_start;
+      if (md.repainting_end != null) $("rend").value = md.repainting_end;
+      if (md.audio_cover_strength != null) $("cover_strength").value = md.audio_cover_strength;
+      if (md.cover_noise_strength != null) $("cover_noise").value = md.cover_noise_strength;
+      if (md.track_name) $("track_name").value = md.track_name;
+      if (Array.isArray(md.complete_track_classes))
+        $("track_classes").value = md.complete_track_classes.join(", ");
+      let think = md.thinking !== false;
+      if (md.audio_codes && String(md.audio_codes).trim()) {
+        if (mode === "Custom") $("gen_codes").value = md.audio_codes;
+        think = false;  // saved codes replay exactly; thinking would regenerate them
+      }
+      $("thinking").checked = think;
+      $("tool_status").textContent = "params loaded from " + f.name;
+    } catch (e) { $("tool_status").textContent = "params load error: " + e; }
+  };
+  rd.readAsText(f);
+};
 
 // Instrumental toggle (ref ui_helpers.py:166-179): checked saves the lyrics
 // and swaps in [Instrumental]; unchecked restores them.
@@ -417,6 +466,16 @@ $("go").onclick = async () => {
             window.scrollTo({top: 0, behavior: "smooth"});
           };
           div.appendChild(send);
+          const pp = (st.result.params_paths || [])[i];
+          if (pp) {
+            const link = document.createElement("a");
+            link.className = "small";
+            link.style.marginLeft = ".6rem";
+            link.href = "/v1/audio?path=" + encodeURIComponent(pp);
+            link.download = pp.split("/").pop();
+            link.textContent = "params.json";
+            div.appendChild(link);
+          }
           const lrc = (st.result.lrcs || [])[i];
           if (lrc) {
             const det = document.createElement("details");

@@ -295,6 +295,61 @@ def test_release_task_multipart_upload(handlers, tmp_path):
     server.shutdown()
 
 
+def test_params_sidecar_written_and_served(handlers, tmp_path):
+    """Every saved result gets a {key}.json params sidecar (ref
+    generation_progress.py:229-243); the job API lists params_paths and
+    /v1/audio serves the JSON so the UI's Load-params can restore a run."""
+    import http.client
+    import threading
+
+    from acestep_tpu.service.api_server import serve
+    from acestep_tpu.service.webui import STUDIO_HTML
+
+    assert 'id="load_params"' in STUDIO_HTML and "TASK_MODE" in STUDIO_HTML
+
+    dit, _ = handlers
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, payload):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        c.request("POST", path, body=json.dumps(payload),
+                  headers={"Content-Type": "application/json"})
+        out = json.loads(c.getresponse().read())
+        c.close()
+        return out
+
+    tid = post("/release_task", {
+        "caption": "sidecar test", "duration": 2.0, "seed": 3,
+        "batch_size": 1, "thinking": False, "audio_format": "wav",
+        "track_name": "drums", "task_type": "text2music",
+    })["task_id"]
+    st = None
+    for _ in range(240):
+        st = post("/query_result", {"task_ids": [tid]})["results"][0]
+        if st["status"] in (1, 2):
+            break
+        time.sleep(0.5)
+    assert st["status"] == 1, st
+    pp = st["result"]["params_paths"][0]
+    assert pp and pp.endswith(".json") and os.path.exists(pp)
+    sidecar = json.load(open(pp))
+    assert sidecar["caption"] == "sidecar test"
+    assert sidecar["seed"] == 3
+    assert sidecar["track_name"] == "drums"
+    assert "metas" in sidecar
+
+    c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    c.request("GET", "/v1/audio?path=" + urllib.request.quote(pp))
+    resp = c.getresponse()
+    body = resp.read()
+    assert resp.status == 200
+    assert json.loads(body)["caption"] == "sidecar test"
+    c.close()
+    server.shutdown()
+
+
 def test_pipelined_job_worker_matches_serial(handlers, tmp_path, monkeypatch):
     """The server worker pipelines back-to-back jobs (job N's deferred
     decode/save finishes after job N+1's denoise dispatch). Three queued jobs
