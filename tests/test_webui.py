@@ -36,7 +36,7 @@ def test_i18n_keys_match_page_texts():
     langs = _dicts()
     # Texts the applyLang() walker sees: legend/button/label text nodes.
     texts = set()
-    for m in re.finditer(r"<(legend|button[^>]*|label[^>]*)>(.*?)</", STUDIO_HTML, re.DOTALL):
+    for m in re.finditer(r"<(legend|button[^>]*|label[^>]*|summary[^>]*)>(.*?)</", STUDIO_HTML, re.DOTALL):
         body = re.sub(r"<[^>]+>", "", m.group(2))
         if body.strip():
             texts.add(body.strip())
@@ -61,7 +61,7 @@ ALLOW_UNTRANSLATED = set()  # every static page text must have a dict entry
 def test_page_texts_all_have_translations():
     langs = _dicts()
     texts = set()
-    for m in re.finditer(r"<(legend|button[^>]*|label[^>]*)>(.*?)</", STUDIO_HTML, re.DOTALL):
+    for m in re.finditer(r"<(legend|button[^>]*|label[^>]*|summary[^>]*)>(.*?)</", STUDIO_HTML, re.DOTALL):
         body = re.sub(r"<[^>]+>", "", m.group(2))
         if body.strip():
             texts.add(body.strip())
