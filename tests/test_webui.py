@@ -68,3 +68,59 @@ def test_page_texts_all_have_translations():
     for lang, keys in langs.items():
         missing = texts - set(keys) - ALLOW_UNTRANSLATED
         assert not missing, f"{lang} missing translations for {sorted(missing)}"
+
+
+def _script_block() -> str:
+    m = re.search(r"<script>(.*)</script>", STUDIO_HTML, re.DOTALL)
+    assert m, "script block missing"
+    return m.group(1)
+
+
+def _strip_js_literals(js: str) -> str:
+    """Remove string literals, template strings and comments so delimiter
+    counting can't be fooled by quoted braces. Approximate but sufficient —
+    the page's JS uses no regex literals or nested templates."""
+    out = []
+    i, n = 0, len(js)
+    while i < n:
+        c = js[i]
+        if c in "'\"`":
+            q = c
+            i += 1
+            while i < n and js[i] != q:
+                i += 2 if js[i] == "\\" else 1
+            i += 1
+            out.append('""')
+        elif js.startswith("//", i):
+            while i < n and js[i] != "\n":
+                i += 1
+        elif js.startswith("/*", i):
+            j = js.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def test_script_delimiters_balanced():
+    """No browser or JS engine exists in this environment, so pin the two
+    classes of script breakage a browser would catch instantly: unbalanced
+    delimiters (syntax death) and dangling element lookups (runtime death)."""
+    js = _strip_js_literals(_script_block())
+    for open_c, close_c in ("()", "[]", "{}"):
+        assert js.count(open_c) == js.count(close_c), (
+            f"unbalanced {open_c}{close_c}: "
+            f"{js.count(open_c)} vs {js.count(close_c)}"
+        )
+
+
+def test_all_dom_lookups_resolve():
+    js = _script_block()
+    ids_in_html = set(re.findall(r'id="([^"]+)"', STUDIO_HTML))
+    looked_up = set(re.findall(r'\$\("([^"]+)"\)', js))
+    missing = looked_up - ids_in_html
+    assert not missing, f"$() lookups with no matching element id: {sorted(missing)}"
+    # and the radio/mode queries
+    for sel in re.findall(r"querySelector\('input\[name=mode\]\[value=\"(\w+)\"\]'\)", js):
+        assert f'value="{sel}"' in STUDIO_HTML, sel
