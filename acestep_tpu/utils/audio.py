@@ -96,6 +96,21 @@ def save_audio(
         wavfile.write(path_base + ".wav", sample_rate, f32)
         return path_base + ".wav"
 
+    if fmt == "flac":
+        # Native lossless encoder (no ffmpeg/torchaudio dependency) — FLAC is
+        # the reference's DEFAULT output format (AudioSaver default_format).
+        from acestep_tpu.utils import native_audio
+
+        if audio.dtype == np.int16:
+            pcm = np.ascontiguousarray(audio.T)
+        else:
+            pcm = np.round(np.clip(audio, -1.0, 1.0).T * 32767.0).astype(np.int16)
+        blob = native_audio.flac_encode(pcm, sample_rate)
+        if blob is not None:
+            with open(path_base + ".flac", "wb") as f:
+                f.write(blob)
+            return path_base + ".flac"
+
     ff = _ffmpeg()
     if ff is None:
         return save_wav(path_base + ".wav", audio, sample_rate)
@@ -128,6 +143,13 @@ def load_audio(path: str, target_sr: int = 48_000) -> np.ndarray:
         else:
             data = data.astype(np.float32)
         audio = data.T if data.ndim == 2 else data[None]
+    elif path.lower().endswith(".flac") and _ffmpeg() is None:
+        # Pure-Python FLAC decode (full frame grammar) — no ffmpeg needed.
+        from acestep_tpu.utils import flac as _flac
+
+        with open(path, "rb") as f:
+            pcm, sr, bps = _flac.decode(f.read())
+        audio = pcm.astype(np.float32) / float(1 << (bps - 1))
     else:
         ff = _ffmpeg()
         if ff is None:

@@ -52,6 +52,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ]
+            lib.as_flac_encode.restype = ctypes.c_int64
+            lib.as_flac_encode.argtypes = [
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ]
             _lib = lib
             return lib
         except OSError:
@@ -106,6 +111,28 @@ def i16_to_f32(pcm: np.ndarray) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+def flac_encode(pcm: np.ndarray, sample_rate: int = 48_000) -> Optional[bytes]:
+    """Interleaved int16 (n, ch) → a complete FLAC stream (lossless; fixed
+    predictors + Rice coding — native/acestep_audio.cpp as_flac_encode).
+    Returns None when the native library is unavailable (callers fall back to
+    ffmpeg or WAV)."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(pcm, np.int16)
+    n, ch = p.shape
+    cap = int(n * ch * 2 * 1.2) + 16384
+    out = np.empty(cap, np.uint8)
+    got = lib.as_flac_encode(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n, ch,
+        int(sample_rate), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if got <= 0:
+        return None
+    return out[:got].tobytes()
 
 
 def resample(audio: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:

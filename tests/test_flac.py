@@ -1,0 +1,93 @@
+"""Native FLAC encoder ↔ pure-Python decoder round-trip.
+
+The C++ encoder (`native/acestep_audio.cpp as_flac_encode`) and the Python
+decoder (`acestep_tpu/utils/flac.py`) were written independently from the
+public FLAC format spec — bit-exact round-trips through both are strong
+evidence each implements the format, not each other's bugs. FLAC is the
+reference's DEFAULT output format (AudioSaver default_format='flac'), served
+here without ffmpeg/torchaudio.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from acestep_tpu.utils import flac, native_audio
+from acestep_tpu.utils.audio import load_audio, save_audio
+
+pytestmark = pytest.mark.skipif(
+    not native_audio.available(), reason="native library unavailable"
+)
+
+
+def _roundtrip(pcm: np.ndarray, sr: int = 48_000) -> np.ndarray:
+    blob = native_audio.flac_encode(pcm, sr)
+    assert blob is not None
+    assert blob[:4] == b"fLaC"
+    dec, got_sr, bps = flac.decode(blob)
+    assert got_sr == sr
+    assert bps == 16
+    assert dec.shape == (pcm.shape[1], pcm.shape[0])
+    return dec.T.astype(np.int16), blob
+
+
+def test_roundtrip_stereo_noise_and_tones():
+    rng = np.random.default_rng(0)
+    n = 48_000 * 3 + 1234  # multi-block + partial last block
+    t = np.arange(n) / 48_000
+    left = 0.4 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(n)
+    right = 0.3 * np.sin(2 * np.pi * 523.25 * t) + 0.05 * rng.standard_normal(n)
+    pcm = np.stack([left, right], axis=1)
+    pcm = np.clip(pcm * 32767, -32768, 32767).astype(np.int16)
+    dec, blob = _roundtrip(pcm)
+    np.testing.assert_array_equal(dec, pcm)
+    # Tonal+noise audio must still compress (fixed predictors + Rice)
+    assert len(blob) < pcm.nbytes
+
+
+def test_roundtrip_hard_cases():
+    rng = np.random.default_rng(1)
+    cases = [
+        np.zeros((4096, 2), np.int16),                        # constant (silence)
+        np.full((5000, 2), -32768, np.int16),                 # constant extreme
+        rng.integers(-32768, 32768, (9000, 2)).astype(np.int16),  # white noise (escape path)
+        np.tile(np.int16([32767, -32768]), (3, 1)).T.reshape(-1, 1)[:4097].reshape(-1, 1),  # alternating, mono, partial
+        rng.integers(-3, 4, (300, 2)).astype(np.int16),       # tiny stream < one block
+    ]
+    for pcm in cases:
+        pcm = np.ascontiguousarray(pcm)
+        dec, _ = _roundtrip(pcm)
+        np.testing.assert_array_equal(dec, pcm)
+
+
+def test_roundtrip_mono_and_low_rate():
+    rng = np.random.default_rng(2)
+    ramp = np.cumsum(rng.integers(-50, 51, (20_000, 1)), axis=0).astype(np.int16)
+    dec, _ = _roundtrip(np.ascontiguousarray(ramp), sr=16_000)
+    np.testing.assert_array_equal(dec, ramp)
+
+
+def test_save_and_load_flac_without_ffmpeg(tmp_path):
+    """save_audio(fmt='flac') must produce real FLAC in this ffmpeg-less
+    environment, and load_audio must read it back losslessly."""
+    rng = np.random.default_rng(3)
+    n = 48_000
+    wav = np.clip(
+        0.5 * np.sin(2 * np.pi * 220 * np.arange(n) / 48_000)
+        + 0.02 * rng.standard_normal(n), -1, 1
+    ).astype(np.float32)
+    audio = np.stack([wav, -wav])
+    path = save_audio(str(tmp_path / "x"), audio, 48_000, fmt="flac")
+    assert path.endswith(".flac"), "fell back to WAV despite the native encoder"
+    assert os.path.getsize(path) < audio.shape[1] * 4  # smaller than int16 raw
+
+    back = load_audio(path, target_sr=48_000)
+    assert back.shape == audio.shape
+    # int16 quantization (round at *32767, load at /32768) is the only loss
+    np.testing.assert_allclose(back, audio, atol=1.2 / 32768.0)
+
+
+def test_decoder_rejects_garbage():
+    with pytest.raises(ValueError):
+        flac.decode(b"RIFFxxxxWAVE")
