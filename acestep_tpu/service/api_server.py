@@ -462,6 +462,22 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 except Exception:
                     n = 200
                 return self._json(200, {"lines": service.logs.tail(n)})
+            if url.path == "/v1/example":
+                # Random example params (ref metadata_loading.sample_example
+                # over examples/*.json; these are this repo's own examples).
+                import glob as _glob
+                import random as _random
+
+                root = os.environ.get(
+                    "ACESTEP_EXAMPLES_DIR",
+                    os.path.join(os.path.dirname(os.path.dirname(
+                        os.path.dirname(os.path.abspath(__file__)))), "examples", "params"),
+                )
+                files = sorted(_glob.glob(os.path.join(root, "*.json")))
+                if not files:
+                    return self._json(404, {"error": "no examples installed"})
+                with open(_random.choice(files), "r", encoding="utf-8") as f:
+                    return self._json(200, {"example": json.load(f)})
             if url.path == "/v1/models":
                 from acestep_tpu.service.openrouter import models_response
                 from acestep_tpu.utils.downloader import list_available_models

@@ -295,6 +295,29 @@ def test_release_task_multipart_upload(handlers, tmp_path):
     server.shutdown()
 
 
+def test_example_endpoint(handlers, tmp_path):
+    """GET /v1/example samples a shipped example params file (ref
+    metadata_loading.sample_example over examples/*.json)."""
+    import http.client
+    import threading
+
+    from acestep_tpu.service.api_server import serve
+
+    dit, _ = handlers
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    c.request("GET", "/v1/example")
+    out = json.loads(c.getresponse().read())
+    c.close()
+    ex = out["example"]
+    assert ex["caption"] and ex["lyrics"] is not None
+    assert 10 <= float(ex["duration"]) <= 600
+    server.shutdown()
+
+
 def test_params_sidecar_written_and_served(handlers, tmp_path):
     """Every saved result gets a {key}.json params sidecar (ref
     generation_progress.py:229-243); the job API lists params_paths and
