@@ -119,6 +119,24 @@ def cmd_verify_checkpoint(args) -> int:
     return 1
 
 
+def run_warmup(dit, warmup_spec: str) -> None:
+    """Compile the denoise/decode programs for the expected request shapes
+    BEFORE the server binds its port, so first requests don't pay the
+    20-40 s trace+compile (the role of the reference's COMPILE_MODEL /
+    torch.compile warmup, acestep_v15_pipeline.py env). Spec:
+    'BxD,BxD,...' (batch x duration-seconds), e.g. '1x30,2x60,4x60'."""
+    for spec in warmup_spec.split(","):
+        b, _, d = spec.strip().partition("x")
+        b, d = int(b), float(d or 30)
+        t0 = time.time()
+        dit.generate_music(
+            captions=["warmup"] * b, lyrics=["[Instrumental]"] * b,
+            audio_duration=d, batch_size=b, seeds=list(range(b)),
+            use_random_seed=False, decode_audio=True,
+        )
+        print(f"[warmup] {b}x{d:g}s compiled+ran in {time.time() - t0:.1f}s")
+
+
 def cmd_serve(args) -> int:
     from acestep_tpu.lm.handler import LLMHandler
     from acestep_tpu.pipeline.handler import AceStepHandler
@@ -155,6 +173,9 @@ def cmd_serve(args) -> int:
             h = AceStepHandler()
             print(f"[model {n}] " + h.initialize_service(path))
             extra[os.path.basename(os.path.normpath(path))] = h
+    if args.warmup:
+        run_warmup(dit, args.warmup)
+
     server = serve(dit, llm, args.host, args.port, args.api_key, args.output_dir,
                    extra_dit_handlers=extra or None)
     print(f"listening on {args.host}:{args.port}")
@@ -427,6 +448,9 @@ def main(argv=None) -> int:
     s.add_argument("--port", type=int, default=8001)
     s.add_argument("--api-key", default=os.environ.get("ACESTEP_API_KEY"))
     s.add_argument("--output-dir", default="./outputs")
+    s.add_argument("--warmup", default=os.environ.get("ACESTEP_WARMUP"),
+                   help="precompile request shapes before binding the port, "
+                        "e.g. '1x30,2x60,4x60' (batch x duration-seconds)")
     s.set_defaults(fn=cmd_serve)
 
     t = sub.add_parser("train", help="LoRA fine-tune from preprocessed tensors")

@@ -60,6 +60,24 @@ def test_download_missing_model_fails_cleanly(tmp_path, capsys):
     assert "MISSING" in out
 
 
+def test_run_warmup_compiles_each_shape():
+    """`serve --warmup '1x30,2x60'` runs one generation per shape before the
+    port binds (first-request compile moved to startup)."""
+    from acestep_tpu.cli import run_warmup
+
+    calls = []
+
+    class Fake:
+        def generate_music(self, **kw):
+            calls.append((kw["batch_size"], kw["audio_duration"]))
+            assert len(kw["captions"]) == kw["batch_size"]
+            assert kw["decode_audio"] is True
+            return {"time_costs": {}}
+
+    run_warmup(Fake(), "1x30, 2x60,4x")
+    assert calls == [(1, 30.0), (2, 60.0), (4, 30.0)]
+
+
 def test_serve_aborts_on_incomplete_checkpoint(tmp_path, capsys):
     broken = tmp_path / "acestep-v15-turbo"
     broken.mkdir()

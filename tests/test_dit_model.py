@@ -164,6 +164,24 @@ def test_timestep_embedding_shapes(params):
     assert proj.shape == (2, 6, TINY.hidden_size)
 
 
+def test_sde_infer_method(params):
+    """SDE sampling (per-step renoise; ref turbo infer_method='sde'):
+    finite, deterministic per seed, differs from ODE with the same seed, and
+    different seeds give different trajectories (fresh per-step noise)."""
+    inp = _inputs()
+    kw = dict(infer_steps=4, shift=1.0, **inp)
+    ode = dit.generate_audio(params, TINY, seeds=[1, 2], infer_method="ode", **kw)
+    sde1 = dit.generate_audio(params, TINY, seeds=[1, 2], infer_method="sde", **kw)
+    sde1b = dit.generate_audio(params, TINY, seeds=[1, 2], infer_method="sde", **kw)
+    sde2 = dit.generate_audio(params, TINY, seeds=[7, 8], infer_method="sde", **kw)
+
+    a = np.asarray(sde1["target_latents"])
+    assert np.isfinite(a).all()
+    np.testing.assert_array_equal(a, np.asarray(sde1b["target_latents"]))
+    assert np.abs(a - np.asarray(ode["target_latents"])).max() > 1e-4
+    assert np.abs(a - np.asarray(sde2["target_latents"])).max() > 1e-4
+
+
 def test_guidance_sweep_does_not_recompile(params):
     """guidance_scale / cfg_interval_* are traced operands (VERDICT r2 weak
     #7): a server sweeping guidance must reuse ONE compiled 50-step program,
