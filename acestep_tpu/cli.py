@@ -143,16 +143,27 @@ def cmd_serve(args) -> int:
     from acestep_tpu.service.api_server import serve
 
     # Startup component check (ref init_service per-component ensure): a
-    # named checkpoint dir must be complete before binding the port —
-    # ensure_components re-fetches only what's missing when a source is
-    # reachable, and an incomplete dir aborts with the components named
-    # instead of crashing mid-request.
+    # named checkpoint dir must be complete before binding the port, aborting
+    # with the components named instead of crashing mid-request. The dir is
+    # always verified with the DiT layout (that is what --checkpoint-dir
+    # loads); a re-download is only attempted when the dir name is a known
+    # catalog entry, never by guessing a repo id from the basename.
     if args.checkpoint_dir and not args.random_init:
-        from acestep_tpu.utils.downloader import ensure_components
+        from acestep_tpu.utils.downloader import (
+            DIT_CHECKPOINT_COMPONENTS,
+            MODEL_REPOS,
+            ensure_components,
+            verify_checkpoint,
+        )
 
+        status = verify_checkpoint(args.checkpoint_dir, DIT_CHECKPOINT_COMPONENTS)
+        missing = [c for c, good in status.items() if not good]
         name = os.path.basename(os.path.normpath(args.checkpoint_dir))
-        out = ensure_components(name, os.path.dirname(os.path.normpath(args.checkpoint_dir)) or ".")
-        missing = [c for c, good in out["components"].items() if not good]
+        if missing and name in MODEL_REPOS:
+            out = ensure_components(
+                name, os.path.dirname(os.path.normpath(args.checkpoint_dir)) or "."
+            )
+            missing = [c for c, good in out["components"].items() if not good]
         if missing:
             print(f"checkpoint {args.checkpoint_dir} incomplete — missing: "
                   f"{', '.join(missing)} (run `acestep-tpu download` with network "

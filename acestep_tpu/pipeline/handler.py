@@ -189,14 +189,21 @@ class AceStepHandler:
             raise _missing("the DiT model weights (*.safetensors)", checkpoint_dir)
         self.params = convert_torch_state_dict(state, self.config, self.dtype)
 
-        # silence latent (required — ref init_service_loader.py:116-120)
-        sil_path = os.path.join(checkpoint_dir, "silence_latent.pt")
-        if not os.path.exists(sil_path):
-            raise _missing("silence_latent.pt", sil_path)
-        import torch
+        # silence latent (required — ref init_service_loader.py:116-120).
+        # Accepts .pt or .npy — the same alternatives the downloader/verify
+        # layer certifies (downloader.DIT_CHECKPOINT_COMPONENTS), so a dir
+        # that passed `verify-checkpoint` cannot fail here.
+        sil_pt = os.path.join(checkpoint_dir, "silence_latent.pt")
+        sil_npy = os.path.join(checkpoint_dir, "silence_latent.npy")
+        if os.path.exists(sil_pt):
+            import torch
 
-        sil = torch.load(sil_path, map_location="cpu", weights_only=True)
-        sil = np.asarray(sil.float().numpy(), np.float32)
+            sil = torch.load(sil_pt, map_location="cpu", weights_only=True)
+            sil = np.asarray(sil.float().numpy(), np.float32)
+        elif os.path.exists(sil_npy):
+            sil = np.asarray(np.load(sil_npy), np.float32)
+        else:
+            raise _missing("silence_latent.pt (or .npy)", sil_pt)
         if sil.ndim == 2:
             sil = sil[None]
         self.silence_latent = sil
@@ -551,13 +558,24 @@ class AceStepHandler:
         # retry (TPU equivalent of the reference's decode GPU→offload→CPU
         # ladder, vae_decode_chunks.py:40-81).
         while True:
+            # Fresh per-attempt timings: a failed attempt's partial
+            # compute_wait/transfer must not pollute the published split
+            # (bench subtracts transfer_s from the wall — it has to reflect
+            # the SUCCESSFUL attempt only; retries are counted separately).
+            attempt: Dict[str, float] = {}
             try:
                 wav_chunks, peaks = self._decode_latents_dispatch(z, core, n, ov)
-                return self._decode_latents_finish(
+                out = self._decode_latents_finish(
                     wav_chunks, peaks, t,
                     normalize_db=normalize_db, return_int16=return_int16,
-                    timings=timings,
+                    timings=attempt,
                 )
+                if timings is not None:
+                    retries = timings.get("retries", 0)
+                    timings.update(attempt)
+                    if retries:
+                        timings["retries"] = retries
+                return out
             except Exception as e:  # noqa: BLE001
                 if "RESOURCE_EXHAUSTED" not in str(e) or core <= 64:
                     raise
@@ -667,23 +685,29 @@ class AceStepHandler:
         # concurrently — worthwhile when the link multiplexes streams (the
         # axon tunnel) and harmless on PCIe where DMA already saturates.
         fetch_workers = int(os.environ.get("ACESTEP_TPU_PARALLEL_FETCH", "1"))
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            futs = []
-            if fetch_workers > 1 and len(wav_chunks) > 1:
-                with ThreadPoolExecutor(max_workers=fetch_workers) as fpool:
-                    # map() yields in chunk order as each transfer lands
-                    for arr in fpool.map(lambda w: np.asarray(w), wav_chunks):
-                        take = min(arr.shape[1], t * hop - pos)
-                        futs.append(pool.submit(convert, arr, pos, take))
-                        pos += take
-            else:
-                for w in wav_chunks:
-                    arr = np.asarray(w)  # blocks until this chunk's DMA lands
+        fpool = (
+            ThreadPoolExecutor(max_workers=fetch_workers)
+            if fetch_workers > 1 and len(wav_chunks) > 1
+            else None
+        )
+        # Either way chunks arrive in order; fpool pulls N transfers at once.
+        arrs = (
+            fpool.map(lambda w: np.asarray(w), wav_chunks)
+            if fpool is not None
+            else (np.asarray(w) for w in wav_chunks)  # blocks per-chunk DMA
+        )
+        try:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = []
+                for arr in arrs:
                     take = min(arr.shape[1], t * hop - pos)
                     futs.append(pool.submit(convert, arr, pos, take))
                     pos += take
-            for f in futs:
-                f.result()
+                for f in futs:
+                    f.result()
+        finally:
+            if fpool is not None:
+                fpool.shutdown()
         if timings is not None:
             timings["transfer_s"] = timings.get("transfer_s", 0.0) + (
                 time.time() - t1
@@ -1166,7 +1190,12 @@ class AceStepHandler:
                         if "RESOURCE_EXHAUSTED" not in str(e):
                             raise
                         self._decode_retries += 1
-                        dec_timings["retries"] = dec_timings.get("retries", 0) + 1
+                        # Fresh timings for the retry: the failed attempt's
+                        # partial compute_wait/transfer must not inflate the
+                        # published split (bench subtracts transfer_s).
+                        retries = dec_timings.get("retries", 0) + 1
+                        dec_timings.clear()
+                        dec_timings["retries"] = retries
                         wavs = self.decode_latents(
                             pred, chunk_frames=128,
                             normalize_db=normalize_db, return_int16=return_int16,

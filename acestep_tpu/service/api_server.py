@@ -143,25 +143,34 @@ class ApiService:
 
     def _worker_loop(self) -> None:
         """Serial job worker with BACK-TO-BACK PIPELINING: job N's decode
-        transfer + save (result.finish()) runs AFTER job N+1's denoise has
-        been dispatched, so under sustained load the device never idles on
-        host transfers (the single-worker role of ref api_server.py:1210-1212,
-        plus the overlap the single-GPU reference cannot do). Disable with
+        transfer + save (result.finish()) runs on a single finalize thread
+        WHILE job N+1's LM/conditioning/denoise executes on this one, so
+        under sustained load the device never idles on host transfers AND a
+        finished job's status publishes as soon as its own transfers drain —
+        not after the next job's compute (the single-worker role of ref
+        api_server.py:1210-1212, plus the overlap the single-GPU reference
+        cannot do). Depth is bounded to one outstanding finalize so device
+        buffers from at most two jobs are live. Disable with
         ACESTEP_PIPELINE_JOBS=0."""
+        from concurrent.futures import ThreadPoolExecutor
+
         pipeline_jobs = os.environ.get("ACESTEP_PIPELINE_JOBS", "1") != "0"
-        pending = None  # started job whose finish() is still outstanding
+        finisher = ThreadPoolExecutor(max_workers=1)
+        prev_future = None
         while True:
-            if pending is None:
-                task_id = self.queue.get()
-            else:
-                try:
-                    task_id = self.queue.get_nowait()
-                except queue.Empty:
-                    task_id = None
-            started = self._start_job(task_id, defer=pipeline_jobs) if task_id else None
-            if pending is not None:
-                self._finalize_job(*pending)
-            pending = started
+            task_id = self.queue.get()
+            # Job N's finalize (on the finisher thread) overlaps job N+1's
+            # generate below; we only JOIN it afterwards, bounding the
+            # pipeline to two jobs' device buffers without re-serializing.
+            started = self._start_job(task_id, defer=pipeline_jobs)
+            if prev_future is not None:
+                prev_future.result()
+                prev_future = None
+            if started is not None:
+                if pipeline_jobs:
+                    prev_future = finisher.submit(self._finalize_job, *started)
+                else:
+                    self._finalize_job(*started)
 
     def _start_job(self, task_id: str, *, defer: bool):
         """Run a job up to (and including) its device dispatch; returns the

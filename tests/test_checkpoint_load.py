@@ -162,6 +162,29 @@ def test_missing_component_hard_fails(tmp_path, remove, needle):
     assert not h.initialized
 
 
+def test_silence_latent_npy_alternative(tmp_path):
+    """The downloader/verify layer certifies silence_latent.npy as a valid
+    alternative to .pt (DIT_CHECKPOINT_COMPONENTS) — the loader must accept
+    it too, with identical values, so a `verify-checkpoint`-certified dir
+    can never fail at initialize_service."""
+    import torch
+
+    dst = _copy_without(tmp_path)  # full copy
+    sil = torch.load(os.path.join(dst, "silence_latent.pt"),
+                     map_location="cpu", weights_only=True).float().numpy()
+    os.remove(os.path.join(dst, "silence_latent.pt"))
+    np.save(os.path.join(dst, "silence_latent.npy"), sil)
+
+    from acestep_tpu.utils.downloader import DIT_CHECKPOINT_COMPONENTS, verify_checkpoint
+
+    assert all(verify_checkpoint(dst, DIT_CHECKPOINT_COMPONENTS).values())
+    h = AceStepHandler(dtype=jnp.float32)
+    h.initialize_service(dst)
+    assert h.initialized
+    want = sil[None] if sil.ndim == 2 else sil
+    np.testing.assert_array_equal(h.silence_latent, np.asarray(want, np.float32))
+
+
 def test_lm_checkpoint_load_and_generate():
     h = LLMHandler(dtype=jnp.float32)
     h.initialize(LM_DIR)
