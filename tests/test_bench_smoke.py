@@ -64,7 +64,9 @@ def test_measure_pipelined_with_control(bench, tiny_handlers):
     assert out["sequential_audio_s_per_s"] > 0
     assert isinstance(out["overlap_evidenced"], bool)
     assert len(out["trace"]) == 2
-    assert all("denoise_done" in t and "finish_done" in t for t in out["trace"])
+    assert all("denoise_done" in t and "finish_done" in t and "finish_cost_s" in t
+               for t in out["trace"])
+    assert "control_transfer_median_s" in out and "pipelined_finish_median_s" in out
     assert out["rounds"]
 
 
