@@ -421,6 +421,9 @@ def main(argv=None) -> int:
     from acestep_tpu.utils.env import load_dotenv
 
     load_dotenv()  # .env → env vars (CLI args still take precedence)
+    from acestep_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()  # warm restarts replay the 20-40 s compiles
     ap = argparse.ArgumentParser(prog="acestep-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

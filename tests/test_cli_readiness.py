@@ -86,3 +86,25 @@ def test_serve_aborts_on_incomplete_checkpoint(tmp_path, capsys):
     assert rc == 1
     err = capsys.readouterr().err
     assert "incomplete" in err and "weights" in err
+
+
+def test_compile_cache_enable(tmp_path, monkeypatch):
+    """The persistent XLA compile cache is wired at CLI launch (warm restarts
+    replay compiles); ACESTEP_COMPILE_CACHE=0 disables it."""
+    import jax
+
+    from acestep_tpu.utils import compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("ACESTEP_COMPILE_CACHE", str(tmp_path / "xla"))
+        got = compile_cache.enable()
+        assert got == str(tmp_path / "xla") and os.path.isdir(got)
+        assert jax.config.jax_compilation_cache_dir == got
+
+        monkeypatch.setenv("ACESTEP_COMPILE_CACHE", "0")
+        assert compile_cache.enable() is None
+    finally:
+        # tmp_path is deleted after the test; don't leave the global cache
+        # config pointing at it for the rest of the pytest session
+        jax.config.update("jax_compilation_cache_dir", prev)
