@@ -91,3 +91,34 @@ def test_save_and_load_flac_without_ffmpeg(tmp_path):
 def test_decoder_rejects_garbage():
     with pytest.raises(ValueError):
         flac.decode(b"RIFFxxxxWAVE")
+
+
+def test_roundtrip_property_fuzz():
+    """20 randomized cases over length/channels/sample-rate/content mix —
+    every one must round-trip bit-exactly."""
+    rng = np.random.default_rng(42)
+    for case in range(20):
+        n = int(rng.integers(16, 20_000))
+        ch = int(rng.integers(1, 3))
+        sr = int(rng.choice([8_000, 16_000, 44_100, 48_000]))
+        kind = case % 4
+        if kind == 0:  # smooth (good predictor fit)
+            t = np.arange(n)
+            base = 8000 * np.sin(2 * np.pi * t / max(50, n // 7))
+            pcm = np.stack([base + rng.normal(0, 30, n) for _ in range(ch)], 1)
+        elif kind == 1:  # white noise (escape / high rice params)
+            pcm = rng.integers(-32768, 32768, (n, ch))
+        elif kind == 2:  # near-constant with spikes
+            pcm = np.full((n, ch), int(rng.integers(-100, 100)), float)
+            idx = rng.integers(0, n, max(1, n // 100))
+            pcm[idx] = rng.integers(-32768, 32768, (len(idx), ch))
+        else:  # ramps (order-1/2 predictors)
+            pcm = np.cumsum(rng.integers(-40, 41, (n, ch)), axis=0)
+        pcm = np.clip(pcm, -32768, 32767).astype(np.int16)
+        pcm = np.ascontiguousarray(pcm)
+        blob = native_audio.flac_encode(pcm, sr)
+        assert blob is not None, (case, n, ch, sr)
+        dec, got_sr, _ = flac.decode(blob)
+        assert got_sr == sr
+        np.testing.assert_array_equal(dec.T.astype(np.int16), pcm,
+                                      err_msg=f"case={case} n={n} ch={ch}")
