@@ -362,7 +362,7 @@ def cmd_profile(args) -> int:
     steps_list = [int(s) for s in args.steps.split(",")]
     rows = []
     print(f"{'Dur(s)':>7} {'Batch':>6} {'Think':>6} {'Steps':>6} {'Wall(s)':>8} "
-          f"{'LM(s)':>7} {'DiT(s)':>8} {'VAE(s)':>8} {'audio_s/s':>10}")
+          f"{'LM(s)':>7} {'DiT(s)':>8} {'VAE(s)':>8} {'Xfer(s)':>8} {'audio_s/s':>10}")
     for d in durations:
         for b in batches:
             for think in think_modes:
@@ -406,11 +406,16 @@ def cmd_profile(args) -> int:
                         "steps": out["num_steps"], "wall": wall, "lm": lm_cost,
                         "dit": tc["diffusion_time_cost"],
                         "vae": tc.get("vae_decode_time_cost", 0),
+                        "transfer": tc.get("vae_decode_transfer_time_cost", 0),
                         "throughput": b * d / wall,
+                        "throughput_device": b * d / max(
+                            wall - tc.get("vae_decode_transfer_time_cost", 0), 1e-6
+                        ),
                     })
                     r = rows[-1]
                     print(f"{d:>7} {b:>6} {str(think):>6} {r['steps']:>6} {r['wall']:>8.2f} "
-                          f"{r['lm']:>7.2f} {r['dit']:>8.2f} {r['vae']:>8.2f} {r['throughput']:>10.2f}")
+                          f"{r['lm']:>7.2f} {r['dit']:>8.2f} {r['vae']:>8.2f} "
+                          f"{r['transfer']:>8.2f} {r['throughput']:>10.2f}")
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(rows, f, indent=2)

@@ -108,3 +108,39 @@ def test_compile_cache_enable(tmp_path, monkeypatch):
         # tmp_path is deleted after the test; don't leave the global cache
         # config pointing at it for the rest of the pytest session
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_cli_profile_matrix(tmp_path, monkeypatch, capsys):
+    """`cli profile` produces the Duration×Batch matrix with the transfer
+    split column and device-throughput field in the JSON."""
+    import json
+
+    import jax.numpy as jnp
+
+    import acestep_tpu.pipeline.handler as H
+    from tests.test_service import TINY_DIT, TINY_TEXT, TINY_VAE
+
+    H.LATENT_BUCKETS = (64, 128)
+    H.TEXT_BUCKETS = (32, 64)
+    H.LYRIC_BUCKETS = (32, 64)
+    tiny = H.AceStepHandler(TINY_DIT, TINY_VAE, TINY_TEXT, dtype=jnp.float32)
+    tiny.initialize_service(random_init=True)
+
+    import acestep_tpu.cli as cli_mod
+
+    class FakeDit:
+        def __new__(cls, *a, **k):
+            return tiny
+
+    monkeypatch.setattr(H, "AceStepHandler", FakeDit)
+    out_json = tmp_path / "matrix.json"
+    rc = main(["profile", "--random-init", "--durations", "2", "--batches", "1,2",
+               "--think", "false", "--json-out", str(out_json)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "Xfer(s)" in text and "audio_s/s" in text
+    rows = json.load(open(out_json))
+    assert len(rows) == 2
+    for r in rows:
+        assert r["throughput"] > 0 and r["throughput_device"] >= r["throughput"]
+        assert "transfer" in r and "vae" in r
