@@ -311,6 +311,89 @@ int best_rice(const uint64_t* u, int64_t n, int64_t* cost_out) {
   return best_r;
 }
 
+// Encode one subframe (constant / best fixed order 0-4 + Rice partition 0
+// with raw escape) at an arbitrary bits-per-sample (side channels use 17).
+void encode_subframe(BitWriter& bw, const int32_t* x, int bs, int bps,
+                     std::vector<int64_t>& resid, std::vector<uint64_t>& zig) {
+  bool constant = true;
+  for (int i = 1; i < bs && constant; ++i) constant = x[i] == x[0];
+  bw.put(0, 1);  // subframe zero pad
+  if (constant) {
+    bw.put(0b000000, 6);  // constant
+    bw.put(0, 1);         // no wasted bits
+    bw.put_signed(x[0], bps);
+    return;
+  }
+
+  int best_order = 0;
+  int64_t best_sum = INT64_MAX;
+  for (int order = 0; order <= 4 && order < bs; ++order) {
+    int64_t s = 0;
+    for (int i = order; i < bs; ++i) {
+      int64_t e = x[i];
+      if (order >= 1) e -= (int64_t)x[i - 1] * (order == 1 ? 1 : (order == 2 ? 2 : (order == 3 ? 3 : 4)));
+      if (order >= 2) e += (int64_t)x[i - 2] * (order == 2 ? 1 : (order == 3 ? 3 : 6));
+      if (order >= 3) e -= (int64_t)x[i - 3] * (order == 3 ? 1 : 4);
+      if (order >= 4) e += (int64_t)x[i - 4];
+      s += e < 0 ? -e : e;
+    }
+    if (s < best_sum) { best_sum = s; best_order = order; }
+  }
+  const int order = best_order;
+  for (int i = order; i < bs; ++i) {
+    int64_t e = x[i];
+    if (order >= 1) e -= (int64_t)x[i - 1] * (order == 1 ? 1 : (order == 2 ? 2 : (order == 3 ? 3 : 4)));
+    if (order >= 2) e += (int64_t)x[i - 2] * (order == 2 ? 1 : (order == 3 ? 3 : 6));
+    if (order >= 3) e -= (int64_t)x[i - 3] * (order == 3 ? 1 : 4);
+    if (order >= 4) e += (int64_t)x[i - 4];
+    resid[i - order] = e;
+  }
+  const int64_t nres = bs - order;
+  for (int64_t i = 0; i < nres; ++i) {
+    int64_t e = resid[i];
+    zig[i] = e >= 0 ? (uint64_t)e << 1 : (((uint64_t)(-e)) << 1) - 1;
+  }
+
+  bw.put(0b001000 | (uint64_t)order, 6);  // fixed subframe
+  bw.put(0, 1);                           // no wasted bits
+  for (int i = 0; i < order; ++i) bw.put_signed(x[i], bps);
+
+  int64_t rice_cost;
+  int r = best_rice(zig.data(), nres, &rice_cost);
+  int raw_bits = 1;
+  for (int64_t i = 0; i < nres; ++i) {
+    int64_t e = resid[i];
+    uint64_t mag = e < 0 ? (uint64_t)(-(e + 1)) : (uint64_t)e;
+    int need = 1;
+    while (mag >> (need - 1) > 0 && need < 32) ++need;  // signed bits
+    if (need + 1 > raw_bits) raw_bits = need + 1;
+  }
+  const int64_t escape_cost = 5 + nres * raw_bits;
+  bw.put(0b00, 2);  // Rice method (4-bit params)
+  bw.put(0, 4);     // partition order 0
+  if (escape_cost < rice_cost) {
+    bw.put(0b1111, 4);  // escape: raw residuals
+    bw.put((uint64_t)raw_bits, 5);
+    for (int64_t i = 0; i < nres; ++i) bw.put_signed(resid[i], raw_bits);
+  } else {
+    bw.put((uint64_t)r, 4);
+    for (int64_t i = 0; i < nres; ++i) {
+      bw.unary((uint32_t)(zig[i] >> r));
+      if (r) bw.put(zig[i] & ((1ull << r) - 1), r);
+    }
+  }
+}
+
+// Order-2 |residual| sum — the stereo-decorrelation cost proxy.
+int64_t order2_cost(const int32_t* x, int bs) {
+  int64_t s = 0;
+  for (int i = 2; i < bs; ++i) {
+    int64_t e = (int64_t)x[i] - 2 * (int64_t)x[i - 1] + (int64_t)x[i - 2];
+    s += e < 0 ? -e : e;
+  }
+  return s;
+}
+
 }  // namespace
 
 extern "C" {
@@ -346,7 +429,8 @@ int64_t as_flac_encode(const int16_t* pcm, int64_t n_frames, int channels,
   md5.final(digest);
   for (int i = 0; i < 16; ++i) bw.put(digest[i], 8);
 
-  std::vector<int32_t> chan((size_t)BLOCK);
+  std::vector<int32_t> chan((size_t)BLOCK), chan2((size_t)BLOCK);
+  std::vector<int32_t> mid((size_t)BLOCK), side((size_t)BLOCK);
   std::vector<int64_t> resid((size_t)BLOCK);
   std::vector<uint64_t> zig((size_t)BLOCK);
 
@@ -357,14 +441,30 @@ int64_t as_flac_encode(const int16_t* pcm, int64_t n_frames, int channels,
     const int64_t frame_off = bw.len;
     if (bw.overflow) return -1;
 
+    // Stereo decorrelation: per frame, pick independent L/R or mid/side by
+    // the order-2 residual cost proxy (side = L-R is near-zero on
+    // correlated material — typically 10-20% smaller frames).
+    bool midside = false;
+    if (channels == 2) {
+      for (int i = 0; i < bs; ++i) {
+        int32_t l = pcm[(start + i) * 2], r = pcm[(start + i) * 2 + 1];
+        chan[i] = l;
+        chan2[i] = r;
+        mid[i] = (l + r) >> 1;
+        side[i] = l - r;
+      }
+      midside = order2_cost(mid.data(), bs) + order2_cost(side.data(), bs)
+                < order2_cost(chan.data(), bs) + order2_cost(chan2.data(), bs);
+    }
+
     // Frame header: sync + fixed blocking, block size "16 bits at end",
-    // sample rate "from STREAMINFO", independent channels, 16 bps.
+    // sample rate "from STREAMINFO", 16 bps.
     bw.put(0x3FFE, 14);     // sync
     bw.put(0, 1);           // reserved
     bw.put(0, 1);           // fixed blocksize stream
     bw.put(0b0111, 4);      // block size: 16-bit value follows header
     bw.put(0b0000, 4);      // sample rate: STREAMINFO
-    bw.put((uint64_t)(channels - 1), 4);  // independent
+    bw.put(midside ? 10 : (uint64_t)(channels - 1), 4);  // mid/side or independent
     bw.put(0b100, 3);       // 16 bps
     bw.put(0, 1);           // reserved
     put_coded_number(bw, (uint64_t)blk);
@@ -373,81 +473,16 @@ int64_t as_flac_encode(const int16_t* pcm, int64_t n_frames, int channels,
     out[bw.len] = crc8(out + frame_off, bw.len - frame_off);
     bw.len += 1;
 
-    for (int c = 0; c < channels; ++c) {
-      for (int i = 0; i < bs; ++i) chan[i] = pcm[(start + i) * channels + c];
-
-      // Constant subframe?
-      bool constant = true;
-      for (int i = 1; i < bs && constant; ++i) constant = chan[i] == chan[0];
-      bw.put(0, 1);  // subframe zero pad
-      if (constant) {
-        bw.put(0b000000, 6);  // constant
-        bw.put(0, 1);         // no wasted bits
-        bw.put_signed(chan[0], BPS);
-        continue;
+    if (midside) {
+      encode_subframe(bw, mid.data(), bs, BPS, resid, zig);
+      encode_subframe(bw, side.data(), bs, BPS + 1, resid, zig);  // side: +1 bit
+    } else {
+      for (int c = 0; c < channels; ++c) {
+        for (int i = 0; i < bs; ++i) chan[i] = pcm[(start + i) * channels + c];
+        encode_subframe(bw, chan.data(), bs, BPS, resid, zig);
       }
-
-      // Pick the fixed predictor order with the smallest |residual| sum.
-      int best_order = 0;
-      int64_t best_sum = INT64_MAX;
-      for (int order = 0; order <= 4 && order < bs; ++order) {
-        int64_t s = 0;
-        for (int i = order; i < bs; ++i) {
-          int64_t e = chan[i];
-          if (order >= 1) e -= (int64_t)chan[i - 1] * (order == 1 ? 1 : (order == 2 ? 2 : (order == 3 ? 3 : 4)));
-          if (order >= 2) e += (int64_t)chan[i - 2] * (order == 2 ? 1 : (order == 3 ? 3 : 6));
-          if (order >= 3) e -= (int64_t)chan[i - 3] * (order == 3 ? 1 : 4);
-          if (order >= 4) e += (int64_t)chan[i - 4];
-          s += e < 0 ? -e : e;
-        }
-        if (s < best_sum) { best_sum = s; best_order = order; }
-      }
-      const int order = best_order;
-      for (int i = order; i < bs; ++i) {
-        int64_t e = chan[i];
-        if (order >= 1) e -= (int64_t)chan[i - 1] * (order == 1 ? 1 : (order == 2 ? 2 : (order == 3 ? 3 : 4)));
-        if (order >= 2) e += (int64_t)chan[i - 2] * (order == 2 ? 1 : (order == 3 ? 3 : 6));
-        if (order >= 3) e -= (int64_t)chan[i - 3] * (order == 3 ? 1 : 4);
-        if (order >= 4) e += (int64_t)chan[i - 4];
-        resid[i - order] = e;
-      }
-      const int64_t nres = bs - order;
-      for (int64_t i = 0; i < nres; ++i) {
-        int64_t e = resid[i];
-        zig[i] = e >= 0 ? (uint64_t)e << 1 : (((uint64_t)(-e)) << 1) - 1;
-      }
-
-      bw.put(0b001000 | (uint64_t)order, 6);  // fixed subframe
-      bw.put(0, 1);                           // no wasted bits
-      for (int i = 0; i < order; ++i) bw.put_signed(chan[i], BPS);
-
-      // Residual: 4-bit Rice method, partition order 0.
-      int64_t rice_cost;
-      int r = best_rice(zig.data(), nres, &rice_cost);
-      int raw_bits = 1;
-      for (int64_t i = 0; i < nres; ++i) {
-        int64_t e = resid[i];
-        uint64_t mag = e < 0 ? (uint64_t)(-(e + 1)) : (uint64_t)e;
-        int need = 1;
-        while (mag >> (need - 1) > 0 && need < 32) ++need;  // signed bits
-        if (need + 1 > raw_bits) raw_bits = need + 1;
-      }
-      const int64_t escape_cost = 5 + nres * raw_bits;
-      bw.put(0b00, 2);  // Rice method (4-bit params)
-      bw.put(0, 4);     // partition order 0
-      if (escape_cost < rice_cost) {
-        bw.put(0b1111, 4);  // escape: raw residuals
-        bw.put((uint64_t)raw_bits, 5);
-        for (int64_t i = 0; i < nres; ++i) bw.put_signed(resid[i], raw_bits);
-      } else {
-        bw.put((uint64_t)r, 4);
-        for (int64_t i = 0; i < nres; ++i) {
-          bw.unary((uint32_t)(zig[i] >> r));
-          if (r) bw.put(zig[i] & ((1ull << r) - 1), r);
-        }
-      }
-      if (bw.overflow) return -1;
     }
+    if (bw.overflow) return -1;
 
     bw.align();
     if (bw.len + 2 > out_cap) return -1;
