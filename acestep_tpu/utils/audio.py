@@ -144,11 +144,16 @@ def load_audio(path: str, target_sr: int = 48_000) -> np.ndarray:
             data = data.astype(np.float32)
         audio = data.T if data.ndim == 2 else data[None]
     elif path.lower().endswith(".flac") and _ffmpeg() is None:
-        # Pure-Python FLAC decode (full frame grammar) — no ffmpeg needed.
-        from acestep_tpu.utils import flac as _flac
+        # FLAC decode without ffmpeg: native C++ decoder (full frame
+        # grammar), pure-Python fallback when the library isn't built.
+        from acestep_tpu.utils import flac as _flac, native_audio
 
         with open(path, "rb") as f:
-            pcm, sr, bps = _flac.decode(f.read())
+            blob = f.read()
+        got = native_audio.flac_decode(blob)
+        if got is None:
+            got = _flac.decode(blob)
+        pcm, sr, bps = got
         audio = pcm.astype(np.float32) / float(1 << (bps - 1))
     else:
         ff = _ffmpeg()

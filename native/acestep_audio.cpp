@@ -394,6 +394,160 @@ int64_t order2_cost(const int32_t* x, int bs) {
   return s;
 }
 
+// --- MSB-first bit reader with bounds checking (decoder) ---
+struct BitReader {
+  const uint8_t* data;
+  int64_t nbits;  // total bits
+  int64_t pos = 0;
+  bool fail = false;
+
+  BitReader(const uint8_t* d, int64_t nbytes) : data(d), nbits(nbytes * 8) {}
+
+  uint32_t read(int n) {
+    if (pos + n > nbits) { fail = true; return 0; }
+    uint32_t v = 0;
+    int64_t p = pos;
+    int left = n;
+    while (left > 0) {
+      uint8_t byte = data[p >> 3];
+      int avail = 8 - (int)(p & 7);
+      int take = avail < left ? avail : left;
+      int shift = avail - take;
+      v = (v << take) | ((byte >> shift) & ((1u << take) - 1u));
+      p += take;
+      left -= take;
+    }
+    pos = p;
+    return v;
+  }
+
+  int64_t read_signed(int n) {
+    int64_t v = 0;
+    if (n > 32) {
+      v = ((int64_t)read(n - 32) << 32) | read(32);
+    } else {
+      v = read(n);
+    }
+    if (!fail && n > 0 && (v >> (n - 1)) & 1) v -= (int64_t)1 << n;
+    return v;
+  }
+
+  uint32_t read_unary() {
+    uint32_t q = 0;
+    while (!fail) {
+      if (pos >= nbits) { fail = true; return 0; }
+      uint8_t byte = data[pos >> 3];
+      int rem = 8 - (int)(pos & 7);
+      uint8_t chunk = byte & ((1u << rem) - 1u);
+      if (chunk == 0) { q += rem; pos += rem; continue; }
+      int blen = 0;  // bit_length of chunk
+      for (uint8_t t = chunk; t; t >>= 1) ++blen;
+      int lead = rem - blen;
+      q += lead;
+      pos += lead + 1;
+      return q;
+    }
+    return 0;
+  }
+
+  void align() { pos = (pos + 7) & ~(int64_t)7; }
+};
+
+uint64_t read_utf8_number(BitReader& br) {
+  uint32_t b0 = br.read(8);
+  if (b0 < 0x80) return b0;
+  int n = 0;
+  while ((b0 << n) & 0x80) ++n;
+  uint64_t v = b0 & (0x7Fu >> n);
+  for (int i = 0; i < n - 1; ++i) v = (v << 6) | (br.read(8) & 0x3F);
+  return v;
+}
+
+const int kFixedOrders[5][4] = {
+    {}, {1}, {2, -1}, {3, -3, 1}, {4, -6, 4, -1}};
+
+bool decode_residual(BitReader& br, int n, int order, int64_t* res) {
+  uint32_t method = br.read(2);
+  if (method > 1 || br.fail) return false;
+  int plen = method == 0 ? 4 : 5;
+  uint32_t escape = (1u << plen) - 1u;
+  uint32_t part_order = br.read(4);
+  int parts = 1 << part_order;
+  if ((n >> part_order) << part_order != n) return false;
+  int64_t idx = 0;
+  for (int p = 0; p < parts; ++p) {
+    int count = n >> part_order;
+    if (p == 0) count -= order;
+    if (count < 0) return false;
+    uint32_t r = br.read(plen);
+    if (r == escape) {
+      uint32_t bits = br.read(5);
+      for (int i = 0; i < count; ++i)
+        res[idx++] = bits ? br.read_signed((int)bits) : 0;
+    } else {
+      for (int i = 0; i < count; ++i) {
+        uint64_t q = br.read_unary();
+        uint64_t u = r ? ((q << r) | br.read((int)r)) : q;
+        res[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+      }
+    }
+    if (br.fail) return false;
+  }
+  return true;
+}
+
+bool decode_subframe(BitReader& br, int n, int bps, int64_t* x, int64_t* res) {
+  if (br.read(1)) return false;  // padding bit must be 0
+  uint32_t stype = br.read(6);
+  int wasted = 0;
+  if (br.read(1)) wasted = 1 + (int)br.read_unary();
+  bps -= wasted;
+  if (br.fail || bps <= 0 || bps > 33) return false;
+
+  if (stype == 0) {  // constant
+    int64_t v = br.read_signed(bps);
+    for (int i = 0; i < n; ++i) x[i] = v;
+  } else if (stype == 1) {  // verbatim
+    for (int i = 0; i < n; ++i) x[i] = br.read_signed(bps);
+  } else if (stype >= 8 && stype <= 12) {  // fixed
+    int order = (int)(stype & 7);
+    if (order > n) return false;
+    for (int i = 0; i < order; ++i) x[i] = br.read_signed(bps);
+    if (!decode_residual(br, n, order, res)) return false;
+    const int* cf = kFixedOrders[order];
+    for (int i = order; i < n; ++i) {
+      int64_t pred = 0;
+      for (int j = 0; j < order; ++j) pred += (int64_t)cf[j] * x[i - 1 - j];
+      x[i] = res[i - order] + pred;
+    }
+  } else if (stype >= 32) {  // LPC
+    int order = (int)(stype & 31) + 1;
+    if (order > n) return false;
+    for (int i = 0; i < order; ++i) x[i] = br.read_signed(bps);
+    int precision = (int)br.read(4) + 1;
+    if (precision == 16) return false;  // reserved
+    int shift = (int)br.read_signed(5);
+    if (shift < 0) return false;
+    int64_t coefs[32];
+    for (int i = 0; i < order; ++i) coefs[i] = br.read_signed(precision);
+    if (!decode_residual(br, n, order, res)) return false;
+    for (int i = order; i < n; ++i) {
+      int64_t pred = 0;
+      for (int j = 0; j < order; ++j) pred += coefs[j] * x[i - 1 - j];
+      x[i] = res[i - order] + (pred >> shift);
+    }
+  } else {
+    return false;  // reserved type
+  }
+  if (br.fail) return false;
+  if (wasted)
+    for (int i = 0; i < n; ++i) x[i] <<= wasted;
+  return true;
+}
+
+const int kBlocksizeTable[16] = {0,   192,  576,  1152,  2304,  4608, -8, -16,
+                                 256, 512, 1024, 2048, 4096, 8192, 16384, 32768};
+
 }  // namespace
 
 extern "C" {
@@ -491,6 +645,126 @@ int64_t as_flac_encode(const int16_t* pcm, int64_t n_frames, int channels,
     out[bw.len++] = (uint8_t)fc;
   }
   return bw.overflow ? -1 : bw.len;
+}
+
+// Parse STREAMINFO: fills channels/sample_rate/bps/total_samples; returns the
+// byte offset of the first frame, or -1 on malformed input.
+int64_t as_flac_probe(const uint8_t* data, int64_t len, int32_t* channels,
+                      int32_t* sample_rate, int32_t* bps, int64_t* total) {
+  if (len < 8 || memcmp(data, "fLaC", 4) != 0) return -1;
+  int64_t pos = 4;
+  bool have_info = false;
+  while (pos + 4 <= len) {
+    uint8_t h0 = data[pos];
+    int last = h0 & 0x80;
+    int btype = h0 & 0x7F;
+    int64_t blen = ((int64_t)data[pos + 1] << 16) | ((int64_t)data[pos + 2] << 8) |
+                   data[pos + 3];
+    if (pos + 4 + blen > len) return -1;
+    if (btype == 0 && blen >= 34) {
+      BitReader br(data + pos + 4, blen);
+      br.read(16); br.read(16); br.read(24); br.read(24);
+      *sample_rate = (int32_t)br.read(20);
+      *channels = (int32_t)br.read(3) + 1;
+      *bps = (int32_t)br.read(5) + 1;
+      *total = ((int64_t)br.read(4) << 32) | br.read(32);
+      have_info = true;
+    }
+    pos += 4 + blen;
+    if (last) break;
+  }
+  return have_info ? pos : -1;
+}
+
+// Decode a full FLAC stream into interleaved int32 (total_samples, channels).
+// `out` must hold total_samples*channels entries (from as_flac_probe).
+// Covers the whole frame grammar: constant/verbatim/fixed/LPC subframes,
+// 4/5-bit Rice partitions with raw escapes, wasted bits, and
+// left/right/mid-side stereo. Returns samples decoded per channel, or -1.
+int64_t as_flac_decode(const uint8_t* data, int64_t len, int32_t* out) {
+  int32_t channels, sample_rate, bps;
+  int64_t total;
+  int64_t pos = as_flac_probe(data, len, &channels, &sample_rate, &bps, &total);
+  if (pos < 0 || channels < 1 || channels > 8) return -1;
+
+  BitReader br(data + pos, len - pos);
+  std::vector<std::vector<int64_t>> sub((size_t)channels);
+  std::vector<int64_t> res;
+  int64_t written = 0;
+  while (written < total) {
+    if (br.read(14) != 0x3FFE || br.fail) return -1;
+    br.read(1);            // reserved
+    br.read(1);            // blocking strategy
+    uint32_t bs_bits = br.read(4);
+    uint32_t sr_bits = br.read(4);
+    uint32_t chan_assign = br.read(4);
+    uint32_t bps_bits = br.read(3);
+    br.read(1);            // reserved
+    read_utf8_number(br);
+    int bs;
+    if (bs_bits == 6) bs = (int)br.read(8) + 1;
+    else if (bs_bits == 7) bs = (int)br.read(16) + 1;
+    else if (kBlocksizeTable[bs_bits] > 0) bs = kBlocksizeTable[bs_bits];
+    else return -1;
+    if (sr_bits == 12) br.read(8);
+    else if (sr_bits == 13 || sr_bits == 14) br.read(16);
+    br.read(8);            // header CRC-8 (not verified)
+    if (br.fail || bs <= 0) return -1;
+
+    int frame_bps;
+    switch (bps_bits) {
+      case 0: frame_bps = bps; break;
+      case 1: frame_bps = 8; break;
+      case 2: frame_bps = 12; break;
+      case 4: frame_bps = 16; break;
+      case 5: frame_bps = 20; break;
+      case 6: frame_bps = 24; break;
+      case 7: frame_bps = 32; break;
+      default: return -1;
+    }
+
+    for (int c = 0; c < channels; ++c)
+      if ((int64_t)sub[c].size() < bs) sub[c].resize(bs);
+    if ((int64_t)res.size() < bs) res.resize(bs);
+
+    if (chan_assign < 8) {
+      if ((int)chan_assign + 1 != channels) return -1;
+      for (int c = 0; c < channels; ++c)
+        if (!decode_subframe(br, bs, frame_bps, sub[c].data(), res.data()))
+          return -1;
+    } else if (chan_assign <= 10 && channels == 2) {
+      int extra_a = chan_assign == 9 ? 1 : 0;
+      int extra_b = chan_assign == 9 ? 0 : 1;
+      if (!decode_subframe(br, bs, frame_bps + extra_a, sub[0].data(), res.data()))
+        return -1;
+      if (!decode_subframe(br, bs, frame_bps + extra_b, sub[1].data(), res.data()))
+        return -1;
+      if (chan_assign == 8) {  // left/side → right = left - side
+        for (int i = 0; i < bs; ++i) sub[1][i] = sub[0][i] - sub[1][i];
+      } else if (chan_assign == 9) {  // right/side → left = side + right
+        for (int i = 0; i < bs; ++i) sub[0][i] = sub[0][i] + sub[1][i];
+      } else {  // mid/side
+        for (int i = 0; i < bs; ++i) {
+          int64_t m2 = (sub[0][i] << 1) | (sub[1][i] & 1);
+          int64_t s = sub[1][i];
+          sub[0][i] = (m2 + s) >> 1;
+          sub[1][i] = (m2 - s) >> 1;
+        }
+      }
+    } else {
+      return -1;
+    }
+    br.align();
+    br.read(16);  // frame CRC-16 (not verified)
+    if (br.fail) return -1;
+
+    int64_t take = total - written < bs ? total - written : bs;
+    for (int64_t i = 0; i < take; ++i)
+      for (int c = 0; c < channels; ++c)
+        out[(written + i) * channels + c] = (int32_t)sub[c][i];
+    written += take;
+  }
+  return written;
 }
 
 }  // extern "C"

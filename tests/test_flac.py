@@ -93,6 +93,41 @@ def test_decoder_rejects_garbage():
         flac.decode(b"RIFFxxxxWAVE")
 
 
+def test_native_decoder_matches_python_decoder():
+    """The C++ decoder (ingest path) must agree sample-for-sample with the
+    pure-Python decoder (test oracle) on every content class — both written
+    independently from the spec."""
+    rng = np.random.default_rng(5)
+    cases = []
+    n = 30_000
+    t = np.arange(n)
+    smooth = 8000 * np.sin(2 * np.pi * t / 97)
+    cases.append(np.stack([smooth, 0.95 * smooth + rng.normal(0, 10, n)], 1))  # mid/side
+    cases.append(rng.integers(-32768, 32768, (n, 2)))                          # escape
+    cases.append(np.cumsum(rng.integers(-30, 31, (n, 1)), axis=0))             # mono ramp
+    for pcm in cases:
+        pcm = np.ascontiguousarray(np.clip(pcm, -32768, 32767).astype(np.int16))
+        blob = native_audio.flac_encode(pcm, 48_000)
+        native = native_audio.flac_decode(blob)
+        assert native is not None
+        n_pcm, n_sr, n_bps = native
+        p_pcm, p_sr, p_bps = flac.decode(blob)
+        assert (n_sr, n_bps) == (p_sr, p_bps) == (48_000, 16)
+        np.testing.assert_array_equal(n_pcm, p_pcm)
+        np.testing.assert_array_equal(n_pcm.T.astype(np.int16), pcm)
+
+
+def test_native_decoder_rejects_garbage():
+    assert native_audio.flac_decode(b"RIFFxxxxWAVE....") is None
+    assert native_audio.flac_decode(b"fLaC" + b"\x00" * 3) is None
+    # truncated valid stream must fail cleanly, not crash
+    pcm = np.ascontiguousarray(
+        np.clip(np.random.default_rng(0).normal(0, 3000, (5000, 2)), -32768, 32767
+                ).astype(np.int16))
+    blob = native_audio.flac_encode(pcm, 48_000)
+    assert native_audio.flac_decode(blob[: len(blob) // 2]) is None
+
+
 def test_roundtrip_property_fuzz():
     """20 randomized cases over length/channels/sample-rate/content mix —
     every one must round-trip bit-exactly."""
