@@ -267,7 +267,38 @@ def _measure_pipelined(handler, batch: int, n_req: int = 4):
     return best
 
 
+def _backend_reachable(timeout_s: float = 900.0) -> bool:
+    """Probe the device backend in a SUBPROCESS (a dead axon tunnel hangs
+    jax.devices() forever inside this process — a subprocess can be timed
+    out). Skip with BENCH_PROBE=0."""
+    if os.environ.get("BENCH_PROBE", "1") == "0":
+        return True
+    import subprocess
+    import sys
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=timeout_s,
+        )
+        return p.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_reachable():
+        # Record the outage explicitly — a hung process records nothing.
+        print(json.dumps({
+            "metric": "seconds-of-audio/sec/chip (text-enc + DiT 8-step + VAE decode)",
+            "value": 0,
+            "unit": "audio_s/s",
+            "vs_baseline": 0,
+            "detail": {"error": "device backend unreachable at bench time "
+                                "(probe subprocess failed/timed out)"},
+        }))
+        return
+
     import jax
 
     from acestep_tpu.pipeline.handler import AceStepHandler

@@ -99,6 +99,9 @@ def test_bench_main_end_to_end(bench, tiny_handlers, monkeypatch, capsys):
 
     monkeypatch.setattr(pipe_mod, "AceStepHandler", FakeDit)
     monkeypatch.setattr(lm_mod, "LLMHandler", FakeLLM)
+    # The reachability probe spawns a subprocess that would inherit this test
+    # env's axon PYTHONPATH and hang against the (possibly dead) tunnel.
+    monkeypatch.setenv("BENCH_PROBE", "0")
     monkeypatch.setenv("BENCH_REPS", "2")
     monkeypatch.setenv("BENCH_BATCH", "1")
     monkeypatch.setenv("BENCH_QUIET_PASSES", "1")
@@ -122,3 +125,15 @@ def test_bench_main_end_to_end(bench, tiny_handlers, monkeypatch, capsys):
     assert d["long_duration"]["audio_s_per_s"] > 0
     assert d["thinking_on"]["audio_s_per_s"] > 0
     assert len(d["link_probes"]) >= 2
+
+
+def test_bench_records_outage_instead_of_hanging(monkeypatch, capsys, bench):
+    """When the device backend is unreachable the driver's bench run must
+    emit an explicit outage record (value 0 + error) rather than hang."""
+    import json
+
+    monkeypatch.setenv("BENCH_PROBE", "1")
+    monkeypatch.setattr(bench, "_backend_reachable", lambda *a, **k: False)
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 0 and "error" in rec["detail"]
