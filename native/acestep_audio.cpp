@@ -358,29 +358,117 @@ void encode_subframe(BitWriter& bw, const int32_t* x, int bs, int bps,
   bw.put(0, 1);                           // no wasted bits
   for (int i = 0; i < order; ++i) bw.put_signed(x[i], bps);
 
-  int64_t rice_cost;
-  int r = best_rice(zig.data(), nres, &rice_cost);
-  int raw_bits = 1;
-  for (int64_t i = 0; i < nres; ++i) {
-    int64_t e = resid[i];
-    uint64_t mag = e < 0 ? (uint64_t)(-(e + 1)) : (uint64_t)e;
-    int need = 1;
-    while (mag >> (need - 1) > 0 && need < 32) ++need;  // signed bits
-    if (need + 1 > raw_bits) raw_bits = need + 1;
-  }
-  const int64_t escape_cost = 5 + nres * raw_bits;
-  bw.put(0b00, 2);  // Rice method (4-bit params)
-  bw.put(0, 4);     // partition order 0
-  if (escape_cost < rice_cost) {
-    bw.put(0b1111, 4);  // escape: raw residuals
-    bw.put((uint64_t)raw_bits, 5);
-    for (int64_t i = 0; i < nres; ++i) bw.put_signed(resid[i], raw_bits);
-  } else {
-    bw.put((uint64_t)r, 4);
-    for (int64_t i = 0; i < nres; ++i) {
-      bw.unary((uint32_t)(zig[i] >> r));
-      if (r) bw.put(zig[i] & ((1ull << r) - 1), r);
+  // Residual: Rice method with PARTITIONED parameters — one parameter per
+  // 2^p slice adapts to loud/quiet passages within the block. Per candidate
+  // order, each partition picks best-rice or a raw escape; the cheapest
+  // total wins.
+  auto part_plan = [&](int p, std::vector<int>& params, std::vector<int>& raws) -> int64_t {
+    const int parts = 1 << p;
+    if ((bs >> p) << p != bs) return INT64_MAX;       // must divide evenly
+    if ((bs >> p) - order <= 0) return INT64_MAX;     // first partition nonempty
+    params.assign(parts, 0);
+    raws.assign(parts, 0);
+    int64_t total = 0;
+    int64_t idx = 0;
+    for (int q = 0; q < parts; ++q) {
+      int count = (bs >> p) - (q == 0 ? order : 0);
+      int64_t rice_cost;
+      int r = best_rice(zig.data() + idx, count, &rice_cost);
+      int raw_bits = 1;
+      for (int i = 0; i < count; ++i) {
+        int64_t e = resid[idx + i];
+        uint64_t mag = e < 0 ? (uint64_t)(-(e + 1)) : (uint64_t)e;
+        int need = 1;
+        while (mag >> (need - 1) > 0 && need < 32) ++need;  // signed bits
+        if (need + 1 > raw_bits) raw_bits = need + 1;
+      }
+      const int64_t escape_cost = 5 + (int64_t)count * raw_bits;
+      if (escape_cost < rice_cost) {
+        params[q] = -1;  // escape marker
+        raws[q] = raw_bits;
+        total += 4 + escape_cost;
+      } else {
+        params[q] = r;
+        total += 4 + rice_cost;
+      }
+      idx += count;
     }
+    return total;
+  };
+
+  // Pick the partition order with the standard sum-based estimator (one
+  // pass: per-slice |u| sums at the finest order, merged upward; estimated
+  // rice bits = n*(r+1) + sum>>r with r = log2(mean)), then compute the
+  // exact per-partition plan only for the winner.
+  int best_p = 0;
+  {
+    const int PMAX = 6;
+    int pmax = PMAX;
+    while (pmax > 0 && (((bs >> pmax) << pmax) != bs || (bs >> pmax) <= order))
+      --pmax;
+    std::vector<uint64_t> sums((size_t)1 << pmax, 0);
+    std::vector<int64_t> cnts((size_t)1 << pmax, 0);
+    {
+      int64_t idx = 0;
+      for (int q = 0; q < (1 << pmax); ++q) {
+        int count = (bs >> pmax) - (q == 0 ? order : 0);
+        uint64_t s = 0;
+        for (int i = 0; i < count; ++i) s += zig[idx + i];
+        sums[q] = s;
+        cnts[q] = count;
+        idx += count;
+      }
+    }
+    auto est_level = [](const std::vector<uint64_t>& s,
+                        const std::vector<int64_t>& c) {
+      int64_t total = 0;
+      for (size_t q = 0; q < s.size(); ++q) {
+        uint64_t mean = c[q] > 0 ? s[q] / (uint64_t)c[q] : 0;
+        int r = 0;
+        while ((mean >> r) > 0 && r < 14) ++r;
+        total += 4 + c[q] * (int64_t)(r + 1) + (int64_t)(s[q] >> r);
+      }
+      return total;
+    };
+    int64_t best_est = INT64_MAX;
+    for (int p = pmax; p >= 0; --p) {
+      int64_t est = est_level(sums, cnts);
+      if (est < best_est) { best_est = est; best_p = p; }
+      if (p > 0) {  // merge pairs for the next (coarser) level
+        for (size_t q = 0; q < sums.size() / 2; ++q) {
+          sums[q] = sums[2 * q] + sums[2 * q + 1];
+          cnts[q] = cnts[2 * q] + cnts[2 * q + 1];
+        }
+        sums.resize(sums.size() / 2);
+        cnts.resize(cnts.size() / 2);
+      }
+    }
+  }
+  std::vector<int> best_params, best_raws;
+  if (part_plan(best_p, best_params, best_raws) == INT64_MAX) {
+    best_p = 0;
+    part_plan(0, best_params, best_raws);
+  }
+
+  bw.put(0b00, 2);                // Rice method (4-bit params)
+  bw.put((uint64_t)best_p, 4);    // partition order
+  int64_t idx = 0;
+  const int parts = 1 << best_p;
+  for (int q = 0; q < parts; ++q) {
+    int count = (bs >> best_p) - (q == 0 ? order : 0);
+    if (best_params[q] < 0) {
+      bw.put(0b1111, 4);  // escape: raw residuals
+      bw.put((uint64_t)best_raws[q], 5);
+      for (int i = 0; i < count; ++i) bw.put_signed(resid[idx + i], best_raws[q]);
+    } else {
+      const int r = best_params[q];
+      bw.put((uint64_t)r, 4);
+      for (int i = 0; i < count; ++i) {
+        bw.unary((uint32_t)(zig[idx + i] >> r));
+        if (r) bw.put(zig[idx + i] & ((1ull << r) - 1), r);
+      }
+    }
+    idx += count;
   }
 }
 
