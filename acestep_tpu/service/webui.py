@@ -238,7 +238,7 @@ const $ = id => document.getElementById(id);
 
 // ---- i18n (reference ships en/zh/ja/he, SURVEY §2.6) ----
 const I18N = {
-  zh: {"Describe your song (the LM drafts caption, lyrics and metadata)":"描述你的歌曲（LM 将生成描述、歌词和元数据）","drafting with the LM…":"LM 创作中…","Sample example":"随机示例","Advanced settings":"高级设置","Advanced":"高级","LM temperature":"LM 温度","LM CFG scale":"LM CFG 系数","LM top-k (0 = off)":"LM top-k（0 为关闭）","LM top-p":"LM top-p","LM repetition penalty":"LM 重复惩罚","Shift":"Shift","Infer method":"推理方法","Vocal language":"人声语言","CFG interval start":"CFG 区间起点","CFG interval end":"CFG 区间终点","ADG (angle-based dynamic guidance)":"ADG（角度动态引导）","Use CoT metadata (bpm/key/duration from LM)":"使用 CoT 元数据（LM 生成的 BPM/调式/时长）","Use CoT caption":"使用 CoT 描述","Load params (JSON sidecar from a previous result)":"加载参数（来自历史结果的 JSON 文件）","Instrumental (no vocals)":"纯音乐（无人声）","Send to Remix":"发送到翻唱","Audio codes (optional; switches generation to cover)":"音频码（可选；提供后切换为翻唱生成）","Track name (stem to extract / generate)":"音轨名称（要提取/生成的分轨）","Track classes to add (comma-separated)":"要补充的音轨类型（逗号分隔）","Audio input":"音频输入","Source audio (the track to remix / repaint / extract / lego / complete)":"源音频（要翻唱/重绘/提取/叠轨/补全的曲目）","Reference audio for timbre (optional, multiple allowed)":"音色参考音频（可选，可多个）","Cover strength":"翻唱强度","Cover noise":"翻唱噪声","This mode needs a source audio file":"此模式需要上传源音频文件","Tab":"标签页","Generate":"生成","Training":"训练","Mode":"模式","Simple":"简单",
+  zh: {"Send to Repaint":"发送到重绘","Describe your song (the LM drafts caption, lyrics and metadata)":"描述你的歌曲（LM 将生成描述、歌词和元数据）","drafting with the LM…":"LM 创作中…","Sample example":"随机示例","Advanced settings":"高级设置","Advanced":"高级","LM temperature":"LM 温度","LM CFG scale":"LM CFG 系数","LM top-k (0 = off)":"LM top-k（0 为关闭）","LM top-p":"LM top-p","LM repetition penalty":"LM 重复惩罚","Shift":"Shift","Infer method":"推理方法","Vocal language":"人声语言","CFG interval start":"CFG 区间起点","CFG interval end":"CFG 区间终点","ADG (angle-based dynamic guidance)":"ADG（角度动态引导）","Use CoT metadata (bpm/key/duration from LM)":"使用 CoT 元数据（LM 生成的 BPM/调式/时长）","Use CoT caption":"使用 CoT 描述","Load params (JSON sidecar from a previous result)":"加载参数（来自历史结果的 JSON 文件）","Instrumental (no vocals)":"纯音乐（无人声）","Send to Remix":"发送到翻唱","Audio codes (optional; switches generation to cover)":"音频码（可选；提供后切换为翻唱生成）","Track name (stem to extract / generate)":"音轨名称（要提取/生成的分轨）","Track classes to add (comma-separated)":"要补充的音轨类型（逗号分隔）","Audio input":"音频输入","Source audio (the track to remix / repaint / extract / lego / complete)":"源音频（要翻唱/重绘/提取/叠轨/补全的曲目）","Reference audio for timbre (optional, multiple allowed)":"音色参考音频（可选，可多个）","Cover strength":"翻唱强度","Cover noise":"翻唱噪声","This mode needs a source audio file":"此模式需要上传源音频文件","Tab":"标签页","Generate":"生成","Training":"训练","Mode":"模式","Simple":"简单",
        "Custom":"自定义","Remix":"翻唱","Repaint":"重绘","Extract":"提取","Lego":"叠轨",
        "Complete":"补全","Prompt":"提示词","Caption":"描述",
        "Lyrics ([Instrumental] for none)":"歌词（纯音乐填 [Instrumental]）","Settings":"设置",
@@ -251,7 +251,7 @@ const I18N = {
        "Output dir":"输出目录","Rank":"秩","LR":"学习率","Max steps":"最大步数",
        "Checkpoint every":"保存间隔","Start training":"开始训练","Runs":"运行记录","Alpha":"Alpha","BPM":"BPM",
        "Refresh":"刷新","Stop":"停止","Create sample":"生成示例","Format input":"格式化输入","Understand codes":"解析音频码","Audio codes":"音频码","Auto LRC (lyric timestamps)":"自动 LRC（歌词时间戳）","Auto lyric quality score":"自动歌词质量评分","LM-assisted labeling (understand on codes)":"LM 辅助标注（基于音频码理解）","Format preloaded lyrics with LM":"用 LM 格式化已有歌词","Dataset explorer":"数据集浏览器","Labels file path":"标注文件路径","Scan":"扫描","Load labels":"加载标注","Save labels":"保存标注","Auto-label unlabeled":"自动标注未标注项","Preprocess to tensors":"预处理为张量"},
-  ja: {"Describe your song (the LM drafts caption, lyrics and metadata)":"曲のイメージを記述（LM がキャプション・歌詞・メタデータを作成）","drafting with the LM…":"LM が作成中…","Sample example":"サンプル例","Advanced settings":"詳細設定","Advanced":"詳細","LM temperature":"LM 温度","LM CFG scale":"LM CFG スケール","LM top-k (0 = off)":"LM top-k（0 で無効）","LM top-p":"LM top-p","LM repetition penalty":"LM 反復ペナルティ","Shift":"シフト","Infer method":"推論方式","Vocal language":"ボーカル言語","CFG interval start":"CFG 区間開始","CFG interval end":"CFG 区間終了","ADG (angle-based dynamic guidance)":"ADG（角度ベース動的ガイダンス）","Use CoT metadata (bpm/key/duration from LM)":"CoT メタデータを使用（LM の BPM/キー/長さ）","Use CoT caption":"CoT キャプションを使用","Load params (JSON sidecar from a previous result)":"パラメータ読込（過去の結果の JSON サイドカー）","Instrumental (no vocals)":"インストゥルメンタル（ボーカルなし）","Send to Remix":"リミックスへ送る","Audio codes (optional; switches generation to cover)":"オーディオコード（任意；指定するとカバー生成に切替）","Track name (stem to extract / generate)":"トラック名（抽出／生成するステム）","Track classes to add (comma-separated)":"追加するトラック種別（カンマ区切り）","Audio input":"オーディオ入力","Source audio (the track to remix / repaint / extract / lego / complete)":"ソース音声（リミックス／リペイント／抽出／レゴ／補完する曲）","Reference audio for timbre (optional, multiple allowed)":"音色リファレンス音声（任意・複数可）","Cover strength":"カバー強度","Cover noise":"カバーノイズ","This mode needs a source audio file":"このモードにはソース音声ファイルが必要です","Tab":"タブ","Generate":"生成","Training":"学習","Mode":"モード","Simple":"シンプル",
+  ja: {"Send to Repaint":"リペイントへ送る","Describe your song (the LM drafts caption, lyrics and metadata)":"曲のイメージを記述（LM がキャプション・歌詞・メタデータを作成）","drafting with the LM…":"LM が作成中…","Sample example":"サンプル例","Advanced settings":"詳細設定","Advanced":"詳細","LM temperature":"LM 温度","LM CFG scale":"LM CFG スケール","LM top-k (0 = off)":"LM top-k（0 で無効）","LM top-p":"LM top-p","LM repetition penalty":"LM 反復ペナルティ","Shift":"シフト","Infer method":"推論方式","Vocal language":"ボーカル言語","CFG interval start":"CFG 区間開始","CFG interval end":"CFG 区間終了","ADG (angle-based dynamic guidance)":"ADG（角度ベース動的ガイダンス）","Use CoT metadata (bpm/key/duration from LM)":"CoT メタデータを使用（LM の BPM/キー/長さ）","Use CoT caption":"CoT キャプションを使用","Load params (JSON sidecar from a previous result)":"パラメータ読込（過去の結果の JSON サイドカー）","Instrumental (no vocals)":"インストゥルメンタル（ボーカルなし）","Send to Remix":"リミックスへ送る","Audio codes (optional; switches generation to cover)":"オーディオコード（任意；指定するとカバー生成に切替）","Track name (stem to extract / generate)":"トラック名（抽出／生成するステム）","Track classes to add (comma-separated)":"追加するトラック種別（カンマ区切り）","Audio input":"オーディオ入力","Source audio (the track to remix / repaint / extract / lego / complete)":"ソース音声（リミックス／リペイント／抽出／レゴ／補完する曲）","Reference audio for timbre (optional, multiple allowed)":"音色リファレンス音声（任意・複数可）","Cover strength":"カバー強度","Cover noise":"カバーノイズ","This mode needs a source audio file":"このモードにはソース音声ファイルが必要です","Tab":"タブ","Generate":"生成","Training":"学習","Mode":"モード","Simple":"シンプル",
        "Custom":"カスタム","Remix":"リミックス","Repaint":"リペイント","Extract":"抽出",
        "Lego":"レゴ","Complete":"補完","Prompt":"プロンプト","Caption":"キャプション",
        "Lyrics ([Instrumental] for none)":"歌詞（なしは [Instrumental]）","Settings":"設定",
@@ -264,7 +264,7 @@ const I18N = {
        "Dataset dir":"データセットディレクトリ","Output dir":"出力ディレクトリ","Rank":"ランク",
        "LR":"学習率","Max steps":"最大ステップ","Checkpoint every":"チェックポイント間隔","Alpha":"アルファ","BPM":"BPM",
        "Start training":"学習開始","Runs":"実行一覧","Refresh":"更新","Stop":"停止","Create sample":"サンプル作成","Format input":"入力を整形","Understand codes":"コード解析","Audio codes":"オーディオコード","Auto LRC (lyric timestamps)":"自動 LRC（歌詞タイムスタンプ）","Auto lyric quality score":"自動歌詞品質スコア","LM-assisted labeling (understand on codes)":"LM 自動ラベリング（コード理解）","Format preloaded lyrics with LM":"LM で既存歌詞を整形","Dataset explorer":"データセットエクスプローラー","Labels file path":"ラベルファイルパス","Scan":"スキャン","Load labels":"ラベル読込","Save labels":"ラベル保存","Auto-label unlabeled":"未ラベルを自動ラベル","Preprocess to tensors":"テンソルへ前処理"},
-  he: {"Describe your song (the LM drafts caption, lyrics and metadata)":"תארו את השיר (ה-LM ינסח כיתוב, מילים ומטא-נתונים)","drafting with the LM…":"ה-LM מנסח…","Sample example":"דוגמה אקראית","Advanced settings":"הגדרות מתקדמות","Advanced":"מתקדם","LM temperature":"טמפרטורת LM","LM CFG scale":"סולם CFG של LM","LM top-k (0 = off)":"LM top-k (0 = כבוי)","LM top-p":"LM top-p","LM repetition penalty":"קנס חזרה של LM","Shift":"הסטה","Infer method":"שיטת הסקה","Vocal language":"שפת שירה","CFG interval start":"תחילת מרווח CFG","CFG interval end":"סוף מרווח CFG","ADG (angle-based dynamic guidance)":"ADG (הכוונה דינמית מבוססת זווית)","Use CoT metadata (bpm/key/duration from LM)":"שימוש במטא-נתוני CoT (BPM/סולם/משך מה-LM)","Use CoT caption":"שימוש בכיתוב CoT","Load params (JSON sidecar from a previous result)":"טעינת פרמטרים (קובץ JSON מתוצאה קודמת)","Instrumental (no vocals)":"אינסטרומנטלי (ללא שירה)","Send to Remix":"שלח לרמיקס","Audio codes (optional; switches generation to cover)":"קודי אודיו (אופציונלי; מעביר ליצירת קאבר)","Track name (stem to extract / generate)":"שם רצועה (סטם לחילוץ / יצירה)","Track classes to add (comma-separated)":"סוגי רצועות להוספה (מופרד בפסיקים)","Audio input":"קלט אודיו","Source audio (the track to remix / repaint / extract / lego / complete)":"אודיו מקור (הרצועה לרמיקס / צביעה מחדש / חילוץ / לגו / השלמה)","Reference audio for timbre (optional, multiple allowed)":"אודיו ייחוס לגוון (אופציונלי, ניתן כמה)","Cover strength":"עוצמת קאבר","Cover noise":"רעש קאבר","This mode needs a source audio file":"מצב זה דורש קובץ אודיו מקור","Tab":"לשונית","Generate":"יצירה","Training":"אימון","Mode":"מצב","Simple":"פשוט",
+  he: {"Send to Repaint":"שלח לצביעה מחדש","Describe your song (the LM drafts caption, lyrics and metadata)":"תארו את השיר (ה-LM ינסח כיתוב, מילים ומטא-נתונים)","drafting with the LM…":"ה-LM מנסח…","Sample example":"דוגמה אקראית","Advanced settings":"הגדרות מתקדמות","Advanced":"מתקדם","LM temperature":"טמפרטורת LM","LM CFG scale":"סולם CFG של LM","LM top-k (0 = off)":"LM top-k (0 = כבוי)","LM top-p":"LM top-p","LM repetition penalty":"קנס חזרה של LM","Shift":"הסטה","Infer method":"שיטת הסקה","Vocal language":"שפת שירה","CFG interval start":"תחילת מרווח CFG","CFG interval end":"סוף מרווח CFG","ADG (angle-based dynamic guidance)":"ADG (הכוונה דינמית מבוססת זווית)","Use CoT metadata (bpm/key/duration from LM)":"שימוש במטא-נתוני CoT (BPM/סולם/משך מה-LM)","Use CoT caption":"שימוש בכיתוב CoT","Load params (JSON sidecar from a previous result)":"טעינת פרמטרים (קובץ JSON מתוצאה קודמת)","Instrumental (no vocals)":"אינסטרומנטלי (ללא שירה)","Send to Remix":"שלח לרמיקס","Audio codes (optional; switches generation to cover)":"קודי אודיו (אופציונלי; מעביר ליצירת קאבר)","Track name (stem to extract / generate)":"שם רצועה (סטם לחילוץ / יצירה)","Track classes to add (comma-separated)":"סוגי רצועות להוספה (מופרד בפסיקים)","Audio input":"קלט אודיו","Source audio (the track to remix / repaint / extract / lego / complete)":"אודיו מקור (הרצועה לרמיקס / צביעה מחדש / חילוץ / לגו / השלמה)","Reference audio for timbre (optional, multiple allowed)":"אודיו ייחוס לגוון (אופציונלי, ניתן כמה)","Cover strength":"עוצמת קאבר","Cover noise":"רעש קאבר","This mode needs a source audio file":"מצב זה דורש קובץ אודיו מקור","Tab":"לשונית","Generate":"יצירה","Training":"אימון","Mode":"מצב","Simple":"פשוט",
        "Custom":"מותאם אישית","Remix":"רמיקס","Repaint":"צביעה מחדש","Extract":"חילוץ",
        "Lego":"לגו","Complete":"השלמה","Prompt":"הנחיה","Caption":"כיתוב",
        "Lyrics ([Instrumental] for none)":"מילים ([Instrumental] ללא מילים)","Settings":"הגדרות",
@@ -524,22 +524,28 @@ $("go").onclick = async () => {
           div.appendChild(cap); div.appendChild(a);
           // Send this result back as the source of an edit mode (the ref UI's
           // send_audio_to_remix / send_audio_to_repaint actions).
-          const send = document.createElement("button");
-          send.dataset.noI18n = "";
-          send.textContent = t("Send to Remix");
-          send.style.fontSize = ".75rem"; send.style.padding = ".25rem .6rem";
-          send.onclick = async () => {
-            const blob = await (await fetch(a.src)).blob();
-            const name = p.split("/").pop() || "result.wav";
-            const dt = new DataTransfer();
-            dt.items.add(new File([blob], name, {type: blob.type || "audio/wav"}));
-            $("src_file").files = dt.files;
-            document.querySelector('input[name=mode][value="Remix"]').checked = true;
-            document.querySelector('input[name=mode][value="Remix"]').dispatchEvent(new Event("change"));
-            $("src_file").dispatchEvent(new Event("change"));
-            window.scrollTo({top: 0, behavior: "smooth"});
+          const sendTo = (label, modeName) => {
+            const send = document.createElement("button");
+            send.dataset.noI18n = "";
+            send.textContent = t(label);
+            send.style.fontSize = ".75rem"; send.style.padding = ".25rem .6rem";
+            send.style.marginRight = ".4rem";
+            send.onclick = async () => {
+              const blob = await (await fetch(a.src)).blob();
+              const name = p.split("/").pop() || "result.wav";
+              const dt = new DataTransfer();
+              dt.items.add(new File([blob], name, {type: blob.type || "audio/wav"}));
+              $("src_file").files = dt.files;
+              const radio = document.querySelector('input[name=mode][value="' + modeName + '"]');
+              radio.checked = true;
+              radio.dispatchEvent(new Event("change"));
+              $("src_file").dispatchEvent(new Event("change"));
+              window.scrollTo({top: 0, behavior: "smooth"});
+            };
+            div.appendChild(send);
           };
-          div.appendChild(send);
+          sendTo("Send to Remix", "Remix");
+          sendTo("Send to Repaint", "Repaint");
           const pp = (st.result.params_paths || [])[i];
           if (pp) {
             const link = document.createElement("a");

@@ -43,8 +43,7 @@ def test_i18n_keys_match_page_texts():
     for lang, keys in langs.items():
         for k in keys:
             # strings created dynamically in JS, not static page elements
-            # strings created dynamically in JS, not static page elements
-            if k in ("Stop", "Send to Remix", "This mode needs a source audio file",
+            if k in ("Stop", "Send to Remix", "Send to Repaint", "This mode needs a source audio file",
                      "drafting with the LM…"):
                 continue
             assert k in texts, f"{lang} translates {k!r} but no page element has that text"
