@@ -119,6 +119,42 @@ def cmd_verify_checkpoint(args) -> int:
     return 1
 
 
+def cmd_generate_examples(args) -> int:
+    """Batch-generate example params via the LM (ref generate_examples.py:
+    N create-sample calls saved as examples/<dir>/example_NN.json in the
+    params-file format the UI's Sample-example button and Load-params read)."""
+    from acestep_tpu.lm.handler import LLMHandler
+    from acestep_tpu.service.inference import create_sample
+
+    llm = LLMHandler()
+    print(llm.initialize(args.lm_checkpoint_dir, random_init=args.random_init or None))
+    os.makedirs(args.output_dir, exist_ok=True)
+    written = 0
+    for i in range(args.num):
+        try:
+            out = create_sample(llm, args.query)
+        except Exception as e:  # noqa: BLE001 — keep generating the rest
+            print(f"example {i + 1} failed: {e}", file=sys.stderr)
+            continue
+        md = out["metadata"]
+        example = {
+            "think": True,
+            "caption": md.get("caption", ""),
+            "lyrics": md.get("lyrics", "[Instrumental]"),
+            "bpm": md.get("bpm"),
+            "duration": md.get("duration"),
+            "keyscale": md.get("keyscale", ""),
+            "language": md.get("language", "unknown"),
+            "timesignature": str(md.get("timesignature", "4")),
+        }
+        path = os.path.join(args.output_dir, f"example_{args.start_index + written:02d}.json")
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(example, f, indent=4, ensure_ascii=False)
+        written += 1
+        print(f"wrote {path}")
+    return 0 if written else 1
+
+
 def run_warmup(dit, warmup_spec: str) -> None:
     """Compile the denoise/decode programs for the expected request shapes
     BEFORE the server binds its port, so first requests don't pay the
@@ -455,6 +491,15 @@ def main(argv=None) -> int:
                     default=os.environ.get("ACESTEP_CHECKPOINT_ROOT")
                     or os.path.expanduser("~/.cache/acestep_tpu/checkpoints"))
     dl.set_defaults(fn=cmd_download)
+
+    ge = sub.add_parser("generate-examples",
+                        help="batch-generate example params via the LM")
+    _add_common_model_args(ge)
+    ge.add_argument("--num", type=int, default=10)
+    ge.add_argument("--query", default="", help="optional inspiration query")
+    ge.add_argument("--output-dir", default="examples/params")
+    ge.add_argument("--start-index", type=int, default=1)
+    ge.set_defaults(fn=cmd_generate_examples)
 
     vc = sub.add_parser("verify-checkpoint", help="verify a checkpoint dir per component")
     vc.add_argument("path")

@@ -144,3 +144,32 @@ def test_cli_profile_matrix(tmp_path, monkeypatch, capsys):
     for r in rows:
         assert r["throughput"] > 0 and r["throughput_device"] >= r["throughput"]
         assert "transfer" in r and "vae" in r
+
+
+def test_cli_generate_examples(tmp_path, monkeypatch):
+    """`cli generate-examples` writes N LM-drafted params files in the
+    Sample-example format (ref generate_examples.py role)."""
+    import json
+
+    import jax.numpy as jnp
+
+    import acestep_tpu.lm.handler as lm_handler_mod
+    from tests.test_service import TINY_LM
+
+    tiny = lm_handler_mod.LLMHandler(TINY_LM, dtype=jnp.float32)
+    tiny.initialize(random_init=True)
+
+    class FakeLLM:
+        def __new__(cls, *a, **k):
+            return tiny
+
+    monkeypatch.setattr(lm_handler_mod, "LLMHandler", FakeLLM)
+    out = tmp_path / "ex"
+    rc = main(["generate-examples", "--random-init", "--num", "2",
+               "--output-dir", str(out)])
+    assert rc == 0
+    files = sorted(out.glob("example_*.json"))
+    assert len(files) == 2
+    for f in files:
+        md = json.load(open(f))
+        assert "caption" in md and "lyrics" in md and "duration" in md
