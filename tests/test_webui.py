@@ -125,3 +125,39 @@ def test_all_dom_lookups_resolve():
     # and the radio/mode queries
     for sel in re.findall(r"querySelector\('input\[name=mode\]\[value=\"(\w+)\"\]'\)", js):
         assert f'value="{sel}"' in STUDIO_HTML, sel
+
+
+def test_load_params_covers_sidecar_fields():
+    """Every generation-relevant field the params sidecar writes must be
+    handled by the Load-params JS mapping, so a saved run restores fully."""
+    from acestep_tpu.service.params import GenerationParams
+
+    js = _script_block()
+    handled_explicitly = {
+        "task_type", "caption", "lyrics", "duration", "bpm", "keyscale",
+        "seed", "batch_size", "inference_steps", "guidance_scale",
+        "audio_format", "instrumental", "auto_lrc", "auto_score",
+        "repainting_start", "repainting_end", "audio_cover_strength",
+        "cover_noise_strength", "track_name", "complete_track_classes",
+        "thinking", "audio_codes", "use_adg", "use_cot_metas",
+        "use_cot_caption", "lm_temperature", "lm_cfg_scale", "lm_top_k",
+        "lm_top_p", "lm_repetition_penalty", "shift", "infer_method",
+        "cfg_interval_start", "cfg_interval_end", "vocal_language",
+    }
+    for field in handled_explicitly:
+        assert f'md.{field}' in js or f'"{field}"' in js, (
+            f"Load-params JS does not restore {field!r}")
+    # fields the UI intentionally does not restore (paths, niche LM knobs)
+    ui_unrestored = {
+        "instruction", "reference_audio", "src_audio", "timesignature",
+        "enable_normalization", "normalization_db", "latent_shift",
+        "latent_rescale", "timesteps", "lm_negative_prompt", "use_cot_language",
+        "cot_bpm", "cot_keyscale", "cot_timesignature", "cot_duration",
+        "cot_vocal_language", "cot_caption", "cot_lyrics", "use_cot_lyrics",
+        "use_constrained_decoding",
+    }
+    import dataclasses
+
+    all_fields = {f.name for f in dataclasses.fields(GenerationParams)}
+    unknown = all_fields - handled_explicitly - ui_unrestored
+    assert not unknown, f"new GenerationParams fields unclassified for the UI: {sorted(unknown)}"
