@@ -295,6 +295,54 @@ def test_release_task_multipart_upload(handlers, tmp_path):
     server.shutdown()
 
 
+def test_reinitialize_endpoint_reloads_from_disk(tmp_path):
+    """POST /v1/reinitialize swaps the serving weights in place (ref
+    api_server.py:3126): load the reference-layout fixture checkpoint into a
+    RUNNING random-init server, then complete a generation job on the
+    reloaded model."""
+    import http.client
+    import threading
+
+    import acestep_tpu.pipeline.handler as H
+    from acestep_tpu.service.api_server import serve
+
+    H.LATENT_BUCKETS = (64, 128)
+    H.TEXT_BUCKETS = (32, 64)
+    H.LYRIC_BUCKETS = (32, 64)
+    dit = AceStepHandler(TINY_DIT, TINY_VAE, TINY_TEXT, dtype=jnp.float32)
+    dit.initialize_service(random_init=True)
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, payload):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        c.request("POST", path, body=json.dumps(payload),
+                  headers={"Content-Type": "application/json"})
+        out = json.loads(c.getresponse().read())
+        c.close()
+        return out
+
+    ckpt = os.path.join(os.path.dirname(__file__), "goldens", "checkpoint_tiny")
+    out = post("/v1/reinitialize", {"checkpoint_dir": ckpt})
+    assert out["success"], out
+    assert dit.config.audio_acoustic_hidden_dim == 16  # fixture config took effect
+
+    tid = post("/release_task", {
+        "caption": "after reload", "duration": 2.0, "seed": 1,
+        "batch_size": 1, "thinking": False, "audio_format": "wav",
+    })["task_id"]
+    st = None
+    for _ in range(240):
+        st = post("/query_result", {"task_ids": [tid]})["results"][0]
+        if st["status"] in (1, 2):
+            break
+        time.sleep(0.5)
+    assert st["status"] == 1, st
+    assert os.path.exists(st["result"]["audio_paths"][0])
+    server.shutdown()
+
+
 def test_example_endpoint(handlers, tmp_path):
     """GET /v1/example samples a shipped example params file (ref
     metadata_loading.sample_example over examples/*.json)."""
