@@ -93,6 +93,142 @@ def test_decoder_rejects_garbage():
         flac.decode(b"RIFFxxxxWAVE")
 
 
+class _BW:
+    """Minimal MSB-first bit writer for hand-built FLAC streams."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def put_signed(self, v, n):
+        self.put(v & ((1 << n) - 1), n)
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def bytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i:i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _stream_header(bw, channels, bs, total, sr=8000, bps=16):
+    for ch in b"fLaC":
+        bw.put(ch, 8)
+    bw.put(1, 1)
+    bw.put(0, 7)
+    bw.put(34, 24)  # STREAMINFO
+    bw.put(bs, 16)
+    bw.put(bs, 16)
+    bw.put(0, 24)
+    bw.put(0, 24)
+    bw.put(sr, 20)
+    bw.put(channels - 1, 3)
+    bw.put(bps - 1, 5)
+    bw.put(total, 36)
+    for _ in range(16):
+        bw.put(0, 8)  # md5 unknown
+
+
+def _frame_header(bw, bs, chan_assign):
+    bw.put(0x3FFE, 14)
+    bw.put(0, 1)
+    bw.put(0, 1)
+    bw.put(0b0111, 4)  # 16-bit blocksize at end
+    bw.put(0b0000, 4)  # sr from STREAMINFO
+    bw.put(chan_assign, 4)
+    bw.put(0b100, 3)   # 16 bps
+    bw.put(0, 1)
+    bw.put(0, 8)       # coded frame number 0
+    bw.put(bs - 1, 16)
+    bw.put(0, 8)       # crc8 (decoders don't verify)
+
+
+def test_decoders_agree_on_lpc_subframe():
+    """Hand-built LPC stream (order 1, shift 1, coef 2 → pred = x[i-1]):
+    real-world encoders emit LPC, which our own encoder never produces — this
+    pins both decoders' LPC reconstruction against each other and against a
+    hand-computed series."""
+    bs = 8
+    warmup = 100
+    residuals = [5, -3, 7, 0, -2, 4, 1]
+    expected = [warmup]
+    for e in residuals:
+        expected.append(e + ((2 * expected[-1]) >> 1))
+
+    bw = _BW()
+    _stream_header(bw, 1, bs, bs)
+    _frame_header(bw, bs, chan_assign=0)
+    bw.put(0, 1)           # subframe pad
+    bw.put(0b100000, 6)    # LPC order 1
+    bw.put(0, 1)           # no wasted bits
+    bw.put_signed(warmup, 16)
+    bw.put(4 - 1, 4)       # precision 4
+    bw.put_signed(1, 5)    # shift 1
+    bw.put_signed(2, 4)    # coef 2
+    bw.put(0b00, 2)        # rice method
+    bw.put(0, 4)           # partition order 0
+    r = 2
+    bw.put(r, 4)
+    for e in residuals:
+        u = (e << 1) if e >= 0 else ((-e) << 1) - 1  # zigzag
+        bw.put(0, u >> r)  # unary zeros
+        bw.put(1, 1)
+        bw.put(u & ((1 << r) - 1), r)
+    bw.align()
+    bw.put(0, 16)          # crc16 (not verified)
+    blob = bw.bytes()
+
+    p_pcm, p_sr, p_bps = flac.decode(blob)
+    assert p_pcm.shape == (1, bs) and (p_sr, p_bps) == (8000, 16)
+    np.testing.assert_array_equal(p_pcm[0], expected)
+    native = native_audio.flac_decode(blob)
+    assert native is not None
+    np.testing.assert_array_equal(native[0], p_pcm)
+
+
+@pytest.mark.parametrize("chan_assign", [8, 9])
+def test_decoders_agree_on_left_right_side(chan_assign):
+    """left/side (8) and right/side (9) decorrelations via hand-built
+    verbatim subframes — our encoder only emits independent or mid/side."""
+    bs = 4
+    left = [1000, -2000, 30000, -32768]
+    right = [900, -2100, 29995, -32700]
+    side = [l - r for l, r in zip(left, right)]
+
+    bw = _BW()
+    _stream_header(bw, 2, bs, bs)
+    _frame_header(bw, bs, chan_assign=chan_assign)
+    if chan_assign == 8:   # left (16) then side (17)
+        subs = [(left, 16), (side, 17)]
+    else:                  # side (17) then right (16)
+        subs = [(side, 17), (right, 16)]
+    for vals, bps in subs:
+        bw.put(0, 1)
+        bw.put(0b000001, 6)  # verbatim
+        bw.put(0, 1)
+        for v in vals:
+            bw.put_signed(v, bps)
+    bw.align()
+    bw.put(0, 16)
+    blob = bw.bytes()
+
+    p_pcm, _, _ = flac.decode(blob)
+    np.testing.assert_array_equal(p_pcm[0], left)
+    np.testing.assert_array_equal(p_pcm[1], right)
+    native = native_audio.flac_decode(blob)
+    assert native is not None
+    np.testing.assert_array_equal(native[0], p_pcm)
+
+
 def test_native_decoder_matches_python_decoder():
     """The C++ decoder (ingest path) must agree sample-for-sample with the
     pure-Python decoder (test oracle) on every content class — both written
