@@ -35,7 +35,17 @@ def _apply_mesh(dit, llm, args) -> None:
         llm.enable_tensor_parallel(dit.mesh)
 
 
+def _compile_cache() -> None:
+    """Persistent XLA compile cache for commands that actually compile —
+    NOT in main(), so `--help`/`download`/`verify-checkpoint` never pay the
+    jax import."""
+    from acestep_tpu.utils.compile_cache import enable
+
+    enable()
+
+
 def cmd_generate(args) -> int:
+    _compile_cache()
     from acestep_tpu.lm.handler import LLMHandler
     from acestep_tpu.pipeline.handler import AceStepHandler
     from acestep_tpu.service.inference import generate_music
@@ -123,6 +133,7 @@ def cmd_generate_examples(args) -> int:
     """Batch-generate example params via the LM (ref generate_examples.py:
     N create-sample calls saved as examples/<dir>/example_NN.json in the
     params-file format the UI's Sample-example button and Load-params read)."""
+    _compile_cache()
     from acestep_tpu.lm.handler import LLMHandler
     from acestep_tpu.service.inference import create_sample
 
@@ -174,6 +185,7 @@ def run_warmup(dit, warmup_spec: str) -> None:
 
 
 def cmd_serve(args) -> int:
+    _compile_cache()
     from acestep_tpu.lm.handler import LLMHandler
     from acestep_tpu.pipeline.handler import AceStepHandler
     from acestep_tpu.service.api_server import serve
@@ -231,6 +243,7 @@ def cmd_serve(args) -> int:
 
 
 def cmd_train(args) -> int:
+    _compile_cache()
     from acestep_tpu.pipeline.handler import AceStepHandler
     from acestep_tpu.training.dataset import PreprocessedDataset
     from acestep_tpu.training.trainer import LoRAConfig, LoRATrainer, TrainingConfig
@@ -267,6 +280,7 @@ def cmd_train(args) -> int:
 
 
 def cmd_build_dataset(args) -> int:
+    _compile_cache()
     """Scan/label/preprocess an audio directory (the annotation-script role of
     ref `scripts/lora_data_prepare/`, using the built-in LM instead of
     external captioning/transcription services)."""
@@ -348,6 +362,7 @@ def _profile_lm(args) -> int:
 
 
 def cmd_estimate(args) -> int:
+    _compile_cache()
     """Gradient-sensitivity ranking of LoRA-targetable attention modules
     (Side-Step `estimate` parity, ref training_v2/estimate.py:26-261)."""
     from acestep_tpu.pipeline.handler import AceStepHandler
@@ -376,6 +391,7 @@ def cmd_profile(args) -> int:
     """Benchmark matrix: Duration × Batch × Think × Steps → Wall/LM/DiT/VAE
     seconds (ref `profile_inference.py --mode benchmark`,
     docs/en/BENCHMARK.md:96-120 table incl. the thinking column)."""
+    _compile_cache()
     from acestep_tpu.pipeline.handler import AceStepHandler
 
     if args.lm:
@@ -462,9 +478,6 @@ def main(argv=None) -> int:
     from acestep_tpu.utils.env import load_dotenv
 
     load_dotenv()  # .env → env vars (CLI args still take precedence)
-    from acestep_tpu.utils.compile_cache import enable as _enable_compile_cache
-
-    _enable_compile_cache()  # warm restarts replay the 20-40 s compiles
     ap = argparse.ArgumentParser(prog="acestep-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

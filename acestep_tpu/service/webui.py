@@ -420,6 +420,7 @@ $("go").onclick = async () => {
   // by the LM into caption/lyrics/metadata before the normal submit; if the
   // LM is unavailable the description becomes the caption directly.
   if (mode === "Simple" && $("simple_query").value.trim()) {
+    $("go").disabled = true;  // the draft takes seconds; block double-submit
     $("status").textContent = t("drafting with the LM…");
     try {
       const out = await post("/create_random_sample", {query: $("simple_query").value.trim()});

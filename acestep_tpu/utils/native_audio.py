@@ -19,22 +19,52 @@ _lib_lock = threading.Lock()
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
 
 
+# Every symbol this binding configures; a stale .so built before a symbol
+# existed must trigger a rebuild, not an AttributeError in the save path.
+_REQUIRED_SYMBOLS = (
+    "as_peak", "as_f32_to_i16", "as_i16_to_f32", "as_resample_poly",
+    "as_flac_encode", "as_flac_probe", "as_flac_decode",
+)
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     with _lib_lock:
         if _lib is not None:
             return _lib or None
         so = os.path.join(_NATIVE_DIR, "libacestep_audio.so")
-        if not os.path.exists(so):
+
+        def rebuild() -> bool:
             try:
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR], check=True, capture_output=True, timeout=120
                 )
+                return True
             except Exception:
-                _lib = False  # sentinel: don't retry
-                return None
-        try:
+                return False
+
+        def open_checked():
             lib = ctypes.CDLL(so)
+            for sym in _REQUIRED_SYMBOLS:
+                getattr(lib, sym)  # AttributeError when the .so is stale
+            return lib
+
+        if not os.path.exists(so) and not rebuild():
+            _lib = False  # sentinel: don't retry
+            return None
+        try:
+            try:
+                lib = open_checked()
+            except (OSError, AttributeError):
+                # stale or broken build — rebuild once from current sources
+                try:
+                    os.remove(so)
+                except OSError:
+                    pass
+                if not rebuild():
+                    _lib = False
+                    return None
+                lib = open_checked()
             lib.as_peak.restype = ctypes.c_float
             lib.as_peak.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
             lib.as_f32_to_i16.restype = None
@@ -70,7 +100,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ]
             _lib = lib
             return lib
-        except OSError:
+        except (OSError, AttributeError):
             _lib = False
             return None
 
@@ -163,7 +193,14 @@ def flac_decode(blob: bytes):
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(blob),
         ctypes.byref(ch), ctypes.byref(sr), ctypes.byref(bps), ctypes.byref(total),
     )
-    if off < 0 or total.value <= 0:
+    if off < 0 or total.value <= 0 or not (1 <= ch.value <= 8):
+        return None
+    # STREAMINFO is untrusted: a crafted/corrupt total_samples must not turn
+    # into a huge allocation. Even all-constant frames cost ~17 bytes per
+    # 4096×ch samples (≈500 samples/byte at stereo, ~780 at 8ch) — bound
+    # decoded size by a generous multiple of the stream size instead of
+    # trusting the header (2048 caps a 1 KB header at an 8 MB buffer).
+    if total.value * ch.value > max(len(blob), 4096) * 2048:
         return None
     out = np.empty((total.value, ch.value), np.int32)
     got = lib.as_flac_decode(

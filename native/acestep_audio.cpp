@@ -512,7 +512,10 @@ struct BitReader {
   int64_t read_signed(int n) {
     int64_t v = 0;
     if (n > 32) {
-      v = ((int64_t)read(n - 32) << 32) | read(32);
+      // sequence the two mutating reads explicitly (| has no eval order)
+      int64_t hi = read(n - 32);
+      int64_t lo = read(32);
+      v = (hi << 32) | lo;
     } else {
       v = read(n);
     }
@@ -755,7 +758,12 @@ int64_t as_flac_probe(const uint8_t* data, int64_t len, int32_t* channels,
       *sample_rate = (int32_t)br.read(20);
       *channels = (int32_t)br.read(3) + 1;
       *bps = (int32_t)br.read(5) + 1;
-      *total = ((int64_t)br.read(4) << 32) | br.read(32);
+      {
+        // sequence the two mutating reads (| has no evaluation order)
+        int64_t hi = br.read(4);
+        int64_t lo = br.read(32);
+        *total = (hi << 32) | lo;
+      }
       have_info = true;
     }
     pos += 4 + blen;
