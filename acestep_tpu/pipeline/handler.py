@@ -647,6 +647,7 @@ class AceStepHandler:
         return_int16: bool,
         timings: Optional[Dict[str, float]] = None,
     ) -> np.ndarray:
+        t_entry = time.time()
         hop = self.vae_config.hop_length
         b = wav_chunks[0].shape[0]
         # The peaks stack depends on every chunk's decode, so this readback
@@ -656,6 +657,8 @@ class AceStepHandler:
         # link time (the dev tunnel moves ~43 MB/s; a production PCIe host
         # moves the same waveform in ~2 ms).
         t0 = time.time()
+        if timings is not None:
+            timings["pre_s"] = timings.get("pre_s", 0.0) + (t0 - t_entry)
         peak = np.max(np.asarray(peaks, np.float32), axis=0)  # (B,)
         if timings is not None:
             timings["compute_wait_s"] = timings.get("compute_wait_s", 0.0) + (
@@ -714,7 +717,13 @@ class AceStepHandler:
             )
         if return_int16:
             return out
-        return out.astype(np.float32) / 32767.0
+        t2 = time.time()
+        outf = out.astype(np.float32) / 32767.0
+        if timings is not None:
+            timings["f32_convert_s"] = timings.get("f32_convert_s", 0.0) + (
+                time.time() - t2
+            )
+        return outf
 
     # ------------------------------------------------------------------
     # Multi-chip data parallelism (SURVEY §2.4 TPU-native equivalents)
@@ -1216,6 +1225,9 @@ class AceStepHandler:
                 time_costs["vae_decode_transfer_time_cost"] = dec_timings.get(
                     "transfer_s", 0.0
                 )
+                for k in ("pre_s", "f32_convert_s"):
+                    if dec_timings.get(k):
+                        time_costs[f"vae_decode_{k[:-2]}_time_cost"] = dec_timings[k]
                 if dec_timings.get("retries"):
                     time_costs["vae_decode_hbm_retries"] = dec_timings["retries"]
                 time_costs["total_time_cost"] = time.time() - t_start

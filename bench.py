@@ -54,11 +54,20 @@ BATCHES = (
 )
 
 
+DEVICE_PROBE_QUIET_MS = 39.0  # this chip, quiet window (≈6.9 TFLOP @ ~90% MFU)
+
+
 def _link_probe():
-    """Tunnel health at measurement time: scalar-readback RTT (ms) and bulk
-    device→host bandwidth (MB/s). Recorded alongside every pass so the reader
-    can attribute wall time to the link (axon ≈ 30 ms / 43 MB/s; production
-    PCIe ≈ 0.01 ms / >10 GB/s)."""
+    """Tunnel + device health at measurement time: scalar-readback RTT (ms),
+    bulk device→host bandwidth (MB/s), and a FIXED-FLOP device probe (a
+    400-iteration 2048³ bf16 matmul loop — one compiled program, one readback)
+    whose quiet-window cost on this chip is ~39 ms. `device_contention` =
+    probe_ms / quiet_ms: the chip is time-sliced between co-tenants, so a
+    probe at 4× means EVERY device program in this window ran ~4× slower than
+    the same program on a dedicated chip — the evidence that lets a reader
+    attribute a slow capture to co-tenant load rather than a code regression
+    (axon link ≈ 30 ms RTT / 43 MB/s; production PCIe ≈ 0.01 ms / >10 GB/s;
+    production chips are not time-sliced)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -75,9 +84,29 @@ def _link_probe():
     t0 = time.time()
     np.asarray(big)
     dt = max(time.time() - t0, 1e-6)
+
+    @jax.jit
+    def flop_probe(a):
+        def body(_, c):
+            return jnp.tanh(c @ a)
+
+        return jax.lax.fori_loop(0, 400, body, a)[0, 0]
+
+    a = jnp.ones((2048, 2048), jnp.bfloat16) * 1e-3
+    float(flop_probe(a))  # compile + warm
+    probes = []
+    for _ in range(3):
+        t0 = time.time()
+        float(flop_probe(a))
+        probes.append(time.time() - t0)
+    probe_ms = min(probes) * 1e3
     return {
         "rtt_ms": round(min(rtts) * 1e3, 2),
         "dtoh_mb_s": round(12.0 / dt, 1),
+        "device_probe_ms": round(probe_ms, 1),
+        "device_contention": round(
+            max(probe_ms - min(rtts) * 1e3, 1.0) / DEVICE_PROBE_QUIET_MS, 2
+        ),
     }
 
 
@@ -94,6 +123,21 @@ def _gen_kwargs(batch: int):
     )
 
 
+def _gen_with_retry(handler, kwargs, attempts: int = 3):
+    """One measured generation, retried on transient co-tenant pressure
+    (RESOURCE_EXHAUSTED when another tenant fills the shared chip's HBM).
+    A crashed bench records nothing; a retried run records a number."""
+    for i in range(attempts):
+        try:
+            return handler.generate_music(**kwargs)
+        except Exception as e:  # noqa: BLE001
+            if "RESOURCE_EXHAUSTED" not in str(e) or i == attempts - 1:
+                raise
+            gc.collect()
+            time.sleep(20.0)
+    raise RuntimeError("unreachable")
+
+
 def _measure_point(handler, batch: int, reps: int):
     import jax
     import jax.numpy as jnp
@@ -102,9 +146,10 @@ def _measure_point(handler, batch: int, reps: int):
     probe = jax.jit(lambda x: x * 2)
     ones = jnp.ones((8, 128))
 
-    out = handler.generate_music(**kwargs)  # warmup/compile
+    out = _gen_with_retry(handler, kwargs)  # warmup/compile
     times = []
     diff_s, cwait_s, xfer_s = [], [], []
+    retried = 0
     for _ in range(reps):
         # Settle between reps: free the previous run's device buffers NOW,
         # drain the device queue, give remote deallocations a moment —
@@ -114,7 +159,16 @@ def _measure_point(handler, batch: int, reps: int):
         float(jnp.sum(probe(ones)))
         time.sleep(1.0)
         t0 = time.time()
-        out = handler.generate_music(**kwargs)
+        try:
+            out = handler.generate_music(**kwargs)
+        except Exception as e:  # noqa: BLE001 — transient co-tenant HBM spike
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            retried += 1
+            out = None
+            gc.collect()
+            time.sleep(20.0)
+            continue
         times.append(time.time() - t0)
         tc = out["time_costs"]
         diff_s.append(tc.get("diffusion_time_cost", 0.0))
@@ -124,6 +178,8 @@ def _measure_point(handler, batch: int, reps: int):
         if len(fast) == 5 and fast[-1] <= fast[0] * 1.12:
             break  # quiet-window estimate converged early
     del out
+    if not times:
+        raise RuntimeError("all reps hit RESOURCE_EXHAUSTED")
     srt = sorted(times)
     fast5 = srt[: min(5, len(srt))]
     med = lambda xs: sorted(xs)[len(xs) // 2]
@@ -139,6 +195,7 @@ def _measure_point(handler, batch: int, reps: int):
         "decode_compute_wait_median_s": round(med(cwait_s), 3),
         "decode_transfer_median_s": round(med(xfer_s), 3),
         "pcm_bytes": int(batch * DURATION_S * 48_000 * 2 * 2),
+        "oom_retries": retried,
     }
 
 
@@ -299,9 +356,28 @@ def main():
         }))
         return
 
+    try:
+        _main_measured()
+    except Exception as e:  # noqa: BLE001 — a crash records nothing
+        print(json.dumps({
+            "metric": "seconds-of-audio/sec/chip (text-enc + DiT 8-step + VAE decode)",
+            "value": 0,
+            "unit": "audio_s/s",
+            "vs_baseline": 0,
+            "detail": {"error": f"bench failed: {str(e)[:300]}"},
+        }))
+
+
+def _main_measured():
     import jax
 
     from acestep_tpu.pipeline.handler import AceStepHandler
+    from acestep_tpu.utils import compile_cache
+
+    # Persistent XLA cache: repeated captures (quiet-pass retries, the
+    # driver's round-end run after a builder-side run) replay the 20-40 s
+    # program compiles instead of re-paying them.
+    compile_cache.enable()
 
     handler = AceStepHandler()
     handler.initialize_service(random_init=True)
@@ -330,7 +406,10 @@ def main():
             break
     link_probes.append(_link_probe())
     best = max(points, key=lambda p: p["batch"] * DURATION_S / p["fast5_median_wall_s"])
-    pipelined = _measure_pipelined(handler, best["batch"])
+    try:
+        pipelined = _measure_pipelined(handler, best["batch"])
+    except Exception as e:  # noqa: BLE001 — keep the headline if this leg dies
+        pipelined = {"error": str(e)[:200], "pipelined_audio_s_per_s": 0}
 
     # Long-duration operating point (VERDICT r2 next #7): the max-duration
     # shapes the reference advertises (constants.py:58-59, up to 600 s) are
@@ -353,19 +432,24 @@ def main():
             )
             long_point["audio_s_per_s_device"] = round(DURATION_S / long_dev_wall, 2)
             long_point["duration_s"] = DURATION_S
+        except Exception as e:  # noqa: BLE001 — keep the headline
+            long_point = {"error": str(e)[:200]}
         finally:
             DURATION_S = short
 
     think_point = None
     if os.environ.get("BENCH_THINK", "1") != "0":
-        from acestep_tpu.lm.handler import LLMHandler
+        try:
+            from acestep_tpu.lm.handler import LLMHandler
 
-        llm = LLMHandler()
-        llm.initialize(random_init=True)
-        think_point = _measure_think_point(
-            handler, llm, batch=best["batch"],
-            reps=min(REPS, int(os.environ.get("BENCH_THINK_REPS", 5))),
-        )
+            llm = LLMHandler()
+            llm.initialize(random_init=True)
+            think_point = _measure_think_point(
+                handler, llm, batch=best["batch"],
+                reps=min(REPS, int(os.environ.get("BENCH_THINK_REPS", 5))),
+            )
+        except Exception as e:  # noqa: BLE001 — keep the headline
+            think_point = {"error": str(e)[:200]}
 
     value = best["batch"] * DURATION_S / best["fast5_median_wall_s"]
     value_plain = best["batch"] * DURATION_S / best["median_wall_s"]
