@@ -35,7 +35,7 @@ from acestep_tpu.config import (
 from acestep_tpu.models import dit, qwen3, vae
 from acestep_tpu.params import init_acestep_params
 from acestep_tpu.utils import audio as audio_utils
-from acestep_tpu.utils import debug
+from acestep_tpu.utils import debug, native_audio
 from acestep_tpu.utils.constants import (
     DEFAULT_DIT_INSTRUCTION,
     MAX_AUDIO_CODE,
@@ -672,10 +672,18 @@ class AceStepHandler:
 
         out = np.empty((b, 2, t * hop), np.int16)
 
+        scale_b = scale.reshape(-1)
+
         def convert(arr_bf16, pos, take):
-            # ~5 passes over the chunk bytes; runs on a worker thread so it
-            # overlaps the device→host transfer of the NEXT chunk (the
-            # transfer, not host math, bounds this path through slow links).
+            # Fused single-pass C++ kernel (bf16 decode + scale + clip +
+            # round + transpose, native/acestep_audio.cpp) when the chunk
+            # arrived as bf16; numpy fallback is ~5 passes over the chunk
+            # bytes. Runs on a worker thread so it overlaps the device→host
+            # transfer of the NEXT chunk (through slow links the transfer,
+            # not host math, bounds this path — but the serving host here is
+            # a single core, so host passes are wall time too).
+            if native_audio.bf16_chunk_to_i16(arr_bf16, scale_b, out, pos, take):
+                return
             arr = np.asarray(arr_bf16, np.float32)  # (B, Lc, 2)
             pcm = np.clip(arr[:, :take].transpose(0, 2, 1) * scale, -1.0, 1.0)
             out[:, :, pos : pos + take] = np.round(pcm * 32767.0).astype(np.int16)

@@ -120,6 +120,10 @@ def _gen_kwargs(batch: int):
         use_random_seed=False,
         shift=3.0,
         decode_audio=True,
+        # The serving path returns int16 PCM (service/inference.py saves from
+        # int16); float output would add a host f32 pass the product never
+        # pays — measure the configuration users run.
+        return_int16=True,
     )
 
 

@@ -50,6 +50,45 @@ void as_f32_to_i16(const float* x, int64_t n, int ch, float target_gain,
   }
 }
 
+// One decoded VAE chunk, bf16 interleaved (b, lc, ch), -> scaled int16 PCM
+// written into the planar output (b, ch, total) at time offset `pos`
+// (dst[bi, c, pos .. pos+take)). Fuses bf16 decode + per-sample scale + clip
+// + round-to-nearest-even int16 quantize in ONE pass — the serving host's
+// replacement for ~5 numpy passes (bf16->f32, transpose, mul, clip,
+// round/astype) over up to ~100 MB per request. bf16 -> f32 is a 16-bit
+// left shift (bf16 is the top half of an IEEE f32).
+// `planar`: 0 = src is interleaved (b, lc, ch) C-order; 1 = src is planar
+// (b, ch, lc) physical layout — what the TPU runtime actually exports for
+// (b, lc, ch) bf16 device arrays (channel-major device layout), giving fully
+// sequential reads AND writes.
+void as_bf16_chunk_to_i16(const uint16_t* src, int64_t b, int64_t lc,
+                          int64_t take, int ch, const float* scale,
+                          int16_t* dst, int64_t total, int64_t pos,
+                          int planar) {
+  if (take > lc) take = lc;
+  if (pos < 0 || pos + take > total) return;
+  for (int64_t bi = 0; bi < b; ++bi) {
+    const float s = scale[bi];
+    const uint16_t* sb = src + bi * lc * ch;
+    for (int c = 0; c < ch; ++c) {
+      int16_t* d = dst + (bi * ch + c) * total + pos;
+      const uint16_t* sp = planar ? sb + (int64_t)c * lc : sb + c;
+      const int64_t stride = planar ? 1 : ch;
+      for (int64_t i = 0; i < take; ++i) {
+        uint32_t bits = (uint32_t)sp[(size_t)(i * stride)] << 16;
+        float v;
+        memcpy(&v, &bits, sizeof(v));
+        // Same op order as the numpy path (scale, clip to [-1,1], *32767,
+        // round-half-to-even) so both produce identical bytes.
+        v *= s;
+        if (v > 1.0f) v = 1.0f;
+        if (v < -1.0f) v = -1.0f;
+        d[i] = (int16_t)lrintf(v * 32767.0f);
+      }
+    }
+  }
+}
+
 // interleaved int16 (n, ch) -> planar f32 (ch, n)
 void as_i16_to_f32(const int16_t* x, int64_t n, int ch, float* out) {
   const float inv = 1.0f / 32768.0f;

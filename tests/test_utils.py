@@ -110,6 +110,45 @@ def test_native_audio_matches_numpy():
     assert abs(y.shape[1] - 4800) <= 1
 
 
+def test_native_bf16_chunk_to_i16_matches_numpy():
+    """The fused C++ decode-finish kernel must be byte-identical to the numpy
+    path it replaces (bf16→f32, slice to take, transpose, scale, clip,
+    round-half-even int16) including the pos/take windowing."""
+    import ml_dtypes
+
+    from acestep_tpu.utils import native_audio as na
+
+    if not na.available():  # pragma: no cover - env without g++
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    b, lc, ch, total, pos, take = 2, 777, 2, 2000, 301, 650
+    # include values beyond ±1 so the clip leg is exercised, and exact
+    # half-integer products so the rounding mode is pinned
+    chunk = (rng.standard_normal((b, lc, ch)) * 0.9).astype(ml_dtypes.bfloat16)
+    scale = np.array([0.83, 1.9], np.float32)
+    out = np.full((b, ch, total), 7, np.int16)
+    assert na.bf16_chunk_to_i16(chunk, scale, out, pos, take)
+    arr = chunk.astype(np.float32)
+    pcm = np.clip(arr[:, :take].transpose(0, 2, 1) * scale.reshape(b, 1, 1), -1.0, 1.0)
+    ref = np.round(pcm * 32767.0).astype(np.int16)
+    assert np.array_equal(out[:, :, pos:pos + take], ref)
+    # untouched outside the window
+    assert (out[:, :, :pos] == 7).all() and (out[:, :, pos + take:] == 7).all()
+    # planar physical layout — how the TPU runtime exports (b, lc, ch) bf16
+    # device arrays (channel-major strides) — must produce the same bytes
+    planar = np.ascontiguousarray(chunk.transpose(0, 2, 1)).transpose(0, 2, 1)
+    assert not planar.flags.c_contiguous  # really the planar layout
+    out2 = np.zeros_like(out)
+    assert na.bf16_chunk_to_i16(planar, scale, out2, pos, take)
+    assert np.array_equal(out2[:, :, pos:pos + take], ref)
+    # f32 input (CPU-test decode dtype) is rejected → caller keeps numpy path
+    assert not na.bf16_chunk_to_i16(
+        chunk.astype(np.float32), scale, out, pos, take
+    )
+    # out-of-bounds window is rejected, not written
+    assert not na.bf16_chunk_to_i16(chunk, scale, out, total - 5, take)
+
+
 def test_log_ring_buffer():
     import logging
 

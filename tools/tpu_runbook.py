@@ -38,7 +38,7 @@ def main():
             captions=["energetic synthwave, driving bass"] * batch,
             lyrics=["[Instrumental]"] * batch,
             audio_duration=dur, batch_size=batch, seeds=list(range(batch)),
-            use_random_seed=False, decode_audio=True, **kw,
+            use_random_seed=False, decode_audio=True, return_int16=True, **kw,
         )
         wall = time.time() - t0
         tc = {k: round(v, 3) for k, v in out["time_costs"].items()}
@@ -104,7 +104,7 @@ def main():
         kwargs = dict(
             captions=["energetic synthwave"] * BATCH, lyrics=["[Instrumental]"] * BATCH,
             audio_duration=DUR, batch_size=BATCH, seeds=list(range(BATCH)),
-            use_random_seed=False, decode_audio=True,
+            use_random_seed=False, decode_audio=True, return_int16=True,
         )
         h.generate_music(**kwargs)  # warm
         t0 = time.time()
