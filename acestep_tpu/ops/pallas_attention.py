@@ -30,6 +30,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+try:  # CompilerParams lives in the TPU-specific namespace
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover - non-TPU jax builds
+    pltpu = None
+
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 _LANE = 128  # TPU lane width; K-band starts align to it
@@ -177,9 +182,26 @@ def flash_attention(
         has_mask=has_mask,
     )
 
+    # Raise the scoped-VMEM ceiling: at lk=7500+ (the 300/600 s buckets) the
+    # one-shot tile — fp32 scores + probs (bq × lk_p) plus the K/V band —
+    # exceeds the compiler's default scoped limit (16 MiB on some toolchains);
+    # v5e/v5p have ≥128 MiB physical VMEM, so grant the kernel what it needs.
+    compiler_params = None
+    if pltpu is not None:
+        need = (
+            2 * 4 * block_q * band  # scores + probs, fp32
+            + 2 * 2 * band * h  # K + V band, bf16
+            + 4 * block_q * h  # q + out tiles
+            + 4 * lk_p
+        )
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=min(max(32 * 2**20, need + need // 2), 120 * 2**20)
+        )
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=compiler_params,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, h), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, lk_p, h), lambda bi, hi, qi, g=groups: (bi, hi // g, 0, 0)),

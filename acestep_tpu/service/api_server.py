@@ -57,8 +57,14 @@ class JobStore:
         return task_id
 
     def get(self, task_id: str) -> Optional[Dict[str, Any]]:
+        """Return a SNAPSHOT of the job, copied under the lock — callers read
+        it outside the lock while `mark()` mutates the live dict (ref _JobStore
+        copies result payloads out under its lock, api_server.py:816-941).
+        Nested values (payload/result/run_meta) are assigned whole and never
+        mutated in place after publication, so a shallow copy suffices."""
         with self._lock:
-            return self._jobs.get(task_id)
+            job = self._jobs.get(task_id)
+            return dict(job) if job is not None else None
 
     def mark(self, task_id: str, **kw) -> None:
         with self._lock:
@@ -136,9 +142,16 @@ class ApiService:
         self._worker.start()
 
     def submit(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        """Enqueue a job; raises queue.Full when MAX_QUEUE jobs are pending so
+        the HTTP layer returns 429 instead of blocking the request thread (the
+        reference's bounded job-queue backpressure)."""
         task_id = self.store.create(payload)
         pos = self.queue.qsize()
-        self.queue.put(task_id)
+        try:
+            self.queue.put_nowait(task_id)
+        except queue.Full:
+            self.store.mark(task_id, status="failed", error="queue full")
+            raise
         return {"task_id": task_id, "queue_position": pos}
 
     def _worker_loop(self) -> None:
@@ -392,9 +405,9 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
             import uuid as _uuid
 
             from acestep_tpu.service.openrouter import (
-                chat_completion_response,
-                parse_chat_messages,
+                lm_sampling_overrides as _lm_sampling_overrides,
             )
+            from acestep_tpu.service.openrouter import parse_chat_messages
 
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
@@ -406,10 +419,35 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 self.wfile.write(f"data: {json.dumps(obj)}\n\n".encode())
                 self.wfile.flush()
 
-            params, _ = parse_chat_messages(body.get("messages", []))
+            params, audio_bytes = parse_chat_messages(body.get("messages", []))
             payload = {**params.to_dict(), "batch_size": 1, "audio_format": "wav",
-                       "thinking": bool(body.get("thinking", True))}
-            task = service.submit(payload)
+                       "thinking": bool(body.get("thinking", True)),
+                       # OpenAI sampling params → LM sampling, same mapping as
+                       # the non-streaming path (ref openrouter_adapter.py:386-388).
+                       **_lm_sampling_overrides(body)}
+            if audio_bytes:
+                # Uploaded audio drives a cover job, exactly like non-streaming
+                # (ref openrouter_adapter.py:199-330 treats audio parts the
+                # same either way). The temp file rides "_temp_files" so the
+                # job worker cleans it up after the job turns terminal.
+                import tempfile
+
+                with tempfile.NamedTemporaryFile(
+                    suffix=".wav", prefix="acestep_sse_", delete=False
+                ) as f:
+                    f.write(audio_bytes)
+                payload["reference_audio"] = f.name
+                payload["task_type"] = "cover"
+                payload["_temp_files"] = [f.name]
+            try:
+                task = service.submit(payload)
+            except queue.Full:
+                self.wfile.write(
+                    b'data: {"error": {"code": 429, "message": "queue full"}}\n\n'
+                    b"data: [DONE]\n\n"
+                )
+                self.wfile.flush()
+                return
             # A dropped client raises on the next SSE write; stop polling then
             # (the job itself keeps running — it may be another poller's too).
             try:

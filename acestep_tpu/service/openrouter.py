@@ -62,6 +62,22 @@ def parse_chat_messages(messages: List[Dict[str, Any]]) -> Tuple[GenerationParam
     return params, audio_bytes
 
 
+def lm_sampling_overrides(body: Dict[str, Any]) -> Dict[str, Any]:
+    """OpenAI request sampling fields → LM sampling params, shared by the
+    streaming and non-streaming chat paths (ref openrouter_adapter.py:386-388
+    maps temperature/top_p/top_k onto lm_*; lm_-prefixed fields pass through)."""
+    out: Dict[str, Any] = {}
+    for src, dst in (("temperature", "lm_temperature"), ("top_p", "lm_top_p"),
+                     ("top_k", "lm_top_k")):
+        if body.get(src) is not None:
+            out[dst] = body[src]
+    for k in ("lm_temperature", "lm_top_p", "lm_top_k", "lm_cfg_scale",
+              "lm_repetition_penalty", "lm_negative_prompt"):
+        if body.get(k) is not None:
+            out[k] = body[k]
+    return out
+
+
 def chat_completion_response(
     model: str,
     result,
@@ -124,6 +140,8 @@ def handle_chat_completions(
             tmp_upload = params.reference_audio = f.name
         params.task_type = "cover"
     params.thinking = bool(body.get("thinking", True)) and llm_handler is not None
+    for k, v in lm_sampling_overrides(body).items():
+        setattr(params, k, v)
     cfg = GenerationConfig(batch_size=1, audio_format="wav", output_dir=output_dir)
     try:
         result = generate_music(dit_handler, llm_handler, params, cfg)

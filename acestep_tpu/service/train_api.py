@@ -49,6 +49,7 @@ class TrainingService:
             output_dir=output_dir,
             resume_from=payload.get("resume_from"),
             seed=int(payload.get("seed", 0)),
+            timestep_sampling=str(payload.get("timestep_sampling", "sidestep")),
         )
 
         state = {

@@ -3,6 +3,7 @@ from acestep_tpu.training.train_step import (
     create_train_state,
     flow_matching_loss,
     make_train_step,
+    sample_discrete_timesteps,
     sample_timesteps,
 )
 from acestep_tpu.training.lora import (
@@ -16,6 +17,7 @@ __all__ = [
     "create_train_state",
     "flow_matching_loss",
     "make_train_step",
+    "sample_discrete_timesteps",
     "sample_timesteps",
     "apply_lora",
     "init_lora_params",

@@ -31,6 +31,17 @@ def sample_timesteps(key, batch_size: int, mu: float = -0.4, sigma: float = 1.0)
     return jax.nn.sigmoid(jax.random.normal(key, (batch_size,)) * sigma + mu)
 
 
+def sample_discrete_timesteps(key, batch_size: int) -> jax.Array:
+    """v1 "bug-compatible" discrete draw: uniform over the turbo shift=3
+    inference schedule (ref `training/trainer.py:303-326`,
+    `TURBO_SHIFT3_TIMESTEPS` :56-57). Existing v1-trained LoRAs saw ONLY these
+    8 timestep values during training; reproducing such an adapter requires
+    the same distribution, so both samplers ship (`timestep_sampling` flag)."""
+    schedule = jnp.asarray(dit.SHIFT_TIMESTEPS[3.0], jnp.float32)
+    idx = jax.random.randint(key, (batch_size,), 0, schedule.shape[0])
+    return schedule[idx]
+
+
 def flow_matching_loss(
     params: Any,
     cfg: AceStepConfig,

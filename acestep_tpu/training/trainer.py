@@ -34,7 +34,10 @@ from acestep_tpu.training.lora import (
     init_lora_params,
     merge_lora,
 )
-from acestep_tpu.training.train_step import sample_timesteps
+from acestep_tpu.training.train_step import (
+    sample_discrete_timesteps,
+    sample_timesteps,
+)
 
 
 @dataclasses.dataclass
@@ -57,6 +60,11 @@ class TrainingConfig:
     cfg_ratio: float = 0.15
     timestep_mu: float = -0.4
     timestep_sigma: float = 1.0
+    # "sidestep": continuous logit-normal (training_v2 corrected sampling);
+    # "v1_discrete": uniform over the 8-value turbo shift=3 schedule — the v1
+    # trainer's draw (ref trainer.py:303-326), needed to reproduce LoRAs
+    # trained under v1.
+    timestep_sampling: str = "sidestep"
     checkpoint_every: int = 200
     gradient_accumulation_steps: int = 1  # ref trainer.py:722,822-843
     log_every: int = 10
@@ -92,7 +100,10 @@ def decoder_flow_matching_loss(
     null = jnp.broadcast_to(null_condition_emb.astype(enc.dtype), enc.shape)
     enc = jnp.where(drop, null, enc)
 
-    t = sample_timesteps(k_t, b, tcfg.timestep_mu, tcfg.timestep_sigma)
+    if tcfg.timestep_sampling == "v1_discrete":
+        t = sample_discrete_timesteps(k_t, b)
+    else:
+        t = sample_timesteps(k_t, b, tcfg.timestep_mu, tcfg.timestep_sigma)
     noise = jax.random.normal(k_noise, x0.shape, dtype=jnp.float32).astype(x0.dtype)
     t_ = t[:, None, None].astype(x0.dtype)
     xt = t_ * noise + (1.0 - t_) * x0

@@ -1,6 +1,10 @@
 """Benchmark: DiT denoise (turbo 8-step) + tiled Oobleck VAE decode on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Output contract (driver-proof, VERDICT r3 next #1): the FULL record (link
+probes, traces, per-run arrays) is written to `BENCH_DETAIL.json` next to this
+script AND printed as an early stdout line; the FINAL stdout line is a COMPACT
+(~≤1 KB) `{"metric","value","unit","vs_baseline","detail_file","summary"}`
+that still parses after the driver truncates stdout to its last 2 000 chars.
 
 Metric: seconds-of-audio generated per wall-second per chip (batch × duration
 / median pipeline time), the BASELINE.json north-star. Baseline: the
@@ -50,8 +54,58 @@ REPS = int(os.environ.get("BENCH_REPS", 8))
 BATCHES = (
     [int(os.environ["BENCH_BATCH"])]
     if os.environ.get("BENCH_BATCH")
-    else [2, 4]
+    else [2, 4, 8]  # 8 = the reference's max simultaneous songs (gpu_config.py:262-297)
 )
+
+
+def _emit(result: dict) -> None:
+    """Write the full record to BENCH_DETAIL.json + an early stdout line, then
+    print the compact headline as the LAST line. The driver keeps only a
+    2 000-char stdout tail, so the headline fields must survive truncation
+    (r03's single 4 KB line lost its leading "value"/"vs_baseline" fields)."""
+    detail_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_file, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        detail_file = ""
+    print(json.dumps(result))
+    d = result.get("detail", {})
+    summary = {}
+    for key in ("value_plain_median", "vs_baseline_plain_median",
+                "plain_median_device", "headline_point", "window_noisy",
+                "error"):
+        if key in d:
+            summary[key] = d[key]
+    long_p = d.get("long_duration") or {}
+    if "audio_s_per_s_device" in long_p:
+        summary["long_300s_audio_s_per_s_device"] = long_p["audio_s_per_s_device"]
+        summary["long_300s_audio_s_per_s"] = long_p["audio_s_per_s"]
+    long6 = d.get("long_duration_600") or {}
+    if "audio_s_per_s_device" in long6:
+        summary["long_600s_audio_s_per_s_device"] = long6["audio_s_per_s_device"]
+    think_full = d.get("thinking_on_fullsong") or {}
+    if "audio_s_per_s" in think_full:
+        summary["thinking_fullsong_audio_s_per_s"] = think_full["audio_s_per_s"]
+    pipe = d.get("pipelined") or {}
+    if "rounds" in pipe:
+        summary["pipelined_ratios"] = [r["ratio"] for r in pipe["rounds"]]
+        if "link_bound" in pipe:
+            summary["pipelined_link_bound"] = pipe["link_bound"]
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "detail_file": os.path.basename(detail_file) if detail_file else "",
+        "summary": summary,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1200:  # hard guard: headline must survive the tail capture
+        line = json.dumps({k: compact[k] for k in
+                           ("metric", "value", "unit", "vs_baseline", "detail_file")})
+    print(line)
 
 
 DEVICE_PROBE_QUIET_MS = 39.0  # this chip, quiet window (≈6.9 TFLOP @ ~90% MFU)
@@ -85,14 +139,20 @@ def _link_probe():
     np.asarray(big)
     dt = max(time.time() - t0, 1e-6)
 
+    # Fixed-FLOP probe sized for the TPU MXU; on the CPU test backend the
+    # same program would take minutes, so shrink it (contention numbers are
+    # only meaningful on the shared chip anyway).
+    on_tpu = jax.default_backend() == "tpu"
+    iters, dim = (400, 2048) if on_tpu else (4, 128)
+
     @jax.jit
     def flop_probe(a):
         def body(_, c):
             return jnp.tanh(c @ a)
 
-        return jax.lax.fori_loop(0, 400, body, a)[0, 0]
+        return jax.lax.fori_loop(0, iters, body, a)[0, 0]
 
-    a = jnp.ones((2048, 2048), jnp.bfloat16) * 1e-3
+    a = jnp.ones((dim, dim), jnp.bfloat16) * 1e-3
     float(flop_probe(a))  # compile + warm
     probes = []
     for _ in range(3):
@@ -151,6 +211,10 @@ def _measure_point(handler, batch: int, reps: int):
     ones = jnp.ones((8, 128))
 
     out = _gen_with_retry(handler, kwargs)  # warmup/compile
+    # Per-POINT contention probe (VERDICT r3 next #3): a 4× probe here means
+    # every device program in THIS point's window ran ~4× slow — the evidence
+    # that separates co-tenant load from a batch-scaling regression.
+    contention_before = _link_probe()["device_contention"]
     times = []
     diff_s, cwait_s, xfer_s = [], [], []
     retried = 0
@@ -189,6 +253,8 @@ def _measure_point(handler, batch: int, reps: int):
     med = lambda xs: sorted(xs)[len(xs) // 2]
     return {
         "batch": batch,
+        "device_contention": [contention_before,
+                              _link_probe()["device_contention"]],
         "fast5_median_wall_s": round(fast5[len(fast5) // 2], 3),
         "median_wall_s": round(srt[len(srt) // 2], 3),
         "min_wall_s": round(srt[0], 3),
@@ -251,11 +317,15 @@ def _measure_pipelined(handler, batch: int, n_req: int = 4):
 
     Measures BOTH streams in the same window — pipelined and a sequential
     control (identical requests, async_finish off) — and records per-request
-    dispatch/finish timestamps. `overlap_evidenced` is true when every
-    pipelined request N+1 finished its denoise dispatch BEFORE request N's
-    finish() returned (the queue-order proof VERDICT r2 next #2 asks for).
-    Returns the round with the best pipelined/sequential ratio among up to 3
-    rounds (first round that shows pipelined ≥ sequential stops early).
+    dispatch/finish timestamps. `overlap_evidenced` is true when the
+    pipelined finish() cost is well under the control's un-hidden transfer
+    (the transfer really streamed under the next request's compute).
+
+    Headline = the MEDIAN-ratio round of 3 (VERDICT r3 next #4 — no
+    cherry-picking); all rounds are recorded. When the measured device→host
+    link is orders of magnitude below a production PCIe link (`link_bound`),
+    the wall-clock ratio is tunnel-noise-dominated and the overlap claim
+    rests on the finish-cost evidence instead.
     """
     kwargs = dict(_gen_kwargs(batch), async_finish=True)
     kwargs_seq = dict(_gen_kwargs(batch))
@@ -315,17 +385,22 @@ def _measure_pipelined(handler, batch: int, n_req: int = 4):
             "trace": trace,
         }
 
-    rounds = []
-    for _ in range(3):
-        rounds.append(one_round())
-        if rounds[-1]["ratio"] >= 1.0:
-            break
-    best = max(rounds, key=lambda r: r["ratio"])
-    best["rounds"] = [
-        {k: r[k] for k in ("pipelined_audio_s_per_s", "sequential_audio_s_per_s", "ratio")}
+    link = _link_probe()
+    rounds = [one_round() for _ in range(3)]
+    headline = sorted(rounds, key=lambda r: r["ratio"])[len(rounds) // 2]
+    headline = dict(headline)
+    headline["rounds"] = [
+        {k: r[k] for k in ("pipelined_audio_s_per_s", "sequential_audio_s_per_s",
+                           "ratio", "overlap_evidenced")}
         for r in rounds
     ]
-    return best
+    # Production PCIe moves these bytes in ~2 ms; when the measured link is
+    # >20× slower than even 1 GB/s, per-request walls are dominated by tunnel
+    # scheduling noise and the win/loss ratio is not a property of the code.
+    headline["link_bound"] = bool(link["dtoh_mb_s"] < 500)
+    headline["link_probe"] = link
+    headline["all_rounds_win"] = all(r["ratio"] >= 1.0 for r in rounds)
+    return headline
 
 
 def _backend_reachable(timeout_s: float = 900.0) -> bool:
@@ -350,26 +425,26 @@ def _backend_reachable(timeout_s: float = 900.0) -> bool:
 def main():
     if not _backend_reachable():
         # Record the outage explicitly — a hung process records nothing.
-        print(json.dumps({
+        _emit({
             "metric": "seconds-of-audio/sec/chip (text-enc + DiT 8-step + VAE decode)",
             "value": 0,
             "unit": "audio_s/s",
             "vs_baseline": 0,
             "detail": {"error": "device backend unreachable at bench time "
                                 "(probe subprocess failed/timed out)"},
-        }))
+        })
         return
 
     try:
         _main_measured()
     except Exception as e:  # noqa: BLE001 — a crash records nothing
-        print(json.dumps({
+        _emit({
             "metric": "seconds-of-audio/sec/chip (text-enc + DiT 8-step + VAE decode)",
             "value": 0,
             "unit": "audio_s/s",
             "vs_baseline": 0,
             "detail": {"error": f"bench failed: {str(e)[:300]}"},
-        }))
+        })
 
 
 def _main_measured():
@@ -415,33 +490,36 @@ def _main_measured():
     except Exception as e:  # noqa: BLE001 — keep the headline if this leg dies
         pipelined = {"error": str(e)[:200], "pipelined_audio_s_per_s": 0}
 
-    # Long-duration operating point (VERDICT r2 next #7): the max-duration
+    # Long-duration operating points (VERDICT r3 next #2): the max-duration
     # shapes the reference advertises (constants.py:58-59, up to 600 s) are
-    # the slowest per audio-second; record 1×300 s explicitly.
-    long_point = None
-    if os.environ.get("BENCH_LONG", "1") != "0":
+    # the slowest per audio-second; record 1×300 s AND 1×600 s explicitly.
+    def _measure_long(duration: float):
         global DURATION_S
         short = DURATION_S
-        DURATION_S = float(os.environ.get("BENCH_LONG_DURATION_S", 300))
+        DURATION_S = duration
         try:
-            long_point = _measure_point(
+            p = _measure_point(
                 handler, 1, min(REPS, int(os.environ.get("BENCH_LONG_REPS", 4)))
             )
-            long_point["audio_s_per_s"] = round(
-                DURATION_S / long_point["median_wall_s"], 2
-            )
-            long_dev_wall = max(
-                long_point["median_wall_s"] - long_point["decode_transfer_median_s"],
-                1e-6,
-            )
-            long_point["audio_s_per_s_device"] = round(DURATION_S / long_dev_wall, 2)
-            long_point["duration_s"] = DURATION_S
+            p["audio_s_per_s"] = round(duration / p["median_wall_s"], 2)
+            dev_wall = max(p["median_wall_s"] - p["decode_transfer_median_s"], 1e-6)
+            p["audio_s_per_s_device"] = round(duration / dev_wall, 2)
+            p["duration_s"] = duration
+            return p
         except Exception as e:  # noqa: BLE001 — keep the headline
-            long_point = {"error": str(e)[:200]}
+            return {"error": str(e)[:200], "duration_s": duration}
         finally:
             DURATION_S = short
 
-    think_point = None
+    long_point = long_point_600 = None
+    if os.environ.get("BENCH_LONG", "1") != "0":
+        long_point = _measure_long(float(os.environ.get("BENCH_LONG_DURATION_S", 300)))
+        if os.environ.get("BENCH_LONG600", "1") != "0":
+            long_point_600 = _measure_long(
+                float(os.environ.get("BENCH_LONG600_DURATION_S", 600))
+            )
+
+    think_point = think_fullsong = None
     if os.environ.get("BENCH_THINK", "1") != "0":
         try:
             from acestep_tpu.lm.handler import LLMHandler
@@ -452,8 +530,25 @@ def _main_measured():
                 handler, llm, batch=best["batch"],
                 reps=min(REPS, int(os.environ.get("BENCH_THINK_REPS", 5))),
             )
+            # Full-song think-on point (VERDICT r3 next #8): 1×180 s with the
+            # LM in the loop — the reference's "<2 s full song on A100" shape
+            # (README.md:28,42) as ONE comparable field.
+            global DURATION_S
+            short = DURATION_S
+            DURATION_S = float(os.environ.get("BENCH_FULLSONG_DURATION_S", 180))
+            try:
+                think_fullsong = _measure_think_point(
+                    handler, llm, batch=1,
+                    reps=min(REPS, int(os.environ.get("BENCH_FULLSONG_REPS", 4))),
+                )
+                think_fullsong["duration_s"] = DURATION_S
+            finally:
+                DURATION_S = short
         except Exception as e:  # noqa: BLE001 — keep the headline
-            think_point = {"error": str(e)[:200]}
+            if think_point is None:
+                think_point = {"error": str(e)[:200]}
+            else:
+                think_fullsong = {"error": str(e)[:200]}
 
     value = best["batch"] * DURATION_S / best["fast5_median_wall_s"]
     value_plain = best["batch"] * DURATION_S / best["median_wall_s"]
@@ -478,7 +573,9 @@ def _main_measured():
             "pipelined": pipelined,
             "pipelined_sustained_audio_s_per_s": pipelined["pipelined_audio_s_per_s"],
             "thinking_on": think_point,
+            "thinking_on_fullsong": think_fullsong,
             "long_duration": long_point,
+            "long_duration_600": long_point_600,
             "duration_s": DURATION_S,
             "headline_point": best["batch"],
             "window_noisy": any(p["noise_spread"] > 1.5 for p in points),
@@ -489,7 +586,7 @@ def _main_measured():
             "device": str(jax.devices()[0]),
         },
     }
-    print(json.dumps(result))
+    _emit(result)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,19 @@
 #include <cstring>
 #include <vector>
 
+// Round-half-to-even int16 quantize, independent of the runtime fenv rounding
+// mode (lrintf follows fesetround(); a loaded library flipping the mode would
+// silently diverge from np.round while parity tests in a clean env still
+// pass). |v| <= 32767 on entry (callers clip first), so the int64 floor is
+// exact and the tie comparison happens on the same f32 product numpy sees.
+static inline int16_t as_quantize_i16(float v) {
+  float f = std::floor(v);
+  int64_t n = (int64_t)f;
+  float diff = v - f;
+  if (diff > 0.5f || (diff == 0.5f && (n & 1))) n += 1;
+  return (int16_t)n;
+}
+
 extern "C" {
 
 // max |x| over n floats
@@ -45,7 +58,7 @@ void as_f32_to_i16(const float* x, int64_t n, int ch, float target_gain,
       float v = x[c * n + i] * scale;
       if (v > 1.0f) v = 1.0f;
       if (v < -1.0f) v = -1.0f;
-      out[i * ch + c] = (int16_t)lrintf(v * 32767.0f);
+      out[i * ch + c] = as_quantize_i16(v * 32767.0f);
     }
   }
 }
@@ -83,7 +96,7 @@ void as_bf16_chunk_to_i16(const uint16_t* src, int64_t b, int64_t lc,
         v *= s;
         if (v > 1.0f) v = 1.0f;
         if (v < -1.0f) v = -1.0f;
-        d[i] = (int16_t)lrintf(v * 32767.0f);
+        d[i] = as_quantize_i16(v * 32767.0f);
       }
     }
   }

@@ -67,7 +67,13 @@ def test_measure_pipelined_with_control(bench, tiny_handlers):
     assert all("denoise_done" in t and "finish_done" in t and "finish_cost_s" in t
                for t in out["trace"])
     assert "control_transfer_median_s" in out and "pipelined_finish_median_s" in out
-    assert out["rounds"]
+    # Always 3 recorded rounds; headline is the MEDIAN-ratio round, and the
+    # link-bound flag + per-round win bit are present (VERDICT r3 next #4).
+    assert len(out["rounds"]) == 3
+    ratios = sorted(r["ratio"] for r in out["rounds"])
+    assert out["ratio"] == ratios[1]
+    assert isinstance(out["link_bound"], bool)
+    assert isinstance(out["all_rounds_win"], bool)
 
 
 def test_measure_think_point(bench, tiny_handlers):
@@ -109,31 +115,65 @@ def test_bench_main_end_to_end(bench, tiny_handlers, monkeypatch, capsys):
     monkeypatch.setenv("BENCH_LONG_REPS", "1")
     monkeypatch.setenv("BENCH_THINK_REPS", "1")
     monkeypatch.setenv("BENCH_RETRY_WAIT_S", "0")
+    monkeypatch.setenv("BENCH_LONG600_DURATION_S", "3")
+    monkeypatch.setenv("BENCH_FULLSONG_DURATION_S", "2")
+    monkeypatch.setenv("BENCH_FULLSONG_REPS", "1")
     import importlib
 
     importlib.reload(bench)
     bench.main()
-    line = capsys.readouterr().out.strip().splitlines()[-1]
-    rec = json.loads(line)
+    out = capsys.readouterr().out
+    lines = out.strip().splitlines()
+    # FULL record: early stdout line + BENCH_DETAIL.json, identical contents.
+    rec = json.loads(lines[0])
     assert rec["unit"] == "audio_s/s" and rec["value"] > 0
     d = rec["detail"]
     for key in ("value_plain_median", "plain_median_device", "link_probes",
-                "pipelined", "thinking_on", "long_duration", "points",
+                "pipelined", "thinking_on", "thinking_on_fullsong",
+                "long_duration", "long_duration_600", "points",
                 "pass_noise_spreads", "window_noisy"):
         assert key in d, key
     assert d["pipelined"]["rounds"]
     assert d["long_duration"]["audio_s_per_s"] > 0
+    assert d["long_duration_600"]["audio_s_per_s"] > 0
     assert d["thinking_on"]["audio_s_per_s"] > 0
+    assert d["thinking_on_fullsong"]["audio_s_per_s"] > 0
     assert len(d["link_probes"]) >= 2
+    # per-point contention probes quoted next to each point (r3 next #3)
+    assert all(len(p["device_contention"]) == 2 for p in d["points"])
+    detail_path = os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
+    with open(detail_path) as f:
+        assert json.load(f)["value"] == rec["value"]
+
+    # COMPACT final line: the DRIVER-FACING record. It must be last, small,
+    # and still parse after the driver's 2 000-char tail truncation — the
+    # exact failure that made BENCH_r03 unparseable (VERDICT r3 next #1).
+    tail = out[-2000:]
+    final = tail.strip().splitlines()[-1]
+    compact = json.loads(final)
+    assert len(final) <= 1300
+    for key in ("metric", "value", "unit", "vs_baseline", "detail_file"):
+        assert key in compact, key
+    assert compact["value"] == rec["value"]
+    assert compact["vs_baseline"] == rec["vs_baseline"]
+    assert compact["detail_file"] == "BENCH_DETAIL.json"
+    s = compact["summary"]
+    assert "long_300s_audio_s_per_s_device" in s
+    assert "long_600s_audio_s_per_s_device" in s
+    assert "thinking_fullsong_audio_s_per_s" in s
+    assert len(s["pipelined_ratios"]) == 3
 
 
 def test_bench_records_outage_instead_of_hanging(monkeypatch, capsys, bench):
     """When the device backend is unreachable the driver's bench run must
-    emit an explicit outage record (value 0 + error) rather than hang."""
+    emit an explicit outage record (value 0 + error) rather than hang —
+    and the final line stays compact/parseable."""
     import json
 
     monkeypatch.setenv("BENCH_PROBE", "1")
     monkeypatch.setattr(bench, "_backend_reachable", lambda *a, **k: False)
     bench.main()
-    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rec["value"] == 0 and "error" in rec["detail"]
+    out = capsys.readouterr().out
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["value"] == 0 and "error" in rec["summary"]
+    assert len(out.strip().splitlines()[-1]) <= 1300

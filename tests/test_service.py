@@ -218,6 +218,92 @@ def test_chat_completions_streaming(handlers, tmp_path):
     server.shutdown()
 
 
+def test_chat_completions_streaming_with_audio(handlers, tmp_path):
+    """Streamed chat with a base64 audio part drives a COVER job — the
+    streaming path must honor uploads the same as non-streaming (ref
+    openrouter_adapter.py:199-330; VERDICT r3 missing #2)."""
+    import base64
+    import http.client
+    import io
+    import threading
+    import wave
+
+    dit, llm = handlers
+    from acestep_tpu.service.api_server import serve
+
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(48_000)
+        rng = np.random.default_rng(1)
+        w.writeframes((rng.standard_normal(2 * 96_000) * 3000).astype(np.int16).tobytes())
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=240)
+    conn.request("POST", "/v1/chat/completions", body=json.dumps({
+        "messages": [{"role": "user", "content": [
+            {"type": "text", "text": "cover this, 2 seconds"},
+            {"type": "input_audio", "input_audio": {"data": b64, "format": "wav"}},
+        ]}],
+        "stream": True, "thinking": False, "temperature": 0.5,
+    }), headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    raw = resp.read().decode()
+    assert "[DONE]" in raw
+    events = [json.loads(l[6:]) for l in raw.splitlines()
+              if l.startswith("data: ") and l != "data: [DONE]"]
+    assert events[-1]["choices"][0].get("finish_reason") == "stop", raw[-500:]
+    # The final chunk carries generated audio.
+    parts = events[-1]["choices"][0]["delta"]["content"]
+    assert any(p.get("type") == "audio" for p in parts)
+    # The job actually ran as a cover with the upload attached, with the
+    # OpenAI `temperature` mapped onto lm sampling, and the temp upload was
+    # cleaned up after the job turned terminal.
+    task_id = events[0]["choices"][0]["delta"]["content"].split()[-1]
+    job = server.service.store.get(task_id)
+    assert job["status"] == "succeeded"
+    assert job["payload"]["task_type"] == "cover"
+    assert job["payload"]["lm_temperature"] == 0.5
+    upload = job["payload"]["reference_audio"]
+    assert upload and not os.path.exists(upload)
+    server.shutdown()
+
+
+def test_release_task_queue_full_429(handlers, tmp_path):
+    """A full job queue returns 429 instead of blocking the HTTP thread
+    (reference's bounded-queue backpressure; VERDICT r3 missing #4)."""
+    import http.client
+    import queue as _queue
+    import threading
+
+    dit, _ = handlers
+    from acestep_tpu.service.api_server import serve
+
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    # Swap in an already-full queue the worker thread is NOT draining (it
+    # blocks on the original queue's get), making the Full path deterministic.
+    full_q = _queue.Queue(maxsize=1)
+    full_q.put_nowait("sentinel")
+    server.service.queue = full_q
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    conn.request("POST", "/release_task", body=json.dumps({
+        "caption": "x", "duration": 2.0, "thinking": False,
+    }), headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 429
+    assert json.loads(resp.read())["error"] == "queue full"
+    server.shutdown()
+
+
 def test_release_task_multipart_upload(handlers, tmp_path):
     """File-upload REST parity (ref api_server.py:2460-2673): multipart
     /release_task with a WAV src upload drives a repaint over HTTP; the

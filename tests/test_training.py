@@ -219,6 +219,51 @@ def test_gradient_sensitivity_estimation(base_params, tmp_path):
         assert abs(a[m] - b[m]) <= 1e-3 * max(1.0, abs(a[m])), m
 
 
+def test_v1_discrete_timestep_sampling(base_params, tmp_path):
+    """`timestep_sampling="v1_discrete"` reproduces the v1 trainer's draw:
+    uniform over the 8-value turbo shift=3 schedule (ref trainer.py:56-57,
+    303-326), while "sidestep" stays continuous — the flag exists so adapters
+    trained under v1 can be reproduced exactly."""
+    from acestep_tpu.models.dit import SHIFT_TIMESTEPS
+    from acestep_tpu.training.train_step import (
+        sample_discrete_timesteps,
+        sample_timesteps,
+    )
+
+    schedule = {float(np.float32(v)) for v in SHIFT_TIMESTEPS[3.0]}
+    assert len(schedule) == 8
+    # The discrete sampler emits ONLY schedule values, and covers them.
+    t = np.asarray(sample_discrete_timesteps(jax.random.PRNGKey(0), 4096))
+    seen = {float(v) for v in t}
+    assert seen == schedule
+    # The corrected sampler is continuous: large draws are almost all distinct
+    # and (generically) miss the 8 exact schedule values.
+    tc = np.asarray(sample_timesteps(jax.random.PRNGKey(0), 4096))
+    assert len(np.unique(tc)) > 4000
+    assert not ({float(v) for v in tc} & schedule)
+
+    # Both modes train end-to-end on the tiny config.
+    ds_dir = _make_dataset(tmp_path / "v1_data")
+    for mode in ("v1_discrete", "sidestep"):
+        ds = PreprocessedDataset(ds_dir)
+        trainer = LoRATrainer(
+            base_params, TINY, LoRAConfig(rank=2),
+            TrainingConfig(learning_rate=1e-2, max_steps=2, checkpoint_every=10,
+                           warmup_steps=1, timestep_sampling=mode,
+                           output_dir=str(tmp_path / f"run_{mode}")),
+        )
+        losses = [l for _, l, _ in trainer.train(ds.batches(2, shuffle=False))]
+        assert len(losses) == 2 and all(np.isfinite(losses)), mode
+
+    # REST surface accepts the flag (service/train_api.py start_run).
+    import inspect
+
+    from acestep_tpu.service import train_api
+
+    src = inspect.getsource(train_api.TrainingService.start_run)
+    assert "timestep_sampling" in src
+
+
 def test_gradient_accumulation_multisteps(tmp_path):
     """gradient_accumulation_steps=2 halves the number of applied optimizer
     updates (optax.MultiSteps; ref trainer.py:722,822-843)."""

@@ -122,8 +122,7 @@ def test_native_bf16_chunk_to_i16_matches_numpy():
         pytest.skip("native library unavailable")
     rng = np.random.default_rng(3)
     b, lc, ch, total, pos, take = 2, 777, 2, 2000, 301, 650
-    # include values beyond ±1 so the clip leg is exercised, and exact
-    # half-integer products so the rounding mode is pinned
+    # include values beyond ±1 so the clip leg is exercised
     chunk = (rng.standard_normal((b, lc, ch)) * 0.9).astype(ml_dtypes.bfloat16)
     scale = np.array([0.83, 1.9], np.float32)
     out = np.full((b, ch, total), 7, np.int16)
@@ -147,6 +146,25 @@ def test_native_bf16_chunk_to_i16_matches_numpy():
     )
     # out-of-bounds window is rejected, not written
     assert not na.bf16_chunk_to_i16(chunk, scale, out, total - 5, take)
+
+    # Hand-crafted EXACT half-integer products (both signs, odd and even
+    # floor) so half-even vs half-away-from-zero actually diverge: with
+    # scale 830/1024 (f32-exact) these bf16 values yield f32 products of
+    # exactly ±1024.5 / ±3073.5, and ±1024.5 round DIFFERENTLY under the two
+    # modes (half-even → ±1024; floor(x+0.5)-style half-away → 1025/-1025).
+    ties = np.array([-0.11572265625, -0.03857421875, 0.03857421875,
+                     0.11572265625], ml_dtypes.bfloat16)
+    assert np.array_equal(ties.astype(np.float32), np.asarray(
+        [-0.11572265625, -0.03857421875, 0.03857421875, 0.11572265625],
+        np.float32))  # representable exactly in bf16
+    tie_scale = np.array([0.810546875], np.float32)
+    prod = ties.astype(np.float32) * tie_scale[0] * np.float32(32767.0)
+    assert np.array_equal(prod, [-3073.5, -1024.5, 1024.5, 3073.5])
+    tie_chunk = np.zeros((1, 4, 2), ml_dtypes.bfloat16)
+    tie_chunk[0, :, 0] = ties
+    tie_out = np.zeros((1, 2, 4), np.int16)
+    assert na.bf16_chunk_to_i16(tie_chunk, tie_scale, tie_out, 0, 4)
+    assert np.array_equal(tie_out[0, 0], [-3074, -1024, 1024, 3074])
 
 
 def test_log_ring_buffer():

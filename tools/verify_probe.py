@@ -50,6 +50,6 @@ p3 = r3.audios[0]["audio"]
 print("probe3 97s @ -6dB:", p3.shape, "peak", int(np.abs(p3).max()),
       "native calls", dict(calls), flush=True)
 assert p3.shape == (2, 97 * 48000)
-assert abs(int(np.abs(p3).max()) - 16417) < 40
+assert abs(int(np.abs(p3).max()) - round(10 ** (-6 / 20) * 32767)) < 40
 assert calls["n"] > 0 and calls["ok"] == calls["n"], calls
 print("VERIFY PROBE OK", flush=True)
