@@ -626,11 +626,15 @@ class AceStepHandler:
                 peaks.append(self._peak_jit(w))
         # Single (n, B) peak array → one host readback instead of n RTTs.
         peaks = jnp.stack(peaks)
-        for w in wav_chunks:
-            try:
-                w.copy_to_host_async()
-            except Exception:  # pragma: no cover - backend without async copy
-                pass
+        # Only the (tiny) peaks copy is enqueued here. Chunk waveform copies
+        # are deliberately DEFERRED to `_decode_latents_finish`: on a FIFO
+        # link (the dev tunnel) enqueueing tens of MB of chunk copies now
+        # would queue ahead of every later small readback — the caller's
+        # latents fetch would silently absorb the whole waveform transfer
+        # into its own wall time (this was r03's "slow diffusion at 300 s":
+        # measured transfer hid inside diffusion_time_cost). The peaks copy
+        # depends on every chunk's decode, so its readback still marks
+        # "decode compute done" exactly.
         try:
             peaks.copy_to_host_async()
         except Exception:  # pragma: no cover
@@ -691,6 +695,15 @@ class AceStepHandler:
         from concurrent.futures import ThreadPoolExecutor
 
         t1 = time.time()
+        # Chunk copies start HERE — after the peaks readback timestamped the
+        # end of decode compute — so everything from t1 on is link transfer
+        # plus host PCM conversion, and the compute/transfer split in the
+        # bench record is exact (see _decode_latents_dispatch).
+        for w in wav_chunks:
+            try:
+                w.copy_to_host_async()
+            except Exception:  # pragma: no cover - backend without async copy
+                pass
         pos = 0
         # ACESTEP_TPU_PARALLEL_FETCH=N (>1) pulls N chunk transfers
         # concurrently — worthwhile when the link multiplexes streams (the
@@ -1148,9 +1161,16 @@ class AceStepHandler:
         # Crop to exact duration before decode
         pred = pred[:, :t_exact, :]
 
-        # Enqueue the chunked VAE decode BEFORE any host readback: the device
-        # queue is in-order, so the latents fetch below overlaps the decode
-        # compute instead of adding a serial round-trip.
+        # Enqueue the (small) latents copy FIRST, then the chunked VAE decode
+        # programs, then block on the latents fetch. The copy request enters
+        # the FIFO ahead of the decode programs, so on an in-order link the
+        # latents arrive as soon as the denoise finishes — diffusion_time_cost
+        # measures the denoise, not the decode behind it — while the decode
+        # compute proceeds under the fetch + host work below.
+        try:
+            pred.copy_to_host_async()
+        except Exception:  # pragma: no cover
+            pass
         decode_job = None
         if decode_audio and getattr(self, "mesh", None) is None:
             z = pred.astype(self.dtype)
@@ -1159,10 +1179,6 @@ class AceStepHandler:
             n = -(-t_exact // core) if t_exact > core else 1
             decode_job = self._decode_latents_dispatch(z, core, n, ov)
 
-        try:
-            pred.copy_to_host_async()
-        except Exception:  # pragma: no cover
-            pass
         pred_np = np.asarray(pred, np.float32)  # blocks until denoise done
         time_costs["diffusion_time_cost"] = time.time() - t0
         time_costs["diffusion_per_step_time_cost"] = (
