@@ -564,9 +564,9 @@ class AceStepHandler:
             # the SUCCESSFUL attempt only; retries are counted separately).
             attempt: Dict[str, float] = {}
             try:
-                wav_chunks, peaks = self._decode_latents_dispatch(z, core, n, ov)
+                wav_chunks, peaks, started = self._decode_latents_dispatch(z, core, n, ov)
                 out = self._decode_latents_finish(
-                    wav_chunks, peaks, t,
+                    wav_chunks, peaks, started, t,
                     normalize_db=normalize_db, return_int16=return_int16,
                     timings=attempt,
                 )
@@ -596,11 +596,20 @@ class AceStepHandler:
         core = max(192, min(512, -(-t // 4), 4096 // max(b, 1)))
         return core + (-core) % 8
 
-    def _decode_latents_dispatch(self, z: jax.Array, core: int, n: int, ov: int):
+    def _decode_latents_dispatch(
+        self, z: jax.Array, core: int, n: int, ov: int, start_copies: bool = False
+    ):
         """Enqueue the chunked decode + per-chunk peaks; returns device arrays.
 
         Purely async — no host sync — so callers can overlap other readbacks
         with the decode compute.
+
+        `start_copies=True` (pipelined serving / async_finish) additionally
+        enqueues the chunk waveform copies NOW, so each chunk's bytes stream
+        as soon as its decode lands — request N's transfer rides under
+        request N+1's denoise compute. The default keeps copies deferred to
+        `_decode_latents_finish` so the synchronous path's compute/transfer
+        split stays exact (see the peaks comment below).
         """
         hop = self.vae_config.hop_length
         t = z.shape[1]
@@ -639,12 +648,19 @@ class AceStepHandler:
             peaks.copy_to_host_async()
         except Exception:  # pragma: no cover
             pass
-        return wav_chunks, peaks
+        if start_copies:
+            for w in wav_chunks:
+                try:
+                    w.copy_to_host_async()
+                except Exception:  # pragma: no cover
+                    pass
+        return wav_chunks, peaks, start_copies
 
     def _decode_latents_finish(
         self,
         wav_chunks,
         peaks,
+        copies_started: bool,
         t: int,
         *,
         normalize_db: Optional[float],
@@ -695,15 +711,18 @@ class AceStepHandler:
         from concurrent.futures import ThreadPoolExecutor
 
         t1 = time.time()
-        # Chunk copies start HERE — after the peaks readback timestamped the
-        # end of decode compute — so everything from t1 on is link transfer
-        # plus host PCM conversion, and the compute/transfer split in the
-        # bench record is exact (see _decode_latents_dispatch).
-        for w in wav_chunks:
-            try:
-                w.copy_to_host_async()
-            except Exception:  # pragma: no cover - backend without async copy
-                pass
+        # Synchronous path: chunk copies start HERE — after the peaks readback
+        # timestamped the end of decode compute — so everything from t1 on is
+        # link transfer plus host PCM conversion and the compute/transfer
+        # split in the bench record is exact. Pipelined path (copies_started):
+        # the copies were enqueued at dispatch and have been streaming under
+        # the next request's compute since.
+        if not copies_started:
+            for w in wav_chunks:
+                try:
+                    w.copy_to_host_async()
+                except Exception:  # pragma: no cover - backend without async copy
+                    pass
         pos = 0
         # ACESTEP_TPU_PARALLEL_FETCH=N (>1) pulls N chunk transfers
         # concurrently — worthwhile when the link multiplexes streams (the
@@ -1177,7 +1196,11 @@ class AceStepHandler:
             ov = 16
             core = self._decode_chunk_core(t_exact, b)
             n = -(-t_exact // core) if t_exact > core else 1
-            decode_job = self._decode_latents_dispatch(z, core, n, ov)
+            # Pipelined serving starts the chunk copies at dispatch so this
+            # request's waveform streams under the NEXT request's denoise.
+            decode_job = self._decode_latents_dispatch(
+                z, core, n, ov, start_copies=bool(async_finish)
+            )
 
         pred_np = np.asarray(pred, np.float32)  # blocks until denoise done
         time_costs["diffusion_time_cost"] = time.time() - t0
