@@ -39,6 +39,15 @@ NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 _LANE = 128  # TPU lane width; K-band starts align to it
 
+# Perf note (measured on v5e, seq 3840, tools/probe_kernel_parts.py): the
+# kernel is MXU-dot-bound — stripping the entire softmax ("dots" mode)
+# changes nothing (~33 TFLOPS either way), a polynomial exp2 replacement
+# is likewise neutral, and the official
+# jax.experimental.pallas.ops.tpu.flash_attention measures ~40% SLOWER at
+# this shape (21 vs 33 TFLOPS). head_dim-128 attention dots sit well below
+# the chip's big-matmul rate (~176 TFLOPS) on every implementation tried;
+# keep the simple exact-softmax form.
+
 
 def _band_kernel(
     q_ref,  # (1, 1, bq, h)

@@ -498,9 +498,22 @@ def _main_measured():
         short = DURATION_S
         DURATION_S = duration
         try:
+            # Same quiet-window retry as the batch points: a congested-link
+            # capture (spread > 1.5) gets one settled re-measure and the
+            # quieter pass is kept, with both spreads recorded.
             p = _measure_point(
                 handler, 1, min(REPS, int(os.environ.get("BENCH_LONG_REPS", 4)))
             )
+            spreads = [p["noise_spread"]]
+            if p["noise_spread"] > 1.5 and max_passes > 1:
+                time.sleep(retry_wait_s)
+                p2 = _measure_point(
+                    handler, 1, min(REPS, int(os.environ.get("BENCH_LONG_REPS", 4)))
+                )
+                spreads.append(p2["noise_spread"])
+                if p2["noise_spread"] < p["noise_spread"]:
+                    p = p2
+            p["pass_noise_spreads"] = spreads
             p["audio_s_per_s"] = round(duration / p["median_wall_s"], 2)
             dev_wall = max(p["median_wall_s"] - p["decode_transfer_median_s"], 1e-6)
             p["audio_s_per_s_device"] = round(duration / dev_wall, 2)

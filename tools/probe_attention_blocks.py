@@ -59,7 +59,7 @@ def main():
         flops = 4 * b * seq * seq * cfg.num_attention_heads * cfg.head_dim
         line = [f"seq={seq}:"]
         for bq in (int(x) for x in args.blocks.split(",")):
-            if bq > seq:
+            if bq > seq + 127:
                 continue
             t_full = time_loop(
                 functools.partial(flash_attention, block_q=bq), q, k, k, args.loop
