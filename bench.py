@@ -88,6 +88,10 @@ def _emit(result: dict) -> None:
     think_full = d.get("thinking_on_fullsong") or {}
     if "audio_s_per_s" in think_full:
         summary["thinking_fullsong_audio_s_per_s"] = think_full["audio_s_per_s"]
+        if "audio_s_per_s_device" in think_full:
+            summary["thinking_fullsong_audio_s_per_s_device"] = think_full[
+                "audio_s_per_s_device"
+            ]
     pipe = d.get("pipelined") or {}
     if "rounds" in pipe:
         summary["pipelined_ratios"] = [r["ratio"] for r in pipe["rounds"]]
@@ -286,7 +290,7 @@ def _measure_think_point(dit_handler, llm_handler, batch: int, reps: int):
     cfg = GenerationConfig(batch_size=batch, use_random_seed=False,
                            seeds=list(range(batch)))
     times = []
-    lm_s, dit_s = [], []
+    lm_s, dit_s, xfer_s = [], [], []
     generate_music(dit_handler, llm_handler, params, cfg, save_audio=False)  # warm
     for _ in range(reps):
         gc.collect()
@@ -297,17 +301,25 @@ def _measure_think_point(dit_handler, llm_handler, batch: int, reps: int):
         tc = r.extra_outputs.get("time_costs", {})
         lm_s.append(tc.get("lm_total_time_cost", 0.0))
         dit_s.append(tc.get("diffusion_time_cost", 0.0))
+        xfer_s.append(tc.get("vae_decode_transfer_time_cost", 0.0))
     srt = sorted(times)
     med = srt[len(srt) // 2]
+    med_of = lambda xs: sorted(xs)[len(xs) // 2]
+    # Device-side view like the headline points: the same wall with the
+    # measured device→host waveform transfer excluded (production PCIe moves
+    # these bytes in ~ms; the tunnel takes ~1 s per 40 MB).
+    dev_wall = max(med - med_of(xfer_s), 1e-6)
     return {
         "batch": batch,
         "median_wall_s": round(med, 3),
         "min_wall_s": round(srt[0], 3),
         "noise_spread": round(srt[-1] / srt[0], 2),
         "runs_s": [round(t, 3) for t in times],
-        "lm_median_s": round(sorted(lm_s)[len(lm_s) // 2], 3),
-        "diffusion_median_s": round(sorted(dit_s)[len(dit_s) // 2], 3),
+        "lm_median_s": round(med_of(lm_s), 3),
+        "diffusion_median_s": round(med_of(dit_s), 3),
+        "decode_transfer_median_s": round(med_of(xfer_s), 3),
         "audio_s_per_s": round(batch * DURATION_S / med, 2),
+        "audio_s_per_s_device": round(batch * DURATION_S / dev_wall, 2),
     }
 
 
