@@ -138,6 +138,11 @@ class ApiService:
             os.path.join(output_dir, ".cache", "job_results.sqlite3")
         )
         self.queue: "queue.Queue[str]" = queue.Queue(maxsize=MAX_QUEUE)
+        # Jobs drained while assembling a merged batch but not compatible
+        # with it — run next, FIFO (see _worker_loop dynamic batching).
+        import collections
+
+        self._held: "collections.deque[str]" = collections.deque()
         self._worker = threading.Thread(target=self._worker_loop, daemon=True)
         self._worker.start()
 
@@ -155,35 +160,142 @@ class ApiService:
         return {"task_id": task_id, "queue_position": pos}
 
     def _worker_loop(self) -> None:
-        """Serial job worker with BACK-TO-BACK PIPELINING: job N's decode
-        transfer + save (result.finish()) runs on a single finalize thread
-        WHILE job N+1's LM/conditioning/denoise executes on this one, so
-        under sustained load the device never idles on host transfers AND a
-        finished job's status publishes as soon as its own transfers drain —
-        not after the next job's compute (the single-worker role of ref
-        api_server.py:1210-1212, plus the overlap the single-GPU reference
-        cannot do). Depth is bounded to one outstanding finalize so device
-        buffers from at most two jobs are live. Disable with
-        ACESTEP_PIPELINE_JOBS=0."""
+        """Serial job worker with BACK-TO-BACK PIPELINING and DYNAMIC
+        BATCHING.
+
+        Pipelining: job N's decode transfer + save (result.finish()) runs on
+        a single finalize thread WHILE job N+1's LM/conditioning/denoise
+        executes on this one, so under sustained load the device never idles
+        on host transfers AND a finished job's status publishes as soon as
+        its own transfers drain — not after the next job's compute (the
+        single-worker role of ref api_server.py:1210-1212, plus the overlap
+        the single-GPU reference cannot do). Depth is bounded to one
+        outstanding finalize so device buffers from at most two jobs are
+        live. Disable with ACESTEP_PIPELINE_JOBS=0.
+
+        Dynamic batching: when several already-queued requests share a merge
+        key (plain text2music, same duration/steps/guidance/format — see
+        inference.merge_group_key), they fuse into ONE batch-N generation:
+        the denoise/decode programs are batch-static on TPU, so N compatible
+        requests cost one batch-N program instead of N batch-1 programs.
+        Only requests ALREADY in the queue merge — an empty queue adds zero
+        latency. Non-matching drained jobs are held FIFO and run next.
+        Disable with ACESTEP_MERGE_JOBS=0; cap via ACESTEP_MERGE_MAX (def 4).
+        """
         from concurrent.futures import ThreadPoolExecutor
 
         pipeline_jobs = os.environ.get("ACESTEP_PIPELINE_JOBS", "1") != "0"
+        merge_jobs = os.environ.get("ACESTEP_MERGE_JOBS", "1") != "0"
+        merge_max = max(1, int(os.environ.get("ACESTEP_MERGE_MAX", "4")))
         finisher = ThreadPoolExecutor(max_workers=1)
         prev_future = None
         while True:
-            task_id = self.queue.get()
+            task_id = self._held.popleft() if self._held else self.queue.get()
+            group = [task_id]
+            if merge_jobs and merge_max > 1:
+                key0 = self._merge_key(task_id)
+                while True:
+                    # held jobs first (FIFO), then the live queue
+                    try:
+                        tid = self._held.popleft() if self._held else self.queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if (
+                        key0 is not None
+                        and len(group) < merge_max
+                        and self._merge_key(tid) == key0
+                    ):
+                        group.append(tid)
+                    else:
+                        self._held.append(tid)
+                        break  # keep FIFO order beyond the first non-match
             # Job N's finalize (on the finisher thread) overlaps job N+1's
             # generate below; we only JOIN it afterwards, bounding the
             # pipeline to two jobs' device buffers without re-serializing.
-            started = self._start_job(task_id, defer=pipeline_jobs)
+            if len(group) > 1:
+                started_list = self._start_job_group(group, defer=pipeline_jobs)
+            else:
+                started = self._start_job(task_id, defer=pipeline_jobs)
+                started_list = [started] if started is not None else []
             if prev_future is not None:
                 prev_future.result()
                 prev_future = None
-            if started is not None:
+            if started_list:
+                def _finalize_all(items=tuple(started_list)):
+                    for it in items:
+                        self._finalize_job(*it)
+
                 if pipeline_jobs:
-                    prev_future = finisher.submit(self._finalize_job, *started)
+                    prev_future = finisher.submit(_finalize_all)
                 else:
-                    self._finalize_job(*started)
+                    _finalize_all()
+
+    def _merge_key(self, task_id: str):
+        """Merge-compatibility key for a queued job, or None if unmergeable."""
+        from acestep_tpu.service.inference import merge_group_key
+
+        job = self.store.get(task_id)
+        if job is None:
+            return None
+        payload = job["payload"]
+        if payload.get("_temp_files"):
+            return None
+        try:
+            params = _params_from_payload(payload)
+            cfg = _config_from_payload(payload)
+        except Exception:  # noqa: BLE001 — let _start_job surface the error
+            return None
+        key = merge_group_key(params, cfg)
+        if key is None:
+            return None
+        return (payload.get("model", "default"), key)
+
+    def _start_job_group(self, task_ids, *, defer: bool):
+        """Run a merged group as one batched generation; returns the list of
+        (task_id, payload, t0, result) tuples to finalize."""
+        from acestep_tpu.service.inference import generate_music_merged
+
+        t0 = time.time()
+        items, metas = [], []
+        for tid in task_ids:
+            job = self.store.get(tid)
+            if job is None:
+                continue
+            payload0 = job["payload"]
+            self.store.mark(
+                tid, status="running", progress=0.05,
+                run_meta={
+                    "started_at": t0,
+                    "duration_s": float(payload0.get("duration", 30) or 30),
+                    "batch": len(task_ids),
+                    "steps": int(payload0.get("inference_steps", 8) or 8),
+                    "merged": len(task_ids),
+                },
+            )
+            params = _params_from_payload(payload0)
+            cfg = _config_from_payload(payload0)
+            cfg.output_dir = self.output_dir
+            items.append((params, cfg))
+            metas.append((tid, payload0))
+        if not items:
+            return []
+        model_name = metas[0][1].get("model", "default")
+        dit = self.dit_handlers.get(model_name, self.dit_handler)
+        self.logs.append(
+            f"merged batch of {len(items)}: {[tid for tid, _ in metas]}"
+        )
+        try:
+            results = generate_music_merged(dit, items, defer_finish=defer)
+        except Exception as e:  # noqa: BLE001 — fail each job, not the server
+            err = f"{e}\n{traceback.format_exc()}"
+            for tid, payload0 in metas:
+                self.store.mark(tid, status="failed", error=err)
+                self._cleanup_job(payload0, t0)
+            return []
+        return [
+            (tid, payload0, t0, res)
+            for (tid, payload0), res in zip(metas, results)
+        ]
 
     def _start_job(self, task_id: str, *, defer: bool):
         """Run a job up to (and including) its device dispatch; returns the
@@ -256,7 +368,8 @@ class ApiService:
                         "extra": {
                             k: v
                             for k, v in result.extra_outputs.items()
-                            if k in ("time_costs", "lm_metadata", "audio_codes")
+                            if k in ("time_costs", "lm_metadata", "audio_codes",
+                                     "merged_batch")
                         },
                     },
                 )

@@ -309,6 +309,213 @@ def generate_music(
         )
 
 
+def merge_eligible(params: GenerationParams) -> bool:
+    """Whether a request can join a dynamically batched generation.
+
+    Mergeable = plain text2music with no per-request device-side inputs
+    beyond caption/lyrics/seed: no LM phase (its CoT is per-request serial),
+    no audio uploads/codes, no repaint spans, no LRC post-pass, and the
+    default 8-step schedule surface. Everything else runs solo."""
+    return (
+        not params.thinking
+        and params.task_type == "text2music"
+        and not params.reference_audio
+        and not params.src_audio
+        and not params.audio_codes
+        and not params.auto_lrc
+        and not params.auto_score
+        and not params.timesteps
+    )
+
+
+def merge_group_key(params: GenerationParams, config: GenerationConfig):
+    """Requests with equal keys share one compiled batched denoise program
+    and one device decode, so they can be fused into a single batch."""
+    if not merge_eligible(params) or config.batch_size != 1:
+        return None
+    return (
+        round(float(params.duration), 3),
+        params.inference_steps,
+        params.shift,
+        params.infer_method,
+        params.guidance_scale,
+        params.use_adg,
+        params.cfg_interval_start,
+        params.cfg_interval_end,
+        params.enable_normalization,
+        params.normalization_db,
+        params.latent_shift,
+        params.latent_rescale,
+        params.instruction,
+        config.audio_format,
+    )
+
+
+def generate_music_merged(
+    dit_handler,
+    items: List[tuple],  # [(GenerationParams, GenerationConfig), ...] same merge key
+    save_audio: bool = True,
+    defer_finish: bool = False,
+) -> List[GenerationResult]:
+    """Run N merged single-sample requests as ONE batched generation.
+
+    Dynamic request batching (TPU-first serving: the denoise/decode programs
+    are batch-static, so N queued compatible requests cost one batch-N
+    program instead of N batch-1 programs — ~1.4× device throughput at N=2,
+    more at higher N). The reference's serial single-GPU worker has no
+    equivalent. Per-request captions/lyrics/seeds ride the handler's native
+    per-sample batch axis; results split back into one GenerationResult per
+    request, each with its own deterministic UUID and params sidecar.
+
+    With `defer_finish`, every returned result shares ONE underlying decode
+    finish (idempotent, lock-guarded); the first `finish()` pays the
+    transfer, the rest complete instantly.
+    """
+    n = len(items)
+    assert n >= 1
+    t_start = time.time()
+    p0, c0 = items[0]
+
+    captions, lyricses, metas, langs, seeds = [], [], [], [], []
+    rng = np.random.default_rng()
+    for params, config in items:
+        merged = _merge_metadata_from_lm(params, {})
+        captions.append(merged["caption"])
+        lyricses.append(
+            "[Instrumental]" if params.instrumental and not params.lyrics else params.lyrics
+        )
+        metas.append(
+            f"- bpm: {merged['bpm']}\n"
+            f"- timesignature: {merged['timesignature']}\n"
+            f"- keyscale: {merged['keyscale']}\n"
+            f"- duration: {int(merged['duration'])} seconds\n"
+        )
+        langs.append(merged["language"])
+        if config.seeds:
+            seeds.append(int(config.seeds[0]))
+        elif params.seed >= 0:
+            seeds.append(int(params.seed))
+        else:
+            seeds.append(int(rng.integers(0, 2**31 - 1)))
+
+    from acestep_tpu.utils.constants import TASK_INSTRUCTIONS
+
+    instruction = p0.instruction
+    if not instruction or instruction == TASK_INSTRUCTIONS["text2music"]:
+        instruction = dit_handler.generate_instruction("text2music", None, None)
+
+    duration = max(DURATION_MIN, min(float(p0.duration or 30.0), DURATION_MAX))
+    try:
+        out = dit_handler.generate_music(
+            captions=captions,
+            lyrics=lyricses,
+            batch_size=n,
+            metas=metas,
+            vocal_languages=langs,
+            audio_duration=duration,
+            task_type="text2music",
+            instructions=[instruction] * n,
+            seeds=seeds,
+            use_random_seed=False,
+            inference_steps=(None if p0.inference_steps == 8 else p0.inference_steps),
+            shift=p0.shift if p0.shift else 3.0,
+            infer_method=p0.infer_method,
+            guidance_scale=p0.guidance_scale if p0.inference_steps > 8 else 1.0,
+            use_adg=p0.use_adg,
+            cfg_interval_start=p0.cfg_interval_start,
+            cfg_interval_end=p0.cfg_interval_end,
+            latent_shift=p0.latent_shift,
+            latent_rescale=p0.latent_rescale,
+            normalize_db=p0.normalization_db if p0.enable_normalization else None,
+            return_int16=True,
+            async_finish=defer_finish,
+        )
+    except Exception as e:  # noqa: BLE001 — every job gets the failure payload
+        err = f"{e}\n{traceback.format_exc()}"
+        return [
+            GenerationResult(audios=[], status_message="Generation failed",
+                             success=False, error=err)
+            for _ in items
+        ]
+
+    shared: Dict[str, Any] = {"wavs": None}
+    import threading
+
+    fin_lock = threading.Lock()
+
+    def shared_finish():
+        with fin_lock:
+            if shared["wavs"] is None:
+                shared["wavs"] = out["finish"]() if "finish" in out else out["audios"]
+        return shared["wavs"]
+
+    def save_one(i: int, params: GenerationParams, config: GenerationConfig) -> List[Dict[str, Any]]:
+        wavs = shared_finish()
+        wav = wavs[i]
+        entry: Dict[str, Any] = {
+            "params": params.to_dict(),
+            "seed": out["seeds"][i],
+            "key": audio_utils.deterministic_uuid(
+                {**params.to_dict(), "seed": out["seeds"][i], "index": 0}
+            ),
+            "metas": metas[i],
+        }
+        if save_audio:
+            os.makedirs(config.output_dir, exist_ok=True)
+            path = os.path.join(config.output_dir, entry["key"])
+            entry["path"] = audio_utils.save_audio(path, wav, fmt=config.audio_format)
+            sidecar = {**entry["params"], "seed": out["seeds"][i],
+                       "metas": metas[i], "audio_codes": ""}
+            entry["params_path"] = path + ".json"
+            with open(entry["params_path"], "w", encoding="utf-8") as f:
+                json.dump(sidecar, f, indent=2, ensure_ascii=False)
+        else:
+            entry["audio"] = wav
+        return [entry]
+
+    results: List[GenerationResult] = []
+    for i, (params, config) in enumerate(items):
+        extra = {
+            "time_costs": dict(out["time_costs"]),
+            "latents_shape": list(out["latents"].shape),
+            "audio_codes": "",
+            "merged_batch": n,
+        }
+        if defer_finish and "finish" in out:
+            def _fin(result: GenerationResult, i=i, params=params, config=config,
+                     extra=extra) -> None:
+                try:
+                    result.audios = save_one(i, params, config)
+                    extra["time_costs"].update(out["time_costs"])
+                    extra["time_costs"]["pipeline_total_time_cost"] = time.time() - t_start
+                    result.status_message = "Generated 1 audio(s) (merged batch)"
+                except Exception as fin_err:  # noqa: BLE001
+                    result.success = False
+                    result.status_message = "Generation failed"
+                    result.error = f"{fin_err}\n{traceback.format_exc()}"
+
+            results.append(GenerationResult(
+                audios=[], status_message="decode queued (call finish())",
+                extra_outputs=extra, success=True, _finish=_fin,
+            ))
+        else:
+            try:
+                audios = save_one(i, params, config)
+                extra["time_costs"]["pipeline_total_time_cost"] = time.time() - t_start
+                results.append(GenerationResult(
+                    audios=audios,
+                    status_message="Generated 1 audio(s) (merged batch)",
+                    extra_outputs=extra, success=True,
+                ))
+            except Exception as e:  # noqa: BLE001
+                results.append(GenerationResult(
+                    audios=[], status_message="Generation failed",
+                    extra_outputs=extra, success=False,
+                    error=f"{e}\n{traceback.format_exc()}",
+                ))
+    return results
+
+
 def understand_music(llm_handler, audio_codes: str, **kw) -> UnderstandResult:
     """Codes → metadata/lyrics (ref inference.py:779)."""
     try:

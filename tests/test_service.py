@@ -274,6 +274,74 @@ def test_chat_completions_streaming_with_audio(handlers, tmp_path):
     server.shutdown()
 
 
+def test_dynamic_batching_merges_queued_jobs(handlers, tmp_path):
+    """Compatible queued text2music jobs fuse into ONE batched generation
+    (dynamic batching: batch-static denoise programs make N compatible
+    requests cost one batch-N program). Per-job results keep their own
+    captions/seeds/files; an incompatible job interleaved in the queue is
+    held FIFO and still completes."""
+    import threading
+
+    dit, _ = handlers
+    from acestep_tpu.service.api_server import serve
+
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    import http.client
+
+    def post(path, payload):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", path, body=json.dumps(payload),
+                     headers={"Content-Type": "application/json"})
+        data = json.loads(conn.getresponse().read())
+        conn.close()
+        return data
+
+    # Occupy the worker with a leading job so the rest queue up behind it.
+    lead = post("/release_task", {"caption": "lead", "duration": 2.0,
+                                  "thinking": False, "batch_size": 1,
+                                  "audio_format": "wav", "seed": 1})["task_id"]
+    mergeable = [
+        post("/release_task", {"caption": cap, "duration": 3.0,
+                               "thinking": False, "batch_size": 1,
+                               "audio_format": "wav", "seed": 100 + i})["task_id"]
+        for i, cap in enumerate(["merged alpha", "merged beta"])
+    ]
+    # Different duration ⇒ different merge key ⇒ must NOT join the group.
+    odd = post("/release_task", {"caption": "odd one", "duration": 2.0,
+                                 "thinking": False, "batch_size": 1,
+                                 "audio_format": "wav", "seed": 7})["task_id"]
+
+    ids = [lead] + mergeable + [odd]
+    deadline = time.time() + 120
+    statuses = {}
+    while time.time() < deadline:
+        out = post("/query_result", {"task_ids": ids})
+        statuses = {tid: r for tid, r in zip(ids, out["results"])}
+        if all(r["status"] in (1, 2) for r in statuses.values()):
+            break
+        time.sleep(0.5)
+    for tid in ids:
+        assert statuses[tid]["status"] == 1, (tid, statuses[tid])
+
+    # The two compatible jobs really merged: both carry merged_batch == 2,
+    # and each kept its own output file and seed.
+    merged_sizes = [
+        statuses[tid]["result"]["extra"].get("merged_batch") for tid in mergeable
+    ]
+    assert merged_sizes == [2, 2], merged_sizes
+    paths = [statuses[tid]["result"]["audio_paths"][0] for tid in mergeable]
+    assert paths[0] != paths[1]
+    assert all(os.path.exists(p) for p in paths)
+    seeds = [statuses[tid]["result"]["seeds"][0] for tid in mergeable]
+    assert seeds == [100, 101]
+    # The incompatible job ran solo (no merged_batch marker).
+    assert "merged_batch" not in (statuses[odd]["result"]["extra"] or {})
+    server.shutdown()
+
+
 def test_release_task_queue_full_429(handlers, tmp_path):
     """A full job queue returns 429 instead of blocking the HTTP thread
     (reference's bounded-queue backpressure; VERDICT r3 missing #4)."""
