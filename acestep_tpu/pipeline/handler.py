@@ -48,6 +48,33 @@ LATENT_BUCKETS = (250, 500, 750, 1500, 2250, 3000, 4500, 6000, 7500, 15000)
 TEXT_BUCKETS = (64, 128, 256)
 LYRIC_BUCKETS = (64, 128, 256, 512, 1024, 2048)
 
+
+class StreamCursor:
+    """Exactly-once, in-order PCM delivery for a chunked decode.
+
+    Wraps a raw sink `sink(pos, pcm_i16, total_samples)` so the decode's
+    HBM-retry ladder can restart an attempt (with different chunk sizes)
+    without double-emitting audio: samples already forwarded are skipped and
+    a partially-new chunk is sliced to its unseen suffix. Positions are
+    absolute sample offsets, so correctness does not depend on the retry
+    using the same chunk boundaries."""
+
+    def __init__(self, sink):
+        self._sink = sink
+        self.emitted = 0  # absolute samples forwarded so far
+        self.chunks = 0
+
+    def __call__(self, pos: int, pcm: np.ndarray, total: int) -> None:
+        end = pos + pcm.shape[-1]
+        if end <= self.emitted:
+            return  # retry re-covered an already-delivered span
+        if pos < self.emitted:
+            pcm = pcm[..., self.emitted - pos :]
+            pos = self.emitted
+        self.emitted = end
+        self.chunks += 1
+        self._sink(pos, pcm, total)
+
 AUDIO_CODE_RE = re.compile(r"<\|audio_code_(\d+)\|>")
 
 
@@ -507,8 +534,14 @@ class AceStepHandler:
         normalize_db: Optional[float] = None,
         return_int16: bool = False,
         timings: Optional[Dict[str, float]] = None,
+        chunk_sink: Optional[Any] = None,
     ) -> np.ndarray:
         """Latents → audio (B, 2, L): float32 in [-1,1] or int16 PCM.
+
+        `chunk_sink(pos, pcm_i16, total)` (optional) receives the int16 PCM
+        in order as each decode chunk's transfer + conversion completes —
+        the progressive-delivery path (`/v1/generate_stream`). Wrapped in a
+        StreamCursor so HBM retries never double-emit samples.
 
         Decode runs in bfloat16 (the reference's CUDA VAE dtype policy,
         `memory_utils.py:157-166`); Snake activations stay fp32 internally.
@@ -534,6 +567,9 @@ class AceStepHandler:
                 wav = self._vae_decode_jit(self.vae_params, latents=z)
             gain = 10.0 ** (normalize_db / 20.0) if normalize_db is not None else -1.0
             pcm = np.asarray(self._postprocess_jit(wav, jnp.float32(gain)))
+            if chunk_sink is not None:
+                # Mesh path decodes in one fused program — deliver once.
+                chunk_sink(0, pcm, pcm.shape[-1])
             if return_int16:
                 return pcm
             return pcm.astype(np.float32) / 32767.0
@@ -557,6 +593,8 @@ class AceStepHandler:
         # Graceful degradation on HBM exhaustion: halve the chunk size and
         # retry (TPU equivalent of the reference's decode GPU→offload→CPU
         # ladder, vae_decode_chunks.py:40-81).
+        if chunk_sink is not None and not isinstance(chunk_sink, StreamCursor):
+            chunk_sink = StreamCursor(chunk_sink)
         while True:
             # Fresh per-attempt timings: a failed attempt's partial
             # compute_wait/transfer must not pollute the published split
@@ -568,7 +606,7 @@ class AceStepHandler:
                 out = self._decode_latents_finish(
                     wav_chunks, peaks, started, t,
                     normalize_db=normalize_db, return_int16=return_int16,
-                    timings=attempt,
+                    timings=attempt, chunk_sink=chunk_sink,
                 )
                 if timings is not None:
                     retries = timings.get("retries", 0)
@@ -666,6 +704,7 @@ class AceStepHandler:
         normalize_db: Optional[float],
         return_int16: bool,
         timings: Optional[Dict[str, float]] = None,
+        chunk_sink: Optional[Any] = None,
     ) -> np.ndarray:
         t_entry = time.time()
         hop = self.vae_config.hop_length
@@ -741,13 +780,28 @@ class AceStepHandler:
         )
         try:
             with ThreadPoolExecutor(max_workers=2) as pool:
-                futs = []
+                from collections import deque
+
+                total = t * hop
+                pending: "deque" = deque()  # (future, pos, take) in order
                 for arr in arrs:
-                    take = min(arr.shape[1], t * hop - pos)
-                    futs.append(pool.submit(convert, arr, pos, take))
+                    take = min(arr.shape[1], total - pos)
+                    pending.append((pool.submit(convert, arr, pos, take), pos, take))
                     pos += take
-                for f in futs:
+                    # Progressive delivery: hand each converted chunk to the
+                    # sink IN ORDER as soon as it is ready, while later
+                    # chunks' DMA + conversion still overlap — first audio
+                    # bytes leave after one chunk's transfer, not the whole
+                    # waveform's (time-to-first-audio path).
+                    if chunk_sink is not None:
+                        while pending and pending[0][0].done():
+                            f, p, tk = pending.popleft()
+                            f.result()
+                            chunk_sink(p, out[:, :, p : p + tk], total)
+                for f, p, tk in pending:
                     f.result()
+                    if chunk_sink is not None:
+                        chunk_sink(p, out[:, :, p : p + tk], total)
         finally:
             if fpool is not None:
                 fpool.shutdown()
@@ -983,11 +1037,17 @@ class AceStepHandler:
         return_int16: bool = False,
         return_condition: bool = False,
         async_finish: bool = False,
+        chunk_sink: Optional[Any] = None,
     ) -> Dict[str, Any]:
-        """Run the DiT-side generation pipeline. Returns latents + audio + timings."""
+        """Run the DiT-side generation pipeline. Returns latents + audio + timings.
+
+        `chunk_sink(pos, pcm_i16, total_samples)` streams the decoded int16
+        PCM progressively as each decode chunk lands (see decode_latents)."""
         assert self.initialized, "call initialize_service() first"
         time_costs: Dict[str, float] = {}
         t_start = time.time()
+        if chunk_sink is not None and not isinstance(chunk_sink, StreamCursor):
+            chunk_sink = StreamCursor(chunk_sink)
 
         if isinstance(captions, str):
             captions = [captions]
@@ -1005,6 +1065,11 @@ class AceStepHandler:
         duration = audio_duration if audio_duration and audio_duration > 0 else 30.0
         t_exact = int(duration * LATENT_FPS)
         t_latent = pick_bucket(t_exact, LATENT_BUCKETS)
+        # pick_bucket caps at the largest bucket (unreachable with the
+        # production buckets, whose 15000 covers DURATION_MAX); keep t_exact
+        # consistent with it so the decode chunk count always matches the
+        # cropped latents (tiny test configs DO overflow their buckets).
+        t_exact = min(t_exact, t_latent)
         latent_mask = np.zeros((b, t_latent), np.int32)
         latent_mask[:, :t_exact] = 1
 
@@ -1240,7 +1305,7 @@ class AceStepHandler:
                         wavs = self._decode_latents_finish(
                             *decode_job, t_exact,
                             normalize_db=normalize_db, return_int16=return_int16,
-                            timings=dec_timings,
+                            timings=dec_timings, chunk_sink=chunk_sink,
                         )
                     except Exception as e:  # noqa: BLE001 — HBM ladder fallback
                         if "RESOURCE_EXHAUSTED" not in str(e):
@@ -1255,12 +1320,12 @@ class AceStepHandler:
                         wavs = self.decode_latents(
                             pred, chunk_frames=128,
                             normalize_db=normalize_db, return_int16=return_int16,
-                            timings=dec_timings,
+                            timings=dec_timings, chunk_sink=chunk_sink,
                         )
                 else:
                     wavs = self.decode_latents(
                         pred, normalize_db=normalize_db, return_int16=return_int16,
-                        timings=dec_timings,
+                        timings=dec_timings, chunk_sink=chunk_sink,
                     )
                 time_costs["vae_decode_time_cost"] = time.time() - t1
                 # Split recorded so the bench record can attribute wall time:

@@ -23,12 +23,15 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional
 from urllib.parse import parse_qs, urlparse
 
+import numpy as np
+
 from acestep_tpu.service.inference import (
     create_sample,
     format_sample,
     generate_music,
 )
 from acestep_tpu.service.params import GenerationConfig, GenerationParams
+from acestep_tpu.utils import audio as audio_utils
 from acestep_tpu.utils.progress import ProgressEstimator
 
 JOB_TTL_SECONDS = 3600
@@ -102,6 +105,35 @@ class JobStore:
             }
 
 
+class StreamChannel:
+    """Side channel carrying one streamed job's PCM from the worker to the
+    HTTP thread holding the client connection (`/v1/generate_stream`).
+
+    The worker's chunk sink pushes ("start", total_frames, channels),
+    ("pcm", bytes)… then ("done",) / ("error", msg); the HTTP thread drains
+    and writes. `dead` flips when the client disconnects mid-stream so the
+    sink stops buffering bytes nobody will read (the job itself still
+    completes and its file result stays pollable)."""
+
+    def __init__(self):
+        self.q: "queue.Queue[tuple]" = queue.Queue()
+        self.dead = False
+        self.chunks = 0
+
+    def sink(self, pos: int, pcm, total: int) -> None:
+        # Handler chunk-sink protocol: in-order int16 (B, C, take) + total.
+        if self.dead:
+            return
+        if pos == 0:
+            self.q.put(("start", total, int(pcm.shape[1])))
+        self.chunks += 1
+        # (C, take) → interleaved frames (take, C), the WAV data layout.
+        self.q.put(("pcm", np.ascontiguousarray(pcm[0].T).tobytes()))
+
+    def close(self, error: Optional[str] = None) -> None:
+        self.q.put(("error", error) if error else ("done",))
+
+
 class ApiService:
     """Holds handlers, the job queue, and the worker thread."""
 
@@ -143,6 +175,9 @@ class ApiService:
         import collections
 
         self._held: "collections.deque[str]" = collections.deque()
+        # task_id → StreamChannel for jobs whose PCM streams to a live HTTP
+        # connection (/v1/generate_stream); owned by the HTTP thread.
+        self._streams: Dict[str, StreamChannel] = {}
         self._worker = threading.Thread(target=self._worker_loop, daemon=True)
         self._worker.start()
 
@@ -158,6 +193,22 @@ class ApiService:
             self.store.mark(task_id, status="failed", error="queue full")
             raise
         return {"task_id": task_id, "queue_position": pos}
+
+    def submit_stream(self, payload: Dict[str, Any]) -> tuple:
+        """Enqueue a streamed job and return (task_id, channel). The caller
+        (HTTP thread) drains the channel and MUST discard it when done."""
+        payload = dict(payload)
+        payload["batch_size"] = 1  # one PCM stream per connection
+        channel = StreamChannel()
+        task_id = self.store.create(payload)
+        self._streams[task_id] = channel
+        try:
+            self.queue.put_nowait(task_id)
+        except queue.Full:
+            self._streams.pop(task_id, None)
+            self.store.mark(task_id, status="failed", error="queue full")
+            raise
+        return task_id, channel
 
     def _worker_loop(self) -> None:
         """Serial job worker with BACK-TO-BACK PIPELINING and DYNAMIC
@@ -237,6 +288,8 @@ class ApiService:
         job = self.store.get(task_id)
         if job is None:
             return None
+        if task_id in self._streams:
+            return None  # streamed jobs own their decode chunk sink
         payload = job["payload"]
         if payload.get("_temp_files"):
             return None
@@ -321,8 +374,10 @@ class ApiService:
             cfg.output_dir = self.output_dir
             model_name = payload0.get("model", "default")
             dit = self.dit_handlers.get(model_name, self.dit_handler)
+            channel = self._streams.get(task_id)
             result = generate_music(dit, self.llm_handler, params, cfg,
-                                    defer_finish=defer)
+                                    defer_finish=defer,
+                                    chunk_sink=channel.sink if channel else None)
             # Uploaded temp files are consumed by generation (read during
             # conditioning, before this returns); remove them BEFORE the job
             # turns terminal so clients that poll success never observe
@@ -336,12 +391,17 @@ class ApiService:
         except Exception as e:  # noqa: BLE001 — job must fail, not the server
             self.store.mark(task_id, status="failed", error=f"{e}\n{traceback.format_exc()}")
             self.logs.append(f"job {task_id} crashed: {e}")
+            ch = self._streams.get(task_id)
+            if ch is not None:
+                ch.close(error=str(e))
             self._cleanup_job(payload0, t0)
             return None
 
     def _finalize_job(self, task_id: str, payload0: Dict[str, Any], t0: float, result) -> None:
         """Complete a started job: finish any deferred decode/save, publish
         the terminal status, mirror to the sqlite cache."""
+        channel = self._streams.get(task_id)
+        stream_err: Optional[str] = None
         try:
             result.finish()
             if result.success:
@@ -371,6 +431,7 @@ class ApiService:
                             if k in ("time_costs", "lm_metadata", "audio_codes",
                                      "merged_batch")
                         },
+                        **({"streamed_chunks": channel.chunks} if channel else {}),
                     },
                 )
                 done = self.store.get(task_id)
@@ -381,6 +442,7 @@ class ApiService:
                         ex=7 * 24 * 3600,
                     )
             else:
+                stream_err = result.error or "generation failed"
                 self.store.mark(task_id, status="failed", error=result.error)
                 self.logs.append(f"job {task_id} failed: {result.error}")
                 self.result_cache.set(
@@ -389,9 +451,12 @@ class ApiService:
                     ex=24 * 3600,
                 )
         except Exception as e:  # noqa: BLE001 — job must fail, not the server
+            stream_err = str(e)
             self.store.mark(task_id, status="failed", error=f"{e}\n{traceback.format_exc()}")
             self.logs.append(f"job {task_id} crashed: {e}")
         finally:
+            if channel is not None:
+                channel.close(error=stream_err)
             self._cleanup_job(payload0, t0)
 
     def _cleanup_job(self, payload0: Dict[str, Any], t0: float) -> None:
@@ -511,6 +576,75 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 return json.loads(raw)
             except json.JSONDecodeError:
                 return {}
+
+        def _generate_stream(self, body: Dict[str, Any]) -> None:
+            """Progressive audio delivery: ONE valid WAV response whose PCM
+            frames are written as each decode chunk's device→host transfer
+            lands, instead of after the whole waveform arrives.
+
+            TPU-native time-to-first-audio: the latent shape is static, so
+            the exact sample count (→ a complete RIFF header and
+            Content-Length) is known before the first byte of audio exists;
+            the overlap-discard decode then feeds the socket chunk by chunk.
+            First audio leaves after denoise + one chunk's decode+transfer —
+            for a 300 s song through a slow link that is the first ~60 s of
+            audio instead of all five chunks. Any WAV client can play the
+            response as it arrives (`curl ... | mpv -`). The job also saves
+            its file result and stays pollable via /query_result; the
+            reference has no streaming-audio equivalent (its SSE chat path
+            returns one final base64 blob)."""
+            if int(body.get("batch_size", 1) or 1) != 1:
+                return self._json(
+                    400, {"error": "streaming serves one sample per "
+                                   "connection (batch_size=1)"})
+            try:
+                task_id, channel = service.submit_stream(body)
+            except queue.Full:
+                return self._json(429, {"error": "queue full"})
+            sr = service.dit_handler.vae_config.sampling_rate
+            header_sent = False
+            try:
+                while True:
+                    try:
+                        item = channel.q.get(timeout=2.0)
+                    except queue.Empty:
+                        # No terminal sentinel yet — make sure the job is
+                        # still alive (crash paths close the channel, but a
+                        # vanished job must not hang the connection).
+                        job = service.store.get(task_id)
+                        if job is None:
+                            item = ("error", "job vanished")
+                        else:
+                            continue
+                    kind = item[0]
+                    if kind == "start":
+                        total, channels = int(item[1]), int(item[2])
+                        self.send_response(200)
+                        self.send_header("Content-Type", "audio/wav")
+                        self.send_header(
+                            "Content-Length", str(44 + total * channels * 2))
+                        self.send_header("X-Task-Id", task_id)
+                        self.end_headers()
+                        self.wfile.write(
+                            audio_utils.wav_header(total, channels, sr))
+                        self.wfile.flush()
+                        header_sent = True
+                    elif kind == "pcm":
+                        self.wfile.write(item[1])
+                        self.wfile.flush()
+                    elif kind == "done":
+                        return
+                    else:  # ("error", msg)
+                        if not header_sent:
+                            return self._json(
+                                500, {"error": item[1], "task_id": task_id})
+                        # Mid-stream failure: the short body (vs the declared
+                        # Content-Length) signals truncation to the client.
+                        return
+            except (BrokenPipeError, ConnectionResetError):
+                channel.dead = True  # client left; stop buffering PCM
+            finally:
+                service._streams.pop(task_id, None)
 
         def _stream_chat(self, body: Dict[str, Any]) -> None:
             """SSE streaming chat completion: progress chunks while the job
@@ -709,6 +843,8 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                     return self._json(200, resp)
                 except queue.Full:
                     return self._json(429, {"error": "queue full"})
+            if url.path == "/v1/generate_stream":
+                return self._generate_stream(body)
             if url.path == "/query_result":
                 ids = body.get("task_ids") or ([body["task_id"]] if "task_id" in body else [])
                 results = []

@@ -53,6 +53,7 @@ def generate_music(
     config: Optional[GenerationConfig] = None,
     save_audio: bool = True,
     defer_finish: bool = False,
+    chunk_sink=None,
 ) -> GenerationResult:
     """Full pipeline (ref inference.py:309-776). Returns GenerationResult.
 
@@ -61,7 +62,10 @@ def generate_music(
     `result.finish()` completes the decode transfer + save. A serving loop
     calls finish() after dispatching the next request's compute, so this
     request's device→host transfer and host PCM/save work hide under that
-    compute (the api_server worker does exactly this between queued jobs)."""
+    compute (the api_server worker does exactly this between queued jobs).
+
+    `chunk_sink(pos, pcm_i16, total_samples)` streams decoded PCM
+    progressively as decode chunks land (the /v1/generate_stream path)."""
     config = config or GenerationConfig()
     t_start = time.time()
     time_costs: Dict[str, float] = {}
@@ -201,6 +205,7 @@ def generate_music(
             return_int16=True,
             return_condition=params.auto_lrc or params.auto_score,
             async_finish=defer_finish,
+            chunk_sink=chunk_sink,
         )
         time_costs.update(out["time_costs"])
 
@@ -239,7 +244,9 @@ def generate_music(
                 }
                 if save_audio:
                     path = os.path.join(config.output_dir, entry["key"])
-                    entry["path"] = audio_utils.save_audio(path, wav, fmt=config.audio_format)
+                    entry["path"] = audio_utils.save_audio(
+                        path, wav, fmt=config.audio_format,
+                        sample_rate=dit_handler.vae_config.sampling_rate)
                     # Params sidecar next to the audio (ref
                     # generation_progress.py:229-243 writes {key}.json) — the
                     # UI's "Load params" restores a run from it.
@@ -463,7 +470,9 @@ def generate_music_merged(
         if save_audio:
             os.makedirs(config.output_dir, exist_ok=True)
             path = os.path.join(config.output_dir, entry["key"])
-            entry["path"] = audio_utils.save_audio(path, wav, fmt=config.audio_format)
+            entry["path"] = audio_utils.save_audio(
+                path, wav, fmt=config.audio_format,
+                sample_rate=dit_handler.vae_config.sampling_rate)
             sidecar = {**entry["params"], "seed": out["seeds"][i],
                        "metas": metas[i], "audio_codes": ""}
             entry["params_path"] = path + ".json"

@@ -73,6 +73,28 @@ def save_wav(path: str, audio: np.ndarray, sample_rate: int = 48_000) -> str:
     return path
 
 
+def wav_header(n_frames: int, channels: int = 2, sample_rate: int = 48_000,
+               sampwidth: int = 2) -> bytes:
+    """44-byte RIFF/PCM WAV header for a stream of known length.
+
+    Progressive delivery (`/v1/generate_stream`) knows the exact sample count
+    before the first decode chunk arrives (static latent shape × hop), so the
+    response can carry a complete, correct header + Content-Length up front
+    and stream PCM frames behind it — any WAV client can play it as it
+    arrives. Byte-identical to the stdlib `wave` module's output for the same
+    parameters (pinned by test)."""
+    import struct
+
+    data_bytes = n_frames * channels * sampwidth
+    byte_rate = sample_rate * channels * sampwidth
+    return b"".join([
+        b"RIFF", struct.pack("<I", 36 + data_bytes), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                             byte_rate, channels * sampwidth, sampwidth * 8),
+        b"data", struct.pack("<I", data_bytes),
+    ])
+
+
 def _ffmpeg() -> Optional[str]:
     return shutil.which("ffmpeg")
 

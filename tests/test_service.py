@@ -1247,3 +1247,117 @@ def test_sse_client_disconnect_stops_polling(handlers, tmp_path):
     finally:
         service.store.get = real_get
         server.shutdown()
+
+
+def test_stream_cursor_exactly_once():
+    """HBM-retry semantics: a restarted decode attempt re-covers already
+    emitted spans with DIFFERENT chunk boundaries; the cursor must forward
+    every sample exactly once, slicing partially-new chunks."""
+    from acestep_tpu.pipeline.handler import StreamCursor
+
+    src = np.arange(100, dtype=np.int16).reshape(1, 1, 100)
+    got = []
+
+    cursor = StreamCursor(lambda pos, pcm, total: got.append((pos, pcm.copy())))
+    cursor(0, src[..., 0:40], 100)          # first attempt delivers 40
+    # retry with smaller chunks re-covers [0, 60) then finishes
+    cursor(0, src[..., 0:30], 100)          # fully covered — dropped
+    cursor(30, src[..., 30:60], 100)        # half covered — sliced to [40, 60)
+    cursor(60, src[..., 60:100], 100)       # new
+    stream = np.concatenate([p for _, p in got], axis=-1)
+    assert [p for p, _ in got] == [0, 40, 60]
+    np.testing.assert_array_equal(stream[0, 0], np.arange(100, dtype=np.int16))
+    assert cursor.emitted == 100 and cursor.chunks == 3
+
+
+def test_generate_stream_progressive_wav(handlers, tmp_path, monkeypatch):
+    """/v1/generate_stream returns ONE valid WAV whose PCM was delivered
+    chunk-by-chunk as decode transfers landed: header/Content-Length correct,
+    bytes identical to the job's saved file AND to a non-streamed generation
+    with the same seed, ≥2 chunks actually streamed."""
+    import http.client
+    import threading
+    import wave as wave_mod
+
+    from acestep_tpu.pipeline.handler import AceStepHandler
+    from acestep_tpu.service.api_server import serve
+
+    # Tiny config decodes 2 s in one chunk; force ≥3 so progressive delivery
+    # is actually exercised (50 latent frames / core 16 → 4 chunks).
+    monkeypatch.setattr(AceStepHandler, "_decode_chunk_core",
+                        staticmethod(lambda t, b: 16))
+
+    dit, llm = handlers
+    server = serve(dit, llm, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    # batch_size pinned to 1 explicitly: streaming forces it, and the
+    # byte-identity control below must decode at the same batch (bf16 decode
+    # numerics are batch-dependent at the LSB).
+    req = {"caption": "stream test", "duration": 2.0, "thinking": False,
+           "seed": 11, "audio_format": "wav", "batch_size": 1}
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/v1/generate_stream", body=json.dumps(req),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "audio/wav"
+        task_id = resp.getheader("X-Task-Id")
+        assert task_id
+        body = resp.read()
+        assert len(body) == int(resp.getheader("Content-Length"))
+        conn.close()
+
+        # A valid WAV at the VAE sample rate.
+        import io
+
+        with wave_mod.open(io.BytesIO(body)) as w:
+            assert w.getnchannels() == 2
+            assert w.getframerate() == dit.vae_config.sampling_rate
+            assert w.getnframes() * 4 == len(body) - 44
+
+        # The job is a normal job too: pollable result + saved file identical
+        # to the streamed bytes, with the chunk count recorded.
+        def post(path, payload):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            c.request("POST", path, body=json.dumps(payload),
+                      headers={"Content-Type": "application/json"})
+            out = json.loads(c.getresponse().read())
+            c.close()
+            return out
+
+        status = None
+        for _ in range(60):
+            status = post("/query_result", {"task_ids": [task_id]})["results"][0]
+            if status["status"] in (1, 2):
+                break
+            time.sleep(0.2)
+        assert status["status"] == 1, status
+        assert status["result"]["streamed_chunks"] >= 2
+        with open(status["result"]["audio_paths"][0], "rb") as f:
+            assert f.read() == body
+
+        # Same seed, non-streamed → byte-identical audio.
+        resp2 = post("/release_task", req)
+        for _ in range(60):
+            st2 = post("/query_result", {"task_ids": [resp2["task_id"]]})["results"][0]
+            if st2["status"] in (1, 2):
+                break
+            time.sleep(0.2)
+        assert st2["status"] == 1, st2
+        with open(st2["result"]["audio_paths"][0], "rb") as f:
+            assert f.read() == body
+
+        # Streaming is one sample per connection.
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        c.request("POST", "/v1/generate_stream",
+                  body=json.dumps({**req, "batch_size": 2}),
+                  headers={"Content-Type": "application/json"})
+        r = c.getresponse()
+        assert r.status == 400
+        r.read()
+        c.close()
+    finally:
+        server.shutdown()

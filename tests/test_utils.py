@@ -85,6 +85,23 @@ def test_int16_passthrough_save(tmp_path):
     np.testing.assert_allclose(back * 32768.0, pcm, atol=1)
 
 
+def test_wav_header_matches_stdlib():
+    """wav_header (the /v1/generate_stream response prefix) is byte-identical
+    to the stdlib wave module's header for the same params — any WAV client
+    that accepts our saved files accepts the streamed response."""
+    import io
+    import wave
+
+    for frames, ch, sr in [(96000, 2, 48000), (1, 1, 44100), (12345, 2, 24000)]:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(b"\x00" * (frames * ch * 2))
+        assert buf.getvalue()[:44] == audio_utils.wav_header(frames, ch, sr)
+
+
 def test_deterministic_uuid():
     a = audio_utils.deterministic_uuid({"caption": "x", "seed": 1})
     b = audio_utils.deterministic_uuid({"seed": 1, "caption": "x"})
