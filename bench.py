@@ -37,6 +37,10 @@ co-tenant load adds one-sided 1-6x slowdowns minutes apart):
   request stream, async_finish off) and reports per-request dispatch/finish
   timestamps so the denoise(N+1)-before-finish(N) overlap is evidenced, not
   assumed (VERDICT r2 next #2).
+- TIME-TO-FIRST-AUDIO: the /v1/generate_stream product path measured through
+  the decode chunk sink at 1×300 s — wall to the FIRST chunk's PCM on host vs
+  the full-waveform wall (`time_to_first_audio`, `summary.ttfa_300s_s`);
+  BENCH_TTFA=0 disables.
 Set BENCH_DP/SP/TP to run the sharded serving path on a mesh.
 """
 
@@ -92,6 +96,9 @@ def _emit(result: dict) -> None:
             summary["thinking_fullsong_audio_s_per_s_device"] = think_full[
                 "audio_s_per_s_device"
             ]
+    ttfa = d.get("time_to_first_audio") or {}
+    if "ttfa_median_s" in ttfa:
+        summary["ttfa_300s_s"] = ttfa["ttfa_median_s"]
     pipe = d.get("pipelined") or {}
     if "rounds" in pipe:
         summary["pipelined_ratios"] = [r["ratio"] for r in pipe["rounds"]]
@@ -544,6 +551,48 @@ def _main_measured():
                 float(os.environ.get("BENCH_LONG600_DURATION_S", 600))
             )
 
+    # Time-to-first-audio through the streaming chunk sink — the
+    # /v1/generate_stream product path: wall from request start to the FIRST
+    # decode chunk's int16 PCM landing on host, vs the full-waveform wall.
+    # Measured at the long shape where progressive delivery matters most.
+    def _measure_ttfa(duration: float, reps: int):
+        global DURATION_S
+        short = DURATION_S
+        DURATION_S = duration
+        try:
+            kwargs = _gen_kwargs(1)
+            _gen_with_retry(handler, kwargs)  # warmup/compile
+            ttfa, walls, n_chunks = [], [], []
+            for _ in range(reps):
+                arrivals = []
+                t0 = time.time()
+                kwargs["chunk_sink"] = (
+                    lambda pos, pcm, total, _t0=t0, _a=arrivals:
+                    _a.append(time.time() - _t0))
+                _gen_with_retry(handler, kwargs)
+                walls.append(time.time() - t0)
+                ttfa.append(arrivals[0])
+                n_chunks.append(len(arrivals))
+            med = lambda xs: sorted(xs)[len(xs) // 2]
+            return {
+                "duration_s": duration,
+                "ttfa_median_s": round(med(ttfa), 3),
+                "wall_median_s": round(med(walls), 3),
+                "ttfa_runs_s": [round(t, 3) for t in ttfa],
+                "chunks": n_chunks[0],
+            }
+        except Exception as e:  # noqa: BLE001 — keep the headline
+            return {"error": str(e)[:200], "duration_s": duration}
+        finally:
+            DURATION_S = short
+
+    ttfa_point = None
+    if os.environ.get("BENCH_TTFA", "1") != "0":
+        ttfa_point = _measure_ttfa(
+            float(os.environ.get("BENCH_TTFA_DURATION_S", 300)),
+            int(os.environ.get("BENCH_TTFA_REPS", 3)),
+        )
+
     think_point = think_fullsong = None
     if os.environ.get("BENCH_THINK", "1") != "0":
         try:
@@ -601,6 +650,7 @@ def _main_measured():
             "thinking_on_fullsong": think_fullsong,
             "long_duration": long_point,
             "long_duration_600": long_point_600,
+            "time_to_first_audio": ttfa_point,
             "duration_s": DURATION_S,
             "headline_point": best["batch"],
             "window_noisy": any(p["noise_spread"] > 1.5 for p in points),

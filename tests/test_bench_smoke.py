@@ -118,6 +118,8 @@ def test_bench_main_end_to_end(bench, tiny_handlers, monkeypatch, capsys):
     monkeypatch.setenv("BENCH_LONG600_DURATION_S", "3")
     monkeypatch.setenv("BENCH_FULLSONG_DURATION_S", "2")
     monkeypatch.setenv("BENCH_FULLSONG_REPS", "1")
+    monkeypatch.setenv("BENCH_TTFA_DURATION_S", "3")
+    monkeypatch.setenv("BENCH_TTFA_REPS", "1")
     import importlib
 
     importlib.reload(bench)
@@ -138,6 +140,10 @@ def test_bench_main_end_to_end(bench, tiny_handlers, monkeypatch, capsys):
     assert d["long_duration_600"]["audio_s_per_s"] > 0
     assert d["thinking_on"]["audio_s_per_s"] > 0
     assert d["thinking_on_fullsong"]["audio_s_per_s"] > 0
+    # streaming TTFA point: first chunk must land no later than the wall
+    ttfa = d["time_to_first_audio"]
+    assert 0 < ttfa["ttfa_median_s"] <= ttfa["wall_median_s"]
+    assert ttfa["chunks"] >= 1
     assert len(d["link_probes"]) >= 2
     # per-point contention probes quoted next to each point (r3 next #3)
     assert all(len(p["device_contention"]) == 2 for p in d["points"])
@@ -161,6 +167,7 @@ def test_bench_main_end_to_end(bench, tiny_handlers, monkeypatch, capsys):
     assert "long_300s_audio_s_per_s_device" in s
     assert "long_600s_audio_s_per_s_device" in s
     assert "thinking_fullsong_audio_s_per_s" in s
+    assert s["ttfa_300s_s"] > 0
     assert len(s["pipelined_ratios"]) == 3
 
 
