@@ -783,25 +783,57 @@ class AceStepHandler:
                 from collections import deque
 
                 total = t * hop
-                pending: "deque" = deque()  # (future, pos, take) in order
-                for arr in arrs:
-                    take = min(arr.shape[1], total - pos)
-                    pending.append((pool.submit(convert, arr, pos, take), pos, take))
-                    pos += take
-                    # Progressive delivery: hand each converted chunk to the
-                    # sink IN ORDER as soon as it is ready, while later
-                    # chunks' DMA + conversion still overlap — first audio
-                    # bytes leave after one chunk's transfer, not the whole
-                    # waveform's (time-to-first-audio path).
-                    if chunk_sink is not None:
-                        while pending and pending[0][0].done():
-                            f, p, tk = pending.popleft()
-                            f.result()
-                            chunk_sink(p, out[:, :, p : p + tk], total)
-                for f, p, tk in pending:
-                    f.result()
-                    if chunk_sink is not None:
-                        chunk_sink(p, out[:, :, p : p + tk], total)
+                if chunk_sink is not None:
+                    # Progressive delivery: a dedicated in-order emitter
+                    # thread blocks on each chunk's conversion future and
+                    # hands it to the sink the moment it completes — while
+                    # the main loop may be blocked in the NEXT chunk's
+                    # device→host DMA. (Checking done() from the main loop
+                    # instead would head-of-line-block first audio behind
+                    # chunk N+1's whole transfer.)
+                    import queue as _queue
+                    import threading as _threading
+
+                    emit_q: "_queue.Queue" = _queue.Queue()
+                    emit_err: list = []
+
+                    def _emit():
+                        while True:
+                            item = emit_q.get()
+                            if item is None:
+                                return
+                            f, p, tk = item
+                            try:
+                                f.result()
+                                chunk_sink(p, out[:, :, p : p + tk], total)
+                            except BaseException as e:
+                                emit_err.append(e)
+                                return
+
+                    emitter = _threading.Thread(target=_emit, daemon=True)
+                    emitter.start()
+                    try:
+                        for arr in arrs:
+                            take = min(arr.shape[1], total - pos)
+                            emit_q.put(
+                                (pool.submit(convert, arr, pos, take), pos, take)
+                            )
+                            pos += take
+                    finally:
+                        emit_q.put(None)
+                        emitter.join()
+                    if emit_err:
+                        raise emit_err[0]
+                else:
+                    pending: "deque" = deque()  # (future, pos, take) in order
+                    for arr in arrs:
+                        take = min(arr.shape[1], total - pos)
+                        pending.append(
+                            (pool.submit(convert, arr, pos, take), pos, take)
+                        )
+                        pos += take
+                    for f, p, tk in pending:
+                        f.result()
         finally:
             if fpool is not None:
                 fpool.shutdown()

@@ -113,12 +113,24 @@ class StreamChannel:
     ("pcm", bytes)… then ("done",) / ("error", msg); the HTTP thread drains
     and writes. `dead` flips when the client disconnects mid-stream so the
     sink stops buffering bytes nobody will read (the job itself still
-    completes and its file result stays pollable)."""
+    completes and its file result stays pollable).
+
+    Undrained PCM is capped at MAX_BUFFER_BYTES per connection: a client
+    that stops reading mid-song would otherwise hold an entire waveform's
+    bytes in host RAM (HTTP thread blocked in wfile.write never flips
+    `dead`). The sink blocks briefly for drain credit, then declares the
+    client dead and stops buffering; control messages bypass the cap so the
+    terminal sentinel always lands."""
+
+    MAX_BUFFER_BYTES = 48 << 20
+    STALL_TIMEOUT_S = 30.0
 
     def __init__(self):
         self.q: "queue.Queue[tuple]" = queue.Queue()
         self.dead = False
         self.chunks = 0
+        self._buffered = 0
+        self._drained = threading.Condition()
 
     def sink(self, pos: int, pcm, total: int) -> None:
         # Handler chunk-sink protocol: in-order int16 (B, C, take) + total.
@@ -128,7 +140,33 @@ class StreamChannel:
             self.q.put(("start", total, int(pcm.shape[1])))
         self.chunks += 1
         # (C, take) → interleaved frames (take, C), the WAV data layout.
-        self.q.put(("pcm", np.ascontiguousarray(pcm[0].T).tobytes()))
+        data = np.ascontiguousarray(pcm[0].T).tobytes()
+        with self._drained:
+            deadline = time.monotonic() + self.STALL_TIMEOUT_S
+            while (
+                self._buffered + len(data) > self.MAX_BUFFER_BYTES
+                and not self.dead
+            ):
+                remaining = deadline - time.monotonic()
+                if remaining <= 0 or not self._drained.wait(remaining):
+                    self.dead = True  # client stopped draining
+                    return
+            if self.dead:
+                return
+            self._buffered += len(data)
+        self.q.put(("pcm", data))
+
+    def consumed(self, nbytes: int) -> None:
+        """HTTP thread credits back drained PCM bytes."""
+        with self._drained:
+            self._buffered -= nbytes
+            self._drained.notify_all()
+
+    def abandon(self) -> None:
+        """No reader anymore: unblock a sink waiting for drain credit."""
+        with self._drained:
+            self.dead = True
+            self._drained.notify_all()
 
     def close(self, error: Optional[str] = None) -> None:
         self.q.put(("error", error) if error else ("done",))
@@ -191,8 +229,17 @@ class ApiService:
             self.queue.put_nowait(task_id)
         except queue.Full:
             self.store.mark(task_id, status="failed", error="queue full")
+            self._unlink_temp_files(payload)  # job never starts: no worker cleanup
             raise
         return {"task_id": task_id, "queue_position": pos}
+
+    @staticmethod
+    def _unlink_temp_files(payload: Dict[str, Any]) -> None:
+        for p in payload.get("_temp_files", []) or []:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
 
     def submit_stream(self, payload: Dict[str, Any]) -> tuple:
         """Enqueue a streamed job and return (task_id, channel). The caller
@@ -207,6 +254,7 @@ class ApiService:
         except queue.Full:
             self._streams.pop(task_id, None)
             self.store.mark(task_id, status="failed", error="queue full")
+            self._unlink_temp_files(payload)
             raise
         return task_id, channel
 
@@ -460,11 +508,7 @@ class ApiService:
             self._cleanup_job(payload0, t0)
 
     def _cleanup_job(self, payload0: Dict[str, Any], t0: float) -> None:
-        for p in payload0.get("_temp_files", []) or []:
-            try:
-                os.unlink(p)
-            except OSError:
-                pass
+        self._unlink_temp_files(payload0)
         self.store.record_duration(time.time() - t0)
         self.store.gc()
 
@@ -601,7 +645,12 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 task_id, channel = service.submit_stream(body)
             except queue.Full:
                 return self._json(429, {"error": "queue full"})
-            sr = service.dit_handler.vae_config.sampling_rate
+            # The RIFF header must advertise the rate of the model that will
+            # actually decode this job (the payload may select a non-default
+            # entry from the multi-model registry).
+            dit = service.dit_handlers.get(
+                body.get("model", "default"), service.dit_handler)
+            sr = dit.vae_config.sampling_rate
             header_sent = False
             try:
                 while True:
@@ -632,6 +681,7 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                     elif kind == "pcm":
                         self.wfile.write(item[1])
                         self.wfile.flush()
+                        channel.consumed(len(item[1]))
                     elif kind == "done":
                         return
                     else:  # ("error", msg)
@@ -642,8 +692,9 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                         # Content-Length) signals truncation to the client.
                         return
             except (BrokenPipeError, ConnectionResetError):
-                channel.dead = True  # client left; stop buffering PCM
+                pass  # client left; abandon() below stops the buffering
             finally:
+                channel.abandon()  # nobody drains past this point
                 service._streams.pop(task_id, None)
 
         def _stream_chat(self, body: Dict[str, Any]) -> None:
@@ -901,6 +952,8 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                     return self._json(200, service.training.start_run(body))
                 except KeyError as e:
                     return self._json(400, {"error": f"missing field: {e}"})
+                except ValueError as e:
+                    return self._json(400, {"error": str(e)})
             if url.path == "/v1/train/status":
                 st = service.training.status(body.get("run_id", ""))
                 if st is None:

@@ -46,6 +46,63 @@ def _merge_metadata_from_lm(params: GenerationParams, lm_meta: Dict[str, Any]) -
     return merged
 
 
+def _resolve_lyrics(params: GenerationParams) -> str:
+    return "[Instrumental]" if params.instrumental and not params.lyrics else params.lyrics
+
+
+def _metas_string(merged: Dict[str, Any]) -> str:
+    return (
+        f"- bpm: {merged['bpm']}\n"
+        f"- timesignature: {merged['timesignature']}\n"
+        f"- keyscale: {merged['keyscale']}\n"
+        f"- duration: {int(merged['duration'])} seconds\n"
+    )
+
+
+def _save_entry(
+    dit_handler,
+    params: GenerationParams,
+    config: GenerationConfig,
+    wav,
+    seed: int,
+    metas_str: str,
+    audio_codes: str,
+    index: int,
+    save_audio: bool,
+) -> Dict[str, Any]:
+    """One result entry (+ audio file + params sidecar) — SHARED between the
+    solo and merged-batch paths so their on-disk formats cannot diverge
+    (deterministic UUID inputs, sidecar fields, sample_rate)."""
+    entry: Dict[str, Any] = {
+        "params": params.to_dict(),
+        "seed": seed,
+        "key": audio_utils.deterministic_uuid(
+            {**params.to_dict(), "seed": seed, "index": index}
+        ),
+        "metas": metas_str,
+    }
+    if save_audio:
+        os.makedirs(config.output_dir, exist_ok=True)
+        path = os.path.join(config.output_dir, entry["key"])
+        entry["path"] = audio_utils.save_audio(
+            path, wav, fmt=config.audio_format,
+            sample_rate=dit_handler.vae_config.sampling_rate)
+        # Params sidecar next to the audio (ref generation_progress.py:229-243
+        # writes {key}.json) — the UI's "Load params" restores a run from it.
+        sidecar = {
+            **entry["params"],
+            "seed": seed,
+            "metas": metas_str,
+            "audio_codes": audio_codes,
+        }
+        entry["params_path"] = path + ".json"
+        with open(entry["params_path"], "w", encoding="utf-8") as f:
+            json.dump(sidecar, f, indent=2, ensure_ascii=False)
+    else:
+        entry["audio"] = wav
+    return entry
+
+
 def generate_music(
     dit_handler,
     llm_handler,
@@ -72,7 +129,7 @@ def generate_music(
     extra: Dict[str, Any] = {}
 
     try:
-        lyrics = "[Instrumental]" if params.instrumental and not params.lyrics else params.lyrics
+        lyrics = _resolve_lyrics(params)
 
         # ------------------ LM phase ------------------
         lm_meta: Dict[str, Any] = {}
@@ -116,12 +173,7 @@ def generate_music(
             time_costs.update(lm_out.get("time_costs", {}))
 
         merged = _merge_metadata_from_lm(params, lm_meta)
-        metas_str = (
-            f"- bpm: {merged['bpm']}\n"
-            f"- timesignature: {merged['timesignature']}\n"
-            f"- keyscale: {merged['keyscale']}\n"
-            f"- duration: {int(merged['duration'])} seconds\n"
-        )
+        metas_str = _metas_string(merged)
 
         # ------------------ DiT phase ------------------
         b = config.batch_size
@@ -232,36 +284,12 @@ def generate_music(
             wavs = out["finish"]() if "finish" in out else out["audios"]
             time_costs.update(out["time_costs"])  # decode/transfer splits land here
             audios: List[Dict[str, Any]] = []
-            os.makedirs(config.output_dir, exist_ok=True)
             for i in range(wavs.shape[0]):
                 wav = wavs[i]  # int16 PCM, already normalized on device
-                entry: Dict[str, Any] = {
-                    "params": params.to_dict(),
-                    "seed": out["seeds"][i],
-                    "key": audio_utils.deterministic_uuid(
-                        {**params.to_dict(), "seed": out["seeds"][i], "index": i}
-                    ),
-                }
-                if save_audio:
-                    path = os.path.join(config.output_dir, entry["key"])
-                    entry["path"] = audio_utils.save_audio(
-                        path, wav, fmt=config.audio_format,
-                        sample_rate=dit_handler.vae_config.sampling_rate)
-                    # Params sidecar next to the audio (ref
-                    # generation_progress.py:229-243 writes {key}.json) — the
-                    # UI's "Load params" restores a run from it.
-                    sidecar = {
-                        **entry["params"],
-                        "seed": out["seeds"][i],
-                        "metas": metas_str,
-                        "audio_codes": audio_codes,
-                    }
-                    entry["params_path"] = path + ".json"
-                    with open(entry["params_path"], "w", encoding="utf-8") as f:
-                        json.dump(sidecar, f, indent=2, ensure_ascii=False)
-                else:
-                    entry["audio"] = wav
-                entry["metas"] = metas_str
+                entry = _save_entry(
+                    dit_handler, params, config, wav, out["seeds"][i],
+                    metas_str, audio_codes, i, save_audio,
+                )
                 lrc = lrc_per_sample[i] if i < len(lrc_per_sample) else None
                 if lrc and lrc.get("success"):
                     if params.auto_lrc:
@@ -383,27 +411,23 @@ def generate_music_merged(
     t_start = time.time()
     p0, c0 = items[0]
 
+    import random as _random
+
     captions, lyricses, metas, langs, seeds = [], [], [], [], []
-    rng = np.random.default_rng()
     for params, config in items:
         merged = _merge_metadata_from_lm(params, {})
         captions.append(merged["caption"])
-        lyricses.append(
-            "[Instrumental]" if params.instrumental and not params.lyrics else params.lyrics
-        )
-        metas.append(
-            f"- bpm: {merged['bpm']}\n"
-            f"- timesignature: {merged['timesignature']}\n"
-            f"- keyscale: {merged['keyscale']}\n"
-            f"- duration: {int(merged['duration'])} seconds\n"
-        )
+        lyricses.append(_resolve_lyrics(params))
+        metas.append(_metas_string(merged))
         langs.append(merged["language"])
+        # Same draw as handler.prepare_seeds so merged and solo requests
+        # resolve random seeds from the same range.
         if config.seeds:
             seeds.append(int(config.seeds[0]))
         elif params.seed >= 0:
             seeds.append(int(params.seed))
         else:
-            seeds.append(int(rng.integers(0, 2**31 - 1)))
+            seeds.append(_random.randint(0, 2**32 - 1))
 
     from acestep_tpu.utils.constants import TASK_INSTRUCTIONS
 
@@ -458,29 +482,11 @@ def generate_music_merged(
 
     def save_one(i: int, params: GenerationParams, config: GenerationConfig) -> List[Dict[str, Any]]:
         wavs = shared_finish()
-        wav = wavs[i]
-        entry: Dict[str, Any] = {
-            "params": params.to_dict(),
-            "seed": out["seeds"][i],
-            "key": audio_utils.deterministic_uuid(
-                {**params.to_dict(), "seed": out["seeds"][i], "index": 0}
-            ),
-            "metas": metas[i],
-        }
-        if save_audio:
-            os.makedirs(config.output_dir, exist_ok=True)
-            path = os.path.join(config.output_dir, entry["key"])
-            entry["path"] = audio_utils.save_audio(
-                path, wav, fmt=config.audio_format,
-                sample_rate=dit_handler.vae_config.sampling_rate)
-            sidecar = {**entry["params"], "seed": out["seeds"][i],
-                       "metas": metas[i], "audio_codes": ""}
-            entry["params_path"] = path + ".json"
-            with open(entry["params_path"], "w", encoding="utf-8") as f:
-                json.dump(sidecar, f, indent=2, ensure_ascii=False)
-        else:
-            entry["audio"] = wav
-        return [entry]
+        # index=0: each merged request is batch-1 from its client's view.
+        return [_save_entry(
+            dit_handler, params, config, wavs[i], out["seeds"][i],
+            metas[i], "", 0, save_audio,
+        )]
 
     results: List[GenerationResult] = []
     for i, (params, config) in enumerate(items):

@@ -72,6 +72,15 @@ class TrainingConfig:
     output_dir: str = "./lora_output"
     resume_from: Optional[str] = None
 
+    def __post_init__(self):
+        # Misspelling this flag must not silently train with the wrong
+        # timestep distribution (a non-reproducing adapter with no error).
+        if self.timestep_sampling not in ("sidestep", "v1_discrete"):
+            raise ValueError(
+                f"timestep_sampling must be 'sidestep' or 'v1_discrete', "
+                f"got {self.timestep_sampling!r}"
+            )
+
 
 def decoder_flow_matching_loss(
     lora_params: Dict[str, Any],

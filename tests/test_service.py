@@ -1361,3 +1361,175 @@ def test_generate_stream_progressive_wav(handlers, tmp_path, monkeypatch):
         c.close()
     finally:
         server.shutdown()
+
+
+def test_stream_first_chunk_emits_before_next_dma(handlers):
+    """Time-to-first-audio regression: the sink must receive chunk 0 WHILE
+    the main drain loop is still blocked in chunk 1's device→host transfer
+    (head-of-line blocking would delay first audio by the next chunk's whole
+    DMA). Chunk 1's materialization blocks until the sink saw chunk 0 —
+    deadlock (timeout) under the old done()-polling drain."""
+    import threading
+
+    dit, _ = handlers
+    hop = dit.vae_config.hop_length
+    t = 4  # latent frames → total samples = 4*hop, two 2-frame chunks
+    got0 = threading.Event()
+
+    class FakeChunk:
+        def __init__(self, n_samples, gate=None):
+            self.shape = (1, n_samples, 2)
+            self._gate = gate
+
+        def __array__(self, dtype=None, copy=None):
+            if self._gate is not None:
+                assert self._gate.wait(20.0), (
+                    "chunk 0 never reached the sink while chunk 1's DMA was "
+                    "in flight — head-of-line blocking regression"
+                )
+            return np.zeros(self.shape, np.float32)
+
+    chunks = [FakeChunk(2 * hop), FakeChunk(2 * hop, gate=got0)]
+    peaks = np.ones((2, 1), np.float32)
+    emitted = []
+
+    def sink(pos, pcm, total):
+        emitted.append((pos, pcm.shape[-1], total))
+        if pos == 0:
+            got0.set()
+
+    out = dit._decode_latents_finish(
+        chunks, peaks, True, t,
+        normalize_db=None, return_int16=True, chunk_sink=sink,
+    )
+    assert out.shape == (1, 2, t * hop)
+    assert [e[0] for e in emitted] == [0, 2 * hop]
+    assert all(e[2] == t * hop for e in emitted)
+
+
+def test_stream_channel_buffer_cap(monkeypatch):
+    """A stalled client (nobody drains the channel) must not buffer unbounded
+    PCM: the sink blocks briefly for drain credit, then flips dead and drops;
+    a draining consumer keeps the stream alive via consumed() credit."""
+    from acestep_tpu.service.api_server import StreamChannel
+
+    monkeypatch.setattr(StreamChannel, "MAX_BUFFER_BYTES", 64)
+    monkeypatch.setattr(StreamChannel, "STALL_TIMEOUT_S", 0.2)
+
+    pcm = np.zeros((1, 2, 16), np.int16)  # 64 bytes interleaved
+
+    # Stalled consumer: second chunk exceeds the cap → dead, chunk dropped.
+    ch = StreamChannel()
+    ch.sink(0, pcm, 64)
+    ch.sink(16, pcm, 64)
+    assert ch.dead
+    kinds = []
+    while not ch.q.empty():
+        kinds.append(ch.q.get()[0])
+    assert kinds == ["start", "pcm"]  # only the first chunk buffered
+    ch.close()  # terminal sentinel bypasses the cap
+    assert ch.q.get()[0] == "done"
+
+    # Draining consumer: credit keeps the sink alive past the cap.
+    ch2 = StreamChannel()
+    ch2.sink(0, pcm, 64)
+    ch2.q.get()  # start
+    item = ch2.q.get()
+    ch2.consumed(len(item[1]))
+    ch2.sink(16, pcm, 64)
+    assert not ch2.dead
+    assert ch2.q.get()[0] == "pcm"
+
+    # abandon() unblocks a sink waiting for credit from another thread.
+    import threading as _th
+
+    ch3 = StreamChannel()
+    monkeypatch.setattr(StreamChannel, "STALL_TIMEOUT_S", 30.0)
+    ch3.sink(0, pcm, 64)
+    waiter = _th.Thread(target=ch3.sink, args=(16, pcm, 64), daemon=True)
+    waiter.start()
+    time.sleep(0.05)
+    ch3.abandon()
+    waiter.join(5.0)
+    assert not waiter.is_alive() and ch3.dead
+
+
+def test_queue_full_cleans_upload_tempfile(handlers, tmp_path):
+    """An upload-bearing job rejected with 429 must not leak its temp file:
+    the worker never runs for it, so submit() itself unlinks _temp_files."""
+    import queue as _queue
+
+    from acestep_tpu.service.api_server import ApiService
+
+    dit, _ = handlers
+    service = ApiService(dit, None, output_dir=str(tmp_path))
+    full_q = _queue.Queue(maxsize=1)
+    full_q.put_nowait("sentinel")
+    service.queue = full_q
+
+    up = tmp_path / "acestep_upload_leak.wav"
+    up.write_bytes(b"RIFF")
+    try:
+        service.submit({"caption": "x", "_temp_files": [str(up)]})
+        raise AssertionError("expected queue.Full")
+    except _queue.Full:
+        pass
+    assert not up.exists()
+
+    up2 = tmp_path / "acestep_stream_leak.wav"
+    up2.write_bytes(b"RIFF")
+    try:
+        service.submit_stream({"caption": "x", "_temp_files": [str(up2)]})
+        raise AssertionError("expected queue.Full")
+    except _queue.Full:
+        pass
+    assert not up2.exists()
+
+
+def test_generate_stream_header_uses_selected_model_rate(handlers, tmp_path):
+    """The streamed RIFF header must advertise the sampling rate of the model
+    the payload selects from the multi-model registry, not the default's."""
+    import dataclasses
+    import http.client
+    import threading
+    import wave as wave_mod
+
+    from acestep_tpu.service.api_server import serve
+
+    dit, _ = handlers
+
+    class AltRateHandler:
+        """Same handler, double-rate vae_config (registry stand-in)."""
+
+        def __init__(self, base):
+            object.__setattr__(self, "_base", base)
+            object.__setattr__(
+                self, "vae_config",
+                dataclasses.replace(base.vae_config,
+                                    sampling_rate=base.vae_config.sampling_rate * 2),
+            )
+
+        def __getattr__(self, name):
+            return getattr(self._base, name)
+
+    alt = AltRateHandler(dit)
+    server = serve(dit, None, host="127.0.0.1", port=0,
+                   output_dir=str(tmp_path), extra_dit_handlers={"alt": alt})
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", "/v1/generate_stream", body=json.dumps({
+            "caption": "rate test", "duration": 2.0, "thinking": False,
+            "seed": 3, "model": "alt", "batch_size": 1,
+        }), headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        body = resp.read()
+        conn.close()
+        import io
+
+        with wave_mod.open(io.BytesIO(body)) as w:
+            assert w.getframerate() == dit.vae_config.sampling_rate * 2
+    finally:
+        server.shutdown()

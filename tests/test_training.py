@@ -263,6 +263,14 @@ def test_v1_discrete_timestep_sampling(base_params, tmp_path):
     src = inspect.getsource(train_api.TrainingService.start_run)
     assert "timestep_sampling" in src
 
+    # A misspelled mode must fail loudly, not silently train with the wrong
+    # timestep distribution (a non-reproducing adapter with no error).
+    import pytest
+
+    for bad in ("v1-discrete", "V1_discrete", "discrete", ""):
+        with pytest.raises(ValueError, match="timestep_sampling"):
+            TrainingConfig(timestep_sampling=bad)
+
 
 def test_gradient_accumulation_multisteps(tmp_path):
     """gradient_accumulation_steps=2 halves the number of applied optimizer
