@@ -547,10 +547,14 @@ class LLMHandler:
         if generated is None:
             fsms = []
             for i in range(b):
+                # skip_genres=True ALWAYS: main-generation CoT never emits a
+                # genres line (ref llm_inference.py:1233), regardless of
+                # whether a genres vocab is loaded — the device-DFA path and
+                # this host fallback must enforce the same grammar.
                 fsm = ConstrainedDecoderFSM(self.tokenizer, enabled=use_constrained_decoding,
                                             max_duration=self.fsm.max_duration,
                                             genres_vocab=self.genres_vocab,
-                                            skip_genres=self.genres_vocab is None,
+                                            skip_genres=True,
                                             caption_max_tokens=min(512, max_cot_tokens // 3))
                 fsm.reset(phase="cot", stop_at_reasoning=True, user_metadata=user_metadata,
                           target_duration=target_duration)
@@ -639,39 +643,51 @@ class LLMHandler:
                 )
                 for i in range(b)
             ]
-        ids, mask, bucket = self._encode_prompts(prompts, budget=n_codes + 8)
-        r = ids.shape[0]
-        logits, cache = self._prefill(ids, mask, bucket + n_codes + 8)
-        positions = np.asarray([mask[i].sum() for i in range(r)], np.int32)
-
         code_start = self.fsm.code_token_start
         n_vocab_codes = self.fsm.num_code_tokens
-        key = jax.random.PRNGKey(seed + 1)
-
         if code_start < 0:
-            # Dev tokenizer: emit pseudo-codes deterministically.
+            # Dev tokenizer: emit pseudo-codes deterministically — BEFORE any
+            # prefill (the device work would be discarded anyway).
             rng = np.random.default_rng(seed)
             return [
                 [int(x) for x in rng.integers(0, 64000, size=n_codes)] for _ in range(b)
             ]
+
+        ids, mask, bucket = self._encode_prompts(prompts, budget=n_codes + 8)
+        r = ids.shape[0]
+        logits, cache = self._prefill(ids, mask, bucket + n_codes + 8)
+        positions = np.asarray([mask[i].sum() for i in range(r)], np.int32)
+        key = jax.random.PRNGKey(seed + 1)
 
         # First code from prefill logits.
         key, sub = jax.random.split(key)
         code_logits = logits[:, code_start : code_start + n_vocab_codes]
         if use_cfg:
             code_logits = sampling.cfg_combine(code_logits[:b], code_logits[b:], cfg_scale)
-        first = sampling.sample(code_logits, sub, temperature, top_k=top_k, top_p=top_p)
-        first_tok = jnp.asarray(first + code_start, jnp.int32)
-        feed = jnp.concatenate([first_tok, first_tok]) if use_cfg else first_tok
 
         seen0 = None
+        seen_np = None
         if repetition_penalty != 1.0:
             # Seed the penalty set with code tokens already in the prompt
-            # (cover/understand contexts), HF full-context semantics.
+            # (cover/understand contexts), HF full-context semantics — and
+            # penalize the FIRST sampled code from that set too, not just
+            # the scan's subsequent steps.
             seen_np = np.zeros((b, n_vocab_codes), bool)
             in_range = (ids[:b] >= code_start) & (ids[:b] < code_start + n_vocab_codes)
             rows, cols = np.nonzero(in_range)
             seen_np[rows, ids[:b][rows, cols] - code_start] = True
+            prompt_seen = jnp.asarray(seen_np)
+            cl = code_logits.astype(jnp.float32)
+            code_logits = jnp.where(
+                prompt_seen,
+                jnp.where(cl > 0, cl / repetition_penalty, cl * repetition_penalty),
+                cl,
+            )
+        first = sampling.sample(code_logits, sub, temperature, top_k=top_k, top_p=top_p)
+        first_tok = jnp.asarray(first + code_start, jnp.int32)
+        feed = jnp.concatenate([first_tok, first_tok]) if use_cfg else first_tok
+
+        if seen_np is not None:
             first_np = np.asarray(first)
             seen_np[np.arange(b), first_np] = True
             seen0 = jnp.asarray(seen_np)

@@ -34,13 +34,6 @@ def cfg_combine(cond: jax.Array, uncond: jax.Array, scale: float) -> jax.Array:
     )
 
 
-def _filter_top_k(logits: jax.Array, top_k: int) -> jax.Array:
-    if top_k <= 0:
-        return logits
-    kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
-    return jnp.where(logits < kth, NEG, logits)
-
-
 def _filter_top_p(logits: jax.Array, top_p: float) -> jax.Array:
     if top_p >= 1.0:
         return logits

@@ -244,7 +244,12 @@ def timbre_encoder(
     same = order_mask[:, None] == order_mask[None, :]
     earlier = jnp.arange(n)[None, :] < jnp.arange(n)[:, None]
     pos_in_batch = jnp.sum(same & earlier, axis=1)
-    flat_idx = order_mask * max_refs + pos_in_batch
+    # A sample with more refs than max_refs must DROP the extras, not spill
+    # them into the next sample's slots: out-of-range one_hot rows are all
+    # zeros, so flat_idx=-1 scatters nowhere.
+    flat_idx = jnp.where(
+        pos_in_batch < max_refs, order_mask * max_refs + pos_in_batch, -1
+    )
     one_hot = jax.nn.one_hot(flat_idx, batch_size * max_refs, dtype=timbre.dtype)
     unpacked = (one_hot.T @ timbre).reshape(batch_size, max_refs, -1)
     mask = (jnp.sum(one_hot, axis=0) > 0).astype(jnp.int32).reshape(batch_size, max_refs)
@@ -547,13 +552,18 @@ def prepare_condition(
     src_latents: jax.Array,  # (B, T, 64)
     chunk_masks: jax.Array,  # (B, T, 64)
     is_covers: jax.Array,  # (B,) bool/int
-    attention_mask: Optional[jax.Array] = None,  # (B, T)
+    attention_mask: Optional[jax.Array] = None,  # (B, T) — accepted, unused
     silence_latent: Optional[jax.Array] = None,  # (1, >=T, 64)
     precomputed_lm_hints_25hz: Optional[jax.Array] = None,
     audio_codes: Optional[jax.Array] = None,  # (B, T5) int
     max_refs: int = 1,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Ref AceStepConditionGenerationModel.prepare_condition (:1603-1649)."""
+    """Ref AceStepConditionGenerationModel.prepare_condition (:1603-1649).
+
+    `attention_mask` is accepted for signature parity with the reference,
+    which also ignores it here (it drops padding masks inside forward,
+    modeling_acestep_v15_base.py:1616 — see docs/PARITY.md). Latent padding
+    is honored later via denoise_scan's latent_mask."""
     enc, enc_mask = condition_encoder(
         params["encoder"],
         cfg,
@@ -567,10 +577,29 @@ def prepare_condition(
     )
 
     t = src_latents.shape[1]
+
+    def _fit_hints(h: jax.Array) -> jax.Array:
+        # Hints shorter than the latent length (LM emitted fewer codes than
+        # the duration) pad with the silence latent instead of crashing the
+        # jnp.where broadcast below.
+        h = h[:, :t, :]
+        short = t - h.shape[1]
+        if short > 0:
+            if silence_latent is not None:
+                fill = jnp.broadcast_to(
+                    silence_latent[:1, :short, :], (h.shape[0], short, h.shape[2])
+                )
+            else:
+                fill = jnp.zeros((h.shape[0], short, h.shape[2]), h.dtype)
+            h = jnp.concatenate([h, fill.astype(h.dtype)], axis=1)
+        return h
+
     if precomputed_lm_hints_25hz is not None:
-        lm_hints = precomputed_lm_hints_25hz[:, :t, :]
+        lm_hints = _fit_hints(precomputed_lm_hints_25hz)
     elif audio_codes is not None:
-        lm_hints = decode_audio_codes(params, cfg, audio_codes, src_latents.dtype)[:, :t, :]
+        lm_hints = _fit_hints(
+            decode_audio_codes(params, cfg, audio_codes, src_latents.dtype)
+        )
     else:
         hs = src_latents
         pad = (-t) % cfg.pool_window_size

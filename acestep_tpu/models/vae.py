@@ -86,9 +86,31 @@ def _use_fused_res_units(c: int, limit: int = 1024) -> bool:
         return False
 
 
+def _fused_block_supports(l_in: int, stride: int) -> bool:
+    """Sequences too short for the fused decoder block's halo invariant
+    (margin_up = hin·s − TOTAL_HALO ≥ s needs the 8-aligned tile to hold the
+    full input halo) take the unfused path instead of crashing at trace."""
+    from acestep_tpu.ops.pallas_vae import _upsample_halo
+
+    return -(-l_in // 8) * 8 >= _upsample_halo(stride)
+
+
+def _res_units_supports(l: int) -> bool:
+    """res_units_pallas assembles tile−TOTAL_HALO edge slices; tiles shorter
+    than the halo make those slices negative-start. Short activations run the
+    plain XLA chain."""
+    from acestep_tpu.ops.pallas_vae import TOTAL_HALO
+
+    return -(-l // 8) * 8 >= TOTAL_HALO
+
+
 def decoder_block(p: Params, x: jax.Array, stride: int) -> jax.Array:
     c_out = p["conv_t1"]["kernel"].shape[2]
-    if stride % 2 == 0 and _use_fused_res_units(c_out, 512):
+    if (
+        stride % 2 == 0
+        and _use_fused_res_units(c_out, 512)
+        and _fused_block_supports(x.shape[1], stride)
+    ):
         # Whole block (snake → conv_t → 3 res units) in one VMEM pass: the
         # transposed conv's HBM temporaries and the upsampled activation
         # round-trip disappear entirely.
@@ -100,7 +122,7 @@ def decoder_block(p: Params, x: jax.Array, stride: int) -> jax.Array:
         x, p["conv_t1"]["kernel"], p["conv_t1"].get("bias"),
         stride=stride, padding=-(-stride // 2),
     )
-    if _use_fused_res_units(x.shape[-1]):
+    if _use_fused_res_units(x.shape[-1]) and _res_units_supports(x.shape[1]):
         from acestep_tpu.ops.pallas_vae import res_units_pallas
 
         return res_units_pallas(x, (p["res_unit1"], p["res_unit2"], p["res_unit3"]))

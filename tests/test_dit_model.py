@@ -204,3 +204,69 @@ def test_guidance_sweep_does_not_recompile(params):
     assert np.abs(a - b).max() > 1e-6
     c = np.asarray(out3["target_latents"])
     assert np.abs(b - c).max() > 1e-6
+
+
+def test_timbre_encoder_overflow_refs_dropped(params):
+    """A sample with more refs than max_refs DROPS the extras instead of
+    spilling them into the next sample's timbre slots."""
+    rng = np.random.default_rng(5)
+    packed = jnp.asarray(
+        rng.standard_normal((2, TINY.timbre_fix_frame, TINY.timbre_hidden_dim)).astype(np.float32)
+    )
+    # Two refs, both for sample 0; max_refs=1 → the 2nd must vanish.
+    unpacked, mask = dit.timbre_encoder(
+        params["encoder"]["timbre_encoder"], TINY,
+        packed, jnp.asarray([0, 0]), batch_size=2, max_refs=1,
+    )
+    assert unpacked.shape[0] == 2 and unpacked.shape[1] == 1
+    assert int(mask[0, 0]) == 1
+    assert int(mask[1, 0]) == 0, "overflow ref spilled into sample 1's slot"
+    np.testing.assert_array_equal(np.asarray(unpacked[1]), 0.0)
+
+    # Control: same packed refs with max_refs=2 keeps both in sample 0.
+    unpacked2, mask2 = dit.timbre_encoder(
+        params["encoder"]["timbre_encoder"], TINY,
+        packed, jnp.asarray([0, 0]), batch_size=2, max_refs=2,
+    )
+    assert int(mask2[0, 0]) == 1 and int(mask2[0, 1]) == 1
+    assert int(mask2[1, 0]) == 0 and int(mask2[1, 1]) == 0
+    np.testing.assert_allclose(
+        np.asarray(unpacked2[0, 0]), np.asarray(unpacked[0, 0]), rtol=1e-6
+    )
+
+
+def test_prepare_condition_short_hints_padded(params):
+    """LM hints covering fewer latent frames than the duration pad with the
+    silence latent instead of crashing the where() broadcast."""
+    inp = _inputs()
+    t = inp["src_latents"].shape[1]
+    short = jnp.asarray(
+        np.random.default_rng(6).standard_normal(
+            (2, t - 8, TINY.audio_acoustic_hidden_dim)).astype(np.float32)
+    )
+    enc, enc_mask, ctx = dit.prepare_condition(
+        params, TINY,
+        text_hidden_states=inp["text_hidden_states"],
+        text_attention_mask=inp["text_attention_mask"],
+        lyric_hidden_states=inp["lyric_hidden_states"],
+        lyric_attention_mask=inp["lyric_attention_mask"],
+        refer_packed=inp["refer_packed"],
+        refer_order_mask=inp["refer_order_mask"],
+        src_latents=inp["src_latents"],
+        chunk_masks=inp["chunk_masks"],
+        is_covers=inp["is_covers"],
+        silence_latent=inp["silence_latent"],
+        precomputed_lm_hints_25hz=short,
+        max_refs=2,
+    )
+    assert ctx.shape == (2, t, 2 * TINY.audio_acoustic_hidden_dim)
+    # Sample 1 is a cover: its tail frames must equal the silence fill.
+    src_half = np.asarray(ctx[1, :, : TINY.audio_acoustic_hidden_dim])
+    np.testing.assert_allclose(
+        src_half[t - 8 :], np.asarray(inp["silence_latent"][0, : 8]), rtol=1e-6
+    )
+    # Sample 0 is not a cover: untouched src latents.
+    np.testing.assert_allclose(
+        np.asarray(ctx[0, :, : TINY.audio_acoustic_hidden_dim]),
+        np.asarray(inp["src_latents"][0]), rtol=1e-6,
+    )

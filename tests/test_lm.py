@@ -307,3 +307,63 @@ def test_prefiltered_nucleus_matches_exact_for_peaked_dists():
         # and every sampled token must lie inside the EXACT nucleus set
         picked = jnp.take_along_axis(exact, got[..., None], axis=-1)[..., 0]
         assert (picked > sampling.NEG / 2).all()
+
+
+def test_host_fallback_cot_skips_genres(lm_handler, monkeypatch):
+    """Main-generation CoT never emits a genres line (ref llm_inference.py:1233)
+    — including on the HOST-FSM fallback path with a genres vocab loaded,
+    which must enforce the same grammar as the device DFA."""
+    monkeypatch.setenv("ACESTEP_TPU_NO_DEVICE_FSM", "1")
+    monkeypatch.setattr(
+        lm_handler, "genres_vocab", ["synthwave", "lofi", "ambient"],
+        raising=False,
+    )
+    out = lm_handler.generate_with_stop_condition(
+        "bright synth arps", "", temperature=0.8, stop_at_reasoning=True, seed=4,
+    )
+    assert "<think>" in out["cot_text"]
+    assert "genres:" not in out["cot_text"], out["cot_text"]
+
+
+def test_first_code_respects_repetition_penalty(lm_handler, monkeypatch):
+    """The FIRST sampled audio code honors the prompt-seeded repetition
+    penalty (HF full-context semantics), not just the scan's later steps:
+    logits at prompt-seen code indices must arrive at the first sample()
+    call already moved by exactly the HF penalty rule."""
+    import numpy as np
+
+    import acestep_tpu.lm.sampling as sampling_mod
+
+    # Point the "code token" range at plain byte ids so the prompt text
+    # itself seeds the penalty set (the dev tokenizer has no native codes).
+    monkeypatch.setattr(lm_handler.fsm, "code_token_start", 100, raising=False)
+    monkeypatch.setattr(lm_handler.fsm, "num_code_tokens", 64, raising=False)
+
+    first_logits = []
+    orig = sampling_mod.sample
+
+    def spy(logits, key, temperature=1.0, **kw):
+        try:
+            # Only concrete (eager) calls — the module-global `sample` is
+            # also hit by tracers inside jitted scan bodies.
+            first_logits.append(np.asarray(logits, np.float32))
+        except jax.errors.TracerArrayConversionError:
+            pass
+        return orig(logits, key, temperature, **kw)
+
+    monkeypatch.setattr(sampling_mod, "sample", spy)
+
+    cot = "<think>\nbpm: 100\n</think>"
+    kw = dict(temperature=0.7, cfg_scale=1.0, top_k=0, top_p=1.0,
+              negative_prompt="", seed=0)
+    lm_handler._generate_codes("test", "", [cot], 4, repetition_penalty=1.0, **kw)
+    base = first_logits[0]
+    first_logits.clear()
+    lm_handler._generate_codes("test", "", [cot], 4, repetition_penalty=25.0, **kw)
+    pen = first_logits[0]
+
+    diff = ~np.isclose(base, pen)
+    assert diff.any(), "prompt text contains no ids in the patched code range"
+    changed_b, changed_p = base[diff], pen[diff]
+    expect = np.where(changed_b > 0, changed_b / 25.0, changed_b * 25.0)
+    np.testing.assert_allclose(changed_p, expect, rtol=1e-5)

@@ -134,3 +134,51 @@ def test_fused_decoder_block_matches_plain(params):
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
             rtol=1e-4, atol=1e-4,
         )
+
+
+def test_fused_kernel_short_sequence_gates(params):
+    """Latents too short for the fused kernels' halo invariants must take the
+    unfused path (gates), and the gate thresholds must be exactly where the
+    kernels stop working: just-above-threshold shapes still match the split
+    path in interpret mode."""
+    import numpy as np
+
+    from acestep_tpu.models.vae import _fused_block_supports, _res_units_supports
+    from acestep_tpu.ops.pallas_vae import (
+        TOTAL_HALO,
+        _upsample_halo,
+        decoder_block_pallas,
+        res_units_pallas,
+    )
+
+    # stride 2: halo needs 24 aligned input rows — 16 is too short.
+    assert not _fused_block_supports(16, 2)
+    assert _fused_block_supports(_upsample_halo(2), 2)
+    assert not _res_units_supports(32)
+    assert _res_units_supports(TOTAL_HALO)
+
+    # The shortest gate-passing shapes actually run and match the split path.
+    stride = TINY.downsampling_ratios[0]
+    bp = params["decoder"]["block"][len(TINY.downsampling_ratios) - 1]
+    ci = bp["conv_t1"]["kernel"].shape[1]
+    l_min = _upsample_halo(stride)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, l_min, ci)), jnp.float32)
+    ref = vae.decoder_block(bp, x, stride)
+    got = decoder_block_pallas(x, bp, stride, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    co = bp["conv_t1"]["kernel"].shape[2]
+    units = (bp["res_unit1"], bp["res_unit2"], bp["res_unit3"])
+    y = jnp.asarray(rng.standard_normal((1, TOTAL_HALO, co)), jnp.float32)
+    ref_u = vae.residual_unit(units[0], y, 1)
+    ref_u = vae.residual_unit(units[1], ref_u, 3)
+    ref_u = vae.residual_unit(units[2], ref_u, 9)
+    got_u = res_units_pallas(y, units, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got_u, np.float32), np.asarray(ref_u, np.float32),
+        rtol=1e-4, atol=1e-4,
+    )
