@@ -89,7 +89,15 @@ class JobStore:
     def gc(self) -> None:
         now = time.time()
         with self._lock:
-            dead = [k for k, v in self._jobs.items() if now - v["created"] > JOB_TTL_SECONDS]
+            # Only TERMINAL jobs age out: a long-queued job under backlog is
+            # still owned by the queue — deleting it here would make the
+            # worker silently skip it and the client poll "unknown task"
+            # (the ref mirrors results before expiry for the same reason).
+            dead = [
+                k for k, v in self._jobs.items()
+                if now - v["created"] > JOB_TTL_SECONDS
+                and v.get("status") not in ("queued", "running")
+            ]
             for k in dead:
                 del self._jobs[k]
 
@@ -411,7 +419,10 @@ class ApiService:
             run_meta={
                 "started_at": time.time(),
                 "duration_s": float(payload0.get("duration", 30) or 30),
-                "batch": int(payload0.get("batch_size", 1) or 1),
+                # Same default as _config_from_payload → GenerationConfig,
+                # so the progress estimator's per-batch buckets see the batch
+                # that actually ran.
+                "batch": int(payload0.get("batch_size") or GenerationConfig().batch_size),
                 "steps": int(payload0.get("inference_steps", 8) or 8),
             },
         )
@@ -606,7 +617,12 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
             if not api_key:
                 return True
             auth = self.headers.get("Authorization", "")
-            return auth == f"Bearer {api_key}" or self.headers.get("X-API-Key") == api_key
+            if auth == f"Bearer {api_key}" or self.headers.get("X-API-Key") == api_key:
+                return True
+            # ?key= fallback for GET surfaces that can't carry headers (the
+            # studio page's <audio src> / download links).
+            q = parse_qs(urlparse(self.path).query)
+            return (q.get("key") or [""])[0] == api_key
 
         def _read_body(self) -> Dict[str, Any]:
             length = int(self.headers.get("Content-Length", 0))
@@ -795,6 +811,11 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 return
             if url.path == "/health":
                 return self._json(200, {"status": "ok", "initialized": service.dit_handler.initialized})
+            # Everything past the open surfaces (studio page, health) is
+            # gated like POSTs — the reference guards its GET routes with the
+            # same verify_api_key dependency (ref api_server.py:2804,3227).
+            if not self._auth_ok():
+                return self._json(401, {"error": "unauthorized"})
             if url.path == "/v1/stats":
                 payload = {"queue_depth": service.queue.qsize(), **service.store.stats()}
                 lm = service.llm_handler
@@ -855,7 +876,12 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 path = (q.get("path") or [""])[0]
                 full = os.path.abspath(path)
                 root = os.path.abspath(service.output_dir)
-                if not full.startswith(root) or not os.path.exists(full):
+                # Separator-boundary containment: bare startswith(root) would
+                # also match sibling dirs like "outputs_private".
+                if (
+                    not (full == root or full.startswith(root + os.sep))
+                    or not os.path.exists(full)
+                ):
                     return self._json(404, {"error": "not found"})
                 with open(full, "rb") as f:
                     data = f.read()
@@ -900,6 +926,14 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 ids = body.get("task_ids") or ([body["task_id"]] if "task_id" in body else [])
                 results = []
                 for tid in ids:
+                    if not isinstance(tid, str):
+                        # null/numeric ids (e.g. a client polling after a 429
+                        # submit with no task_id) must not crash the handler.
+                        results.append({
+                            "task_id": tid, "status": 2, "progress": 0.0,
+                            "result": None, "error": "bad task id",
+                        })
+                        continue
                     job = service.store.get(tid)
                     if job is None:
                         # Fall back to the persistent mirror (post-GC/restart).
@@ -939,7 +973,10 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 out = create_sample(service.llm_handler, body.get("query", ""))
                 return self._json(200, out)
             if url.path == "/format_input":
-                out = format_sample(service.llm_handler, body.get("input", body.get("text", "")))
+                out = format_sample(
+                    service.llm_handler,
+                    body.get("input") or body.get("user_input") or body.get("text", ""),
+                )
                 return self._json(200, out)
             if url.path == "/understand":
                 from acestep_tpu.service.inference import understand_music

@@ -156,7 +156,9 @@ class TrainingService:
         from acestep_tpu.training.dataset_builder import DatasetBuilder
 
         audio_dir = payload["audio_dir"]
-        out_dir = payload.get("output_dir", audio_dir.rstrip("/") + "_tensors")
+        # `or`, not a .get default: the webui always sends the field, as ""
+        # when blank — makedirs("") would die with FileNotFoundError.
+        out_dir = payload.get("output_dir") or (audio_dir.rstrip("/") + "_tensors")
         captions: Dict[str, str] = payload.get("captions", {})
         lyrics: Dict[str, str] = payload.get("lyrics", {})
 

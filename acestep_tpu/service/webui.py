@@ -42,6 +42,9 @@ STUDIO_HTML = """<!DOCTYPE html>
     <option value="en">English</option><option value="zh">中文</option>
     <option value="ja">日本語</option><option value="he">עברית</option>
   </select>
+  <input type="password" id="api_key" placeholder="API key"
+         style="float: inline-end; width: 8rem; font-size: .8rem; margin-inline-end: .5rem"
+         title="Only needed when the server was started with --api-key">
 </h1>
 
 <fieldset class="modes"><legend>Tab</legend>
@@ -409,8 +412,17 @@ $("src_file").onchange = () => {
   a.onerror = () => { $("src_info").textContent = f.name; URL.revokeObjectURL(url); };
   a.src = url;
 };
+// API key plumbing (server --api-key): header on XHRs, ?key= on media URLs
+// (an <audio src> can't carry headers). Persisted so a reload keeps it.
+const apiKey = () => $("api_key").value.trim();
+$("api_key").value = localStorage.getItem("acestep_api_key") || "";
+$("api_key").onchange = () => localStorage.setItem("acestep_api_key", apiKey());
+const authHdrs = (h) => apiKey() ? {...(h || {}), "X-API-Key": apiKey()} : (h || {});
+const mediaUrl = (p) => "/v1/audio?path=" + encodeURIComponent(p)
+  + (apiKey() ? "&key=" + encodeURIComponent(apiKey()) : "");
 async function post(path, body) {
-  const r = await fetch(path, {method: "POST", headers: {"Content-Type": "application/json"},
+  const r = await fetch(path, {method: "POST",
+                               headers: authHdrs({"Content-Type": "application/json"}),
                                body: JSON.stringify(body)});
   return r.json();
 }
@@ -500,11 +512,14 @@ $("go").onclick = async () => {
       Object.entries(payload).forEach(([k, v]) => fd.append(k, JSON.stringify(v)));
       fd.append("src_audio", $("src_file").files[0]);
       [...$("ref_files").files].forEach(f => fd.append("reference_audio", f));
-      resp = await (await fetch("/release_task", {method: "POST", body: fd})).json();
+      resp = await (await fetch("/release_task", {method: "POST", headers: authHdrs(), body: fd})).json();
     } else {
       resp = await post("/release_task", payload);
     }
     const task_id = resp.task_id;
+    // 429 queue-full / validation error: surface it instead of polling null
+    // (the throw lands in the catch below, which re-enables the button).
+    if (!task_id) throw (resp.error || "submit failed");
     $("status").textContent = "queued: " + task_id;
     for (;;) {
       await new Promise(res => setTimeout(res, 1500));
@@ -516,7 +531,7 @@ $("go").onclick = async () => {
         const div = document.createElement("div"); div.className = "result";
         (st.result.audio_paths || []).forEach((p, i) => {
           const a = document.createElement("audio"); a.controls = true;
-          a.src = "/v1/audio?path=" + encodeURIComponent(p);
+          a.src = mediaUrl(p);
           const cap = document.createElement("div"); cap.className = "small";
           let capText = p + "  seed=" + (st.result.seeds || [])[i];
           const score = (st.result.lyrics_scores || [])[i];
@@ -532,7 +547,7 @@ $("go").onclick = async () => {
             send.style.fontSize = ".75rem"; send.style.padding = ".25rem .6rem";
             send.style.marginRight = ".4rem";
             send.onclick = async () => {
-              const blob = await (await fetch(a.src)).blob();
+              const blob = await (await fetch(a.src, {headers: authHdrs()})).blob();
               const name = p.split("/").pop() || "result.wav";
               const dt = new DataTransfer();
               dt.items.add(new File([blob], name, {type: blob.type || "audio/wav"}));
@@ -552,7 +567,7 @@ $("go").onclick = async () => {
             const link = document.createElement("a");
             link.className = "small";
             link.style.marginLeft = ".6rem";
-            link.href = "/v1/audio?path=" + encodeURIComponent(pp);
+            link.href = mediaUrl(pp);
             link.download = pp.split("/").pop();
             link.textContent = "params.json";
             div.appendChild(link);
@@ -585,7 +600,7 @@ $("go").onclick = async () => {
 $("btn_example").onclick = async () => {
   $("tool_status").textContent = "sampling example…";
   try {
-    const out = await (await fetch("/v1/example")).json();
+    const out = await (await fetch("/v1/example", {headers: authHdrs()})).json();
     const md = out.example || {};
     if (md.caption) $("caption").value = md.caption;
     if (md.lyrics != null) $("lyrics").value = md.lyrics;
@@ -636,7 +651,7 @@ $("btn_understand").onclick = async () => {
 // /v1/dataset/* routes: scan/load/edit/save + async auto_label/preprocess
 // with task polling — ref training-tab annotation flow) ----
 async function dsReq(method, path, body) {
-  const r = await fetch(path, {method, headers: {"Content-Type": "application/json"},
+  const r = await fetch(path, {method, headers: authHdrs({"Content-Type": "application/json"}),
                                body: body === undefined ? undefined : JSON.stringify(body)});
   return r.json();
 }

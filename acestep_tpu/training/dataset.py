@@ -80,6 +80,11 @@ class PreprocessedDataset:
         pad_multiple: int = 64,
     ) -> Iterator[Dict[str, np.ndarray]]:
         """Yield padded batches indefinitely (or for `epochs` passes)."""
+        if not self.entries:
+            raise ValueError("dataset is empty — nothing to train on")
+        # batch_size > dataset would yield NOTHING while looping forever,
+        # hanging the training worker; train on the whole set instead.
+        batch_size = min(batch_size, len(self.entries))
         rng = np.random.default_rng(seed)
         epoch = 0
         while epochs is None or epoch < epochs:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import time
 from typing import Any, Dict, Iterator, Optional, Tuple
@@ -225,7 +226,12 @@ class LoRATrainer:
                 loss_f = float(loss)
                 if not bool(finite):
                     self.nonfinite_steps += 1
-                msg = f"step {self.step} loss {loss_f:.4f}"
+                if not math.isfinite(loss_f):
+                    # json.dumps would emit a bare NaN token — invalid JSON
+                    # that breaks strict clients and the UI run list. The
+                    # skipped step is recorded via nonfinite_steps.
+                    loss_f = None
+                msg = f"step {self.step} loss {loss_f if loss_f is None else f'{loss_f:.4f}'}"
                 if self.step % self.tcfg.log_every == 0:
                     metrics_f.write(json.dumps({
                         "step": self.step, "loss": loss_f, "time": time.time(),

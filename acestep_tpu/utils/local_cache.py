@@ -13,7 +13,7 @@ import threading
 import time
 from typing import Any, Optional
 
-_singleton = None
+_instances: dict = {}
 _lock = threading.Lock()
 
 
@@ -57,8 +57,12 @@ class LocalCache:
 
 
 def get_cache(path: str = ".cache/acestep_tpu/cache.sqlite3") -> LocalCache:
-    global _singleton
+    """One LocalCache per DB path — a single global would silently bind every
+    later caller (e.g. a second server with a different output_dir) to
+    whichever DB happened to open first."""
+    key = os.path.abspath(path)
     with _lock:
-        if _singleton is None:
-            _singleton = LocalCache(path)
-        return _singleton
+        inst = _instances.get(key)
+        if inst is None:
+            inst = _instances[key] = LocalCache(path)
+        return inst

@@ -1533,3 +1533,112 @@ def test_generate_stream_header_uses_selected_model_rate(handlers, tmp_path):
             assert w.getframerate() == dit.vae_config.sampling_rate * 2
     finally:
         server.shutdown()
+
+
+def test_get_endpoints_require_api_key(handlers, tmp_path):
+    """With --api-key, GET surfaces are gated like POSTs (ref verify_api_key
+    Depends on stats/models/get_audio): header, Bearer, or ?key= all work;
+    /health and the studio page stay open; /v1/audio enforces a
+    separator-boundary containment check against sibling directories."""
+    import http.client
+    import threading
+
+    dit, _ = handlers
+    from acestep_tpu.service.api_server import serve
+
+    out_dir = tmp_path / "outputs"
+    out_dir.mkdir()
+    (out_dir / "a.wav").write_bytes(b"RIFFdata")
+    sibling = tmp_path / "outputs_private"
+    sibling.mkdir()
+    (sibling / "secret.wav").write_bytes(b"SECRET")
+
+    server = serve(dit, None, host="127.0.0.1", port=0, api_key="sek",
+                   output_dir=str(out_dir))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def get(path, headers=None):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        c.request("GET", path, headers=headers or {})
+        r = c.getresponse()
+        body = r.read()
+        c.close()
+        return r.status, body
+
+    try:
+        assert get("/health")[0] == 200
+        assert get("/")[0] == 200
+        assert get("/v1/stats")[0] == 401
+        assert get("/v1/logs")[0] == 401
+        assert get("/v1/models")[0] == 401
+        assert get("/v1/stats", {"X-API-Key": "sek"})[0] == 200
+        assert get("/v1/stats", {"Authorization": "Bearer sek"})[0] == 200
+        assert get("/v1/stats", {"X-API-Key": "wrong"})[0] == 401
+
+        from urllib.parse import quote
+
+        ok = get("/v1/audio?path=" + quote(str(out_dir / "a.wav")) + "&key=sek")
+        assert ok[0] == 200 and ok[1] == b"RIFFdata"
+        # sibling directory sharing the output_dir prefix must NOT be served
+        st, body = get("/v1/audio?path=" + quote(str(sibling / "secret.wav")) + "&key=sek")
+        assert st == 404 and b"SECRET" not in body
+    finally:
+        server.shutdown()
+
+
+def test_query_result_bad_task_id(handlers, tmp_path):
+    """null/numeric task ids (a client polling after a 429 with no task_id)
+    get a structured failure entry, not a dropped connection."""
+    import http.client
+    import threading
+
+    dit, _ = handlers
+    from acestep_tpu.service.api_server import serve
+
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        c.request("POST", "/query_result",
+                  body=json.dumps({"task_ids": [None, 7]}),
+                  headers={"Content-Type": "application/json"})
+        r = c.getresponse()
+        assert r.status == 200
+        out = json.loads(r.read())
+        assert [e["status"] for e in out["results"]] == [2, 2]
+        assert all(e["error"] == "bad task id" for e in out["results"])
+        c.close()
+    finally:
+        server.shutdown()
+
+
+def test_jobstore_gc_keeps_queued_jobs():
+    """gc() only expires TERMINAL jobs: a long-queued job under backlog must
+    survive until the worker runs it."""
+    from acestep_tpu.service.api_server import JOB_TTL_SECONDS, JobStore
+
+    store = JobStore()
+    tid_q = store.create({"caption": "x"})
+    tid_done = store.create({"caption": "y"})
+    store.mark(tid_done, status="succeeded")
+    # age both past the TTL
+    with store._lock:
+        for tid in (tid_q, tid_done):
+            store._jobs[tid]["created"] -= JOB_TTL_SECONDS + 10
+    store.gc()
+    assert store.get(tid_q) is not None, "queued job was GC'd"
+    assert store.get(tid_done) is None
+
+
+def test_local_cache_keyed_by_path(tmp_path):
+    """get_cache returns one instance per DB path, not a first-wins global."""
+    from acestep_tpu.utils.local_cache import get_cache
+
+    a = get_cache(str(tmp_path / "a.sqlite3"))
+    b = get_cache(str(tmp_path / "b.sqlite3"))
+    assert a is not b
+    assert a is get_cache(str(tmp_path / "a.sqlite3"))
+    a.set("k", 1)
+    assert b.get("k") is None

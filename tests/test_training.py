@@ -94,6 +94,24 @@ def test_dataset_batching(tmp_path):
     assert not batch["attention_mask"][:, 20:].any()
 
 
+def test_dataset_batching_oversized_batch(tmp_path):
+    """batch_size > dataset must still yield (clamped to the dataset) — the
+    old range() yielded nothing while looping forever, hanging the training
+    worker in an unstoppable spin. Empty datasets fail loudly."""
+    import pytest
+
+    ds_dir = _make_dataset(tmp_path)
+    ds = PreprocessedDataset(ds_dir)
+    batch = next(ds.batches(8, shuffle=False, pad_multiple=8))
+    assert batch["target_latents"].shape[0] == 3  # clamped to len(ds)
+
+    empty_dir = tmp_path / "empty"
+    empty_dir.mkdir()
+    write_manifest(str(empty_dir), [])
+    with pytest.raises(ValueError, match="empty"):
+        next(PreprocessedDataset(str(empty_dir)).batches(2))
+
+
 def test_trainer_loss_decreases_and_checkpoints(base_params, tmp_path):
     ds_dir = _make_dataset(tmp_path / "data")
     os.makedirs(ds_dir, exist_ok=True)
