@@ -252,12 +252,12 @@ def cmd_train(args) -> int:
     print(handler.initialize_service(args.checkpoint_dir, random_init=args.random_init or None))
     # LoRA trains against the unstacked per-layer layout; the serving handler
     # stacks layers for scan, so convert (shared with the training REST path).
-    from acestep_tpu.params import init_acestep_params, unstack_decoder_params
-    import jax
+    from acestep_tpu.params import unstack_decoder_params
 
-    base = init_acestep_params(jax.random.PRNGKey(0), handler.config, handler.dtype) \
-        if args.random_init else handler.params
-    base = unstack_decoder_params(base, handler.config)
+    # The handler already holds the (possibly random-init) weights — training
+    # must start from the SAME base the serving path would use, and a second
+    # init_acestep_params call would double the parameter memory.
+    base = unstack_decoder_params(handler.params, handler.config)
 
     ds = PreprocessedDataset(args.dataset_dir)
     trainer = LoRATrainer(

@@ -177,6 +177,15 @@ class AceStepHandler:
         # Stack alternating layers for scan-based execution (compile-time win).
         self.params = dit.stack_acestep_params(self.params, self.config)
 
+        # Drop jits cached against a previous init's configs: /v1/reinitialize
+        # may load a checkpoint with different dims — a cached_property closure
+        # over the OLD cfg would crash (or silently mis-decode) on the new one.
+        for name in (
+            "_text_encode_jit", "_vae_decode_jit", "_vae_encode_jit",
+            "_decode_codes_jit", "_postprocess_jit", "_peak_jit",
+        ):
+            self.__dict__.pop(name, None)
+
         self.initialized = True
         return f"initialized in {time.time() - t0:.1f}s (random_init={random_init})"
 
@@ -424,7 +433,7 @@ class AceStepHandler:
         chunk_masks = np.zeros((batch_size, t_latent), bool)
         spans: List[Tuple[str, int, int]] = []
         is_covers = np.zeros((batch_size,), bool)
-        repaint_ranges: Dict[int, Tuple[int, int]] = {}
+        repaint_ranges: Dict[int, Tuple[int, int, int]] = {}  # (s, e, left_pad_lat)
 
         for i in range(batch_size):
             rs = repainting_start[i] if repainting_start else None
@@ -432,13 +441,16 @@ class AceStepHandler:
             if rs is not None and re_ is not None and re_ > (rs or 0.0):
                 start_sec = rs or 0.0
                 left_pad = max(0.0, -start_sec)
+                pad_lat = min(
+                    int(left_pad * self.sample_rate // LATENT_HOP), t_latent - 1
+                )
                 s_lat = int((start_sec + left_pad) * self.sample_rate // LATENT_HOP)
                 e_lat = int((re_ + left_pad) * self.sample_rate // LATENT_HOP)
                 s_lat = max(0, min(s_lat, t_latent - 1))
                 e_lat = max(s_lat + 1, min(e_lat, t_latent))
                 chunk_masks[i, s_lat:e_lat] = True
                 spans.append(("repainting", s_lat, e_lat))
-                repaint_ranges[i] = (s_lat, e_lat)
+                repaint_ranges[i] = (s_lat, e_lat, pad_lat)
                 continue
             chunk_masks[i, :] = True
             spans.append(("full", 0, t_latent))
@@ -451,9 +463,20 @@ class AceStepHandler:
         for i in range(batch_size):
             if has_code_hints[i] or has_target_audio[i]:
                 base = target_latents[i] if target_latents is not None else silence_tiled
+                if i in repaint_ranges and repaint_ranges[i][2] > 0:
+                    # Outpainting before t=0 (negative repainting_start): the
+                    # reference left-pads the src WAV by |start| seconds
+                    # (padding_utils.py:47-58) so mask coordinates and source
+                    # shift together — mirror that at latent level: silence,
+                    # then the source shifted right by the pad.
+                    pad_lat = repaint_ranges[i][2]
+                    row = np.array(silence_tiled, np.float32, copy=True)
+                    n = min(base.shape[0], t_latent - pad_lat)
+                    row[pad_lat : pad_lat + n] = base[:n]
+                    base = row
                 src[i] = base
                 if i in repaint_ranges:
-                    s_lat, e_lat = repaint_ranges[i]
+                    s_lat, e_lat = repaint_ranges[i][:2]
                     src[i, s_lat:e_lat] = silence_tiled[s_lat:e_lat]
             else:
                 src[i] = silence_tiled
@@ -948,6 +971,7 @@ class AceStepHandler:
         seed: int = 42,
         custom_layers_config: Optional[Dict[int, List[int]]] = None,
         sample_idx: int = 0,
+        lyric_mask: Optional[np.ndarray] = None,  # (B, L): per-sample valid lens
     ) -> Dict[str, Any]:
         """Re-run one decoder step at t=1/steps with attention capture, DTW-align
         cross-attention to lyric tokens, return LRC text + timestamps +
@@ -965,6 +989,12 @@ class AceStepHandler:
         }
         if hasattr(lyric_token_ids, "ndim") and lyric_token_ids.ndim == 2 and lyric_token_ids.shape[0] > i:
             lyric_token_ids = lyric_token_ids[i : i + 1]
+            if lyric_mask is not None and np.asarray(lyric_mask).shape[0] > i:
+                # Per-sample crop: batches with different lyric lengths must
+                # not all be cut to sample 0's length (pad ids at the tail
+                # would misalign the attention slice below).
+                n_valid = int(np.asarray(lyric_mask[i]).sum())
+                lyric_token_ids = lyric_token_ids[:, :n_valid]
         xt_np = pred_latents[:1]
         # Latents were cropped to the exact duration; pad back to the bucketed
         # context length for the capture forward.
@@ -1008,12 +1038,24 @@ class AceStepHandler:
         pure_ids = ids[start:]
         attn_lyric = attn[:, start : start + len(pure_ids), :]
 
-        l_audio = attn.shape[-1]
-        fps = l_audio / max(total_duration_seconds, 1e-6)
+        # Attention runs over PATCHED latent frames at a fixed rate
+        # (LATENT_FPS / patch_size = 12.5 Hz). Deriving fps from
+        # attn.shape[-1]/duration would compress every timestamp whenever the
+        # duration doesn't exactly hit a latent bucket (the capture forward
+        # pads back to the bucketed context length above).
+        fps = LATENT_FPS / self.config.patch_size
         aligner = MusicStampsAligner(self.text_tokenizer, frames_per_second=fps)
         token_stamps = aligner.token_timestamps(attn_lyric, pure_ids)
         sentences = [l for l in lyrics_text.split("\n") if l.strip()]
         sent_stamps = aligner.sentence_timestamps(attn_lyric, pure_ids, sentences)
+        # The capture forward runs on the BUCKET-padded length; attention mass
+        # on pad frames would stamp past the end of the actual audio.
+        for s in token_stamps:
+            s.start = min(s.start, total_duration_seconds)
+            s.end = min(s.end, total_duration_seconds)
+        for s in sent_stamps:
+            s.start = min(s.start, total_duration_seconds)
+            s.end = min(s.end, total_duration_seconds)
 
         # Composite lyric quality score (ref dit_score.py:15-330) from the
         # same captured attention: cov² · mono² · path-confidence.
@@ -1320,13 +1362,15 @@ class AceStepHandler:
         }
         if return_condition:
             cond = outputs["condition"]
-            valid = int(np.asarray(lyric_mask[0]).sum())
             result["condition"] = {
                 "encoder_hidden_states": np.asarray(cond["encoder_hidden_states"], np.float32),
                 "encoder_attention_mask": np.asarray(cond["encoder_attention_mask"]),
                 "context_latents": np.asarray(cond["context_latents"], np.float32),
             }
-            result["lyric_token_ids"] = lyric_ids[:, :valid]
+            # Full (B, L) ids + mask: per-sample lyric lengths differ, so the
+            # LRC pass crops per sample (get_lyric_timestamps lyric_mask).
+            result["lyric_token_ids"] = lyric_ids
+            result["lyric_mask"] = np.asarray(lyric_mask)
 
         if decode_audio:
             def _finish():

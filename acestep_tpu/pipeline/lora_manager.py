@@ -144,9 +144,17 @@ class LoRARegistry:
         }
 
     def effective_decoder(self, base_decoder: Dict[str, Any], n_layers: int) -> Dict[str, Any]:
-        """Base decoder with all enabled adapters applied (cached until dirty)."""
-        if not self._dirty and self._cache is not None:
+        """Base decoder with all enabled adapters applied (cached until dirty
+        OR the base decoder changes — /v1/reinitialize swaps checkpoints and
+        must not keep serving an adapter applied to the OLD weights)."""
+        base_id = id(base_decoder)
+        if (
+            not self._dirty
+            and self._cache is not None
+            and getattr(self, "_cache_base_id", None) == base_id
+        ):
             return self._cache
+        self._cache_base_id = base_id
         out = base_decoder
         for a in self._adapters.values():
             if not a["enabled"]:

@@ -275,6 +275,7 @@ def generate_music(
                         vocal_language=merged.get("language") or "en",
                         inference_steps=params.inference_steps,
                         sample_idx=i,
+                        lyric_mask=out.get("lyric_mask"),
                     )
                 except Exception as lrc_err:  # noqa: BLE001 — score is best-effort
                     lrc_per_sample[i] = {"success": False, "error": str(lrc_err)}

@@ -47,6 +47,7 @@ def test_lyric_timestamps_end_to_end():
         out["latents"], out["condition"], out["lyric_token_ids"],
         lyrics_text=lyrics, total_duration_seconds=2.0,
         vocal_language="en", inference_steps=8, seed=42,
+        lyric_mask=out["lyric_mask"],
     )
     assert lrc["success"], lrc.get("error")
     assert lrc["lrc_text"].startswith("[00:")
