@@ -84,27 +84,7 @@ def test_measure_think_point(bench, tiny_handlers):
     assert p["lm_median_s"] >= 0
 
 
-def test_bench_main_end_to_end(bench, tiny_handlers, monkeypatch, capsys):
-    """Run the EXACT driver entry (`bench.main()`), with the full-size
-    handler constructors patched to return the tiny ones: the one JSON line
-    must parse and carry every field the record contract promises."""
-    import json
-
-    import acestep_tpu.lm.handler as lm_mod
-    import acestep_tpu.pipeline.handler as pipe_mod
-
-    dit, llm = tiny_handlers
-
-    class FakeDit:
-        def __new__(cls, *a, **k):
-            return dit
-
-    class FakeLLM:
-        def __new__(cls, *a, **k):
-            return llm
-
-    monkeypatch.setattr(pipe_mod, "AceStepHandler", FakeDit)
-    monkeypatch.setattr(lm_mod, "LLMHandler", FakeLLM)
+def _patch_tiny_env(monkeypatch):
     # The reachability probe spawns a subprocess that would inherit this test
     # env's axon PYTHONPATH and hang against the (possibly dead) tunnel.
     monkeypatch.setenv("BENCH_PROBE", "0")
@@ -120,21 +100,67 @@ def test_bench_main_end_to_end(bench, tiny_handlers, monkeypatch, capsys):
     monkeypatch.setenv("BENCH_FULLSONG_REPS", "1")
     monkeypatch.setenv("BENCH_TTFA_DURATION_S", "3")
     monkeypatch.setenv("BENCH_TTFA_REPS", "1")
-    import importlib
 
+
+def _patch_tiny_handlers(monkeypatch, tiny_handlers):
+    import acestep_tpu.lm.handler as lm_mod
+    import acestep_tpu.pipeline.handler as pipe_mod
+
+    dit, llm = tiny_handlers
+
+    class FakeDit:
+        def __new__(cls, *a, **k):
+            return dit
+
+    class FakeLLM:
+        def __new__(cls, *a, **k):
+            return llm
+
+    monkeypatch.setattr(pipe_mod, "AceStepHandler", FakeDit)
+    monkeypatch.setattr(lm_mod, "LLMHandler", FakeLLM)
+
+
+def test_bench_main_end_to_end(bench, tiny_handlers, monkeypatch, capsys):
+    """Run the EXACT driver entry (`bench.main()`), with the full-size
+    handler constructors patched to return the tiny ones: stdout must be a
+    stream of compact lines (one per completed leg, latest-wins) whose FINAL
+    line carries the full summary, and BENCH_DETAIL.json must hold the full
+    record."""
+    import importlib
+    import json
+
+    _patch_tiny_handlers(monkeypatch, tiny_handlers)
+    _patch_tiny_env(monkeypatch)
     importlib.reload(bench)
     bench.main()
     out = capsys.readouterr().out
     lines = out.strip().splitlines()
-    # FULL record: early stdout line + BENCH_DETAIL.json, identical contents.
-    rec = json.loads(lines[0])
+    # INCREMENTAL emission (VERDICT r4 next #1a): one compact line per leg —
+    # the very first prints BEFORE any measurement, the rest are partial
+    # updates, the last is the final (non-partial) record.
+    assert len(lines) >= 3
+    first = json.loads(lines[0])
+    assert first["value"] == 0 and first.get("partial") is True
+    for ln in lines[1:-1]:
+        rec = json.loads(ln)
+        assert rec.get("partial") is True
+        assert len(ln) <= 1300
+
+    # FULL record lives in BENCH_DETAIL.json (rewritten atomically per leg).
+    detail_path = os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
+    with open(detail_path) as f:
+        rec = json.load(f)
     assert rec["unit"] == "audio_s/s" and rec["value"] > 0
     d = rec["detail"]
-    for key in ("value_plain_median", "plain_median_device", "link_probes",
+    for key in ("value_fast5", "plain_median_device", "link_probes",
                 "pipelined", "thinking_on", "thinking_on_fullsong",
                 "long_duration", "long_duration_600", "points",
-                "pass_noise_spreads", "window_noisy"):
+                "pass_noise_spreads", "window_noisy", "legs_done",
+                "skipped_legs", "budget_s"):
         assert key in d, key
+    # Headline value is the PLAIN median (conservative, VERDICT r4 weak #3);
+    # the fast-5 quiet-window median is never below it by construction.
+    assert d["value_fast5"] >= rec["value"]
     assert d["pipelined"]["rounds"]
     assert d["long_duration"]["audio_s_per_s"] > 0
     assert d["long_duration_600"]["audio_s_per_s"] > 0
@@ -147,9 +173,6 @@ def test_bench_main_end_to_end(bench, tiny_handlers, monkeypatch, capsys):
     assert len(d["link_probes"]) >= 2
     # per-point contention probes quoted next to each point (r3 next #3)
     assert all(len(p["device_contention"]) == 2 for p in d["points"])
-    detail_path = os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
-    with open(detail_path) as f:
-        assert json.load(f)["value"] == rec["value"]
 
     # COMPACT final line: the DRIVER-FACING record. It must be last, small,
     # and still parse after the driver's 2 000-char tail truncation — the
@@ -160,15 +183,100 @@ def test_bench_main_end_to_end(bench, tiny_handlers, monkeypatch, capsys):
     assert len(final) <= 1300
     for key in ("metric", "value", "unit", "vs_baseline", "detail_file"):
         assert key in compact, key
+    assert "partial" not in compact
     assert compact["value"] == rec["value"]
     assert compact["vs_baseline"] == rec["vs_baseline"]
     assert compact["detail_file"] == "BENCH_DETAIL.json"
+    assert compact["legs_done"] == len(d["legs_done"])
     s = compact["summary"]
     assert "long_300s_audio_s_per_s_device" in s
     assert "long_600s_audio_s_per_s_device" in s
     assert "thinking_fullsong_audio_s_per_s" in s
     assert s["ttfa_300s_s"] > 0
     assert len(s["pipelined_ratios"]) == 3
+
+
+def test_bench_budget_skips_remaining_legs(bench, tiny_handlers, monkeypatch,
+                                           capsys):
+    """With the wall-clock budget already spent, the first batch point still
+    runs (a record needs a number) and every later leg is skipped and
+    stamped in `skipped_legs` (VERDICT r4 next #1c)."""
+    import importlib
+    import json
+
+    _patch_tiny_handlers(monkeypatch, tiny_handlers)
+    _patch_tiny_env(monkeypatch)
+    monkeypatch.setenv("BENCH_TIME_BUDGET_S", "0")
+    importlib.reload(bench)
+    bench.main()
+    out = capsys.readouterr().out
+    final = json.loads(out.strip().splitlines()[-1])
+    assert final["value"] > 0  # the one mandatory point was measured
+    assert final["legs_done"] == 1
+    skipped = final["summary"]["skipped_legs"]
+    assert "pipelined" in skipped and "long_300" in skipped
+    assert "think" in skipped and "ttfa" in skipped
+
+
+def test_bench_survives_midrun_kill():
+    """Real-process kill drill (VERDICT r4 next #1e): run `bench.main()` in a
+    child, deliver SIGTERM (what the driver's `timeout` sends — r04 died with
+    rc=124) the moment the first measured point's line appears, escalate to
+    SIGKILL, and assert the captured stdout TAIL still parses with a non-zero
+    value. This is the exact capture contract the driver applies."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = os.path.join(root, "tests", "bench_kill_child.py")
+    env = {k: v for k, v in os.environ.items() if not k.startswith("BENCH_")}
+    env["JAX_PLATFORMS"] = "cpu"
+    p = subprocess.Popen(
+        [sys.executable, child], stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, env=env, cwd=root,
+    )
+    lines = []
+    deadline = time.time() + 540
+    try:
+        for raw in iter(p.stdout.readline, b""):
+            lines.append(raw.decode(errors="replace").rstrip("\n"))
+            try:
+                rec = json.loads(lines[-1])
+            except ValueError:
+                continue
+            if rec.get("value", 0) > 0:
+                break  # first measured point landed — kill mid-run NOW
+            assert time.time() < deadline, "child never produced a point"
+        assert lines, "child produced no output"
+        p.send_signal(signal.SIGTERM)
+        try:
+            p.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            p.kill()
+        # Drain whatever the child flushed before dying (the SIGTERM handler
+        # reprints the latest record with killed_mid_run=true).
+        rest = p.stdout.read().decode(errors="replace")
+        lines.extend(l for l in rest.splitlines() if l)
+    finally:
+        if p.poll() is None:
+            p.kill()
+            p.wait(timeout=30)
+    # The driver keeps the last 2 000 chars: the last COMPLETE line there
+    # must parse and carry a non-zero headline.
+    tail = "\n".join(lines)[-2000:]
+    parsed = []
+    for ln in tail.splitlines():
+        try:
+            parsed.append(json.loads(ln))
+        except ValueError:
+            continue
+    assert parsed, f"no parseable line in tail: {tail!r}"
+    final = parsed[-1]
+    assert final["value"] > 0
+    assert "vs_baseline" in final and final["unit"] == "audio_s/s"
 
 
 def test_bench_records_outage_instead_of_hanging(monkeypatch, capsys, bench):
