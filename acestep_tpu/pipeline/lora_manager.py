@@ -146,15 +146,19 @@ class LoRARegistry:
     def effective_decoder(self, base_decoder: Dict[str, Any], n_layers: int) -> Dict[str, Any]:
         """Base decoder with all enabled adapters applied (cached until dirty
         OR the base decoder changes — /v1/reinitialize swaps checkpoints and
-        must not keep serving an adapter applied to the OLD weights)."""
-        base_id = id(base_decoder)
+        must not keep serving an adapter applied to the OLD weights).
+
+        The cache key is a STRONG reference compared with `is`, not `id()`:
+        after a reinitialize frees the old decoder dict, CPython can reuse its
+        address for the new one, and an id-keyed cache would silently serve
+        the stale merge (adapters applied to the OLD checkpoint's weights)."""
         if (
             not self._dirty
             and self._cache is not None
-            and getattr(self, "_cache_base_id", None) == base_id
+            and getattr(self, "_cache_base", None) is base_decoder
         ):
             return self._cache
-        self._cache_base_id = base_id
+        self._cache_base = base_decoder
         out = base_decoder
         for a in self._adapters.values():
             if not a["enabled"]:

@@ -146,7 +146,6 @@ class StreamChannel:
             return
         if pos == 0:
             self.q.put(("start", total, int(pcm.shape[1])))
-        self.chunks += 1
         # (C, take) → interleaved frames (take, C), the WAV data layout.
         data = np.ascontiguousarray(pcm[0].T).tobytes()
         with self._drained:
@@ -163,6 +162,10 @@ class StreamChannel:
                 return
             self._buffered += len(data)
         self.q.put(("pcm", data))
+        # Count only chunks actually enqueued for delivery — dropped chunks
+        # (dead/stalled client) must not inflate the published
+        # `streamed_chunks` result field.
+        self.chunks += 1
 
     def consumed(self, nbytes: int) -> None:
         """HTTP thread credits back drained PCM bytes."""
@@ -222,24 +225,57 @@ class ApiService:
 
         self._held: "collections.deque[str]" = collections.deque()
         # task_id → StreamChannel for jobs whose PCM streams to a live HTTP
-        # connection (/v1/generate_stream); owned by the HTTP thread.
+        # connection (/v1/generate_stream). Mutated from HTTP threads while
+        # the worker/finisher threads read it — same snapshot discipline as
+        # JobStore: every access goes through the _stream_* helpers' lock.
         self._streams: Dict[str, StreamChannel] = {}
+        self._streams_lock = threading.Lock()
+        # Serializes weight swaps (/v1/reinitialize) against running jobs:
+        # the worker holds it across each generate; reinit must acquire it
+        # before touching handler state (the reference's asyncio init lock,
+        # ref api_server.py:1263-1268). Without it a reinit racing a running
+        # job can mix old/new params mid-trajectory.
+        self.model_lock = threading.Lock()
         self._worker = threading.Thread(target=self._worker_loop, daemon=True)
         self._worker.start()
+
+    def _stream_set(self, task_id: str, channel: StreamChannel) -> None:
+        with self._streams_lock:
+            self._streams[task_id] = channel
+
+    def _stream_get(self, task_id: str) -> Optional[StreamChannel]:
+        with self._streams_lock:
+            return self._streams.get(task_id)
+
+    def _stream_pop(self, task_id: str) -> Optional[StreamChannel]:
+        with self._streams_lock:
+            return self._streams.pop(task_id, None)
+
+    def _pending_full(self) -> bool:
+        """Admission check counting BOTH the queue and the merge-drain hold
+        pen: draining a queued job into _held frees a queue slot, so qsize()
+        alone would admit one extra job past MAX_QUEUE."""
+        return self.queue.qsize() + len(self._held) >= MAX_QUEUE
+
+    def _queue_position(self) -> int:
+        """Jobs ahead of the one just enqueued (read AFTER the put so a
+        burst of concurrent submits can't hand two clients the same slot)."""
+        return max(self.queue.qsize() - 1, 0) + len(self._held)
 
     def submit(self, payload: Dict[str, Any]) -> Dict[str, Any]:
         """Enqueue a job; raises queue.Full when MAX_QUEUE jobs are pending so
         the HTTP layer returns 429 instead of blocking the request thread (the
         reference's bounded job-queue backpressure)."""
         task_id = self.store.create(payload)
-        pos = self.queue.qsize()
         try:
+            if self._pending_full():
+                raise queue.Full
             self.queue.put_nowait(task_id)
         except queue.Full:
             self.store.mark(task_id, status="failed", error="queue full")
             self._unlink_temp_files(payload)  # job never starts: no worker cleanup
             raise
-        return {"task_id": task_id, "queue_position": pos}
+        return {"task_id": task_id, "queue_position": self._queue_position()}
 
     @staticmethod
     def _unlink_temp_files(payload: Dict[str, Any]) -> None:
@@ -256,11 +292,13 @@ class ApiService:
         payload["batch_size"] = 1  # one PCM stream per connection
         channel = StreamChannel()
         task_id = self.store.create(payload)
-        self._streams[task_id] = channel
+        self._stream_set(task_id, channel)
         try:
+            if self._pending_full():
+                raise queue.Full
             self.queue.put_nowait(task_id)
         except queue.Full:
-            self._streams.pop(task_id, None)
+            self._stream_pop(task_id)
             self.store.mark(task_id, status="failed", error="queue full")
             self._unlink_temp_files(payload)
             raise
@@ -319,11 +357,17 @@ class ApiService:
             # Job N's finalize (on the finisher thread) overlaps job N+1's
             # generate below; we only JOIN it afterwards, bounding the
             # pipeline to two jobs' device buffers without re-serializing.
-            if len(group) > 1:
-                started_list = self._start_job_group(group, defer=pipeline_jobs)
-            else:
-                started = self._start_job(task_id, defer=pipeline_jobs)
-                started_list = [started] if started is not None else []
+            # model_lock serializes the generate against /v1/reinitialize:
+            # a weight swap mid-denoise would mix old/new params in one
+            # trajectory (or crash a re-trace). Held only for the dispatch
+            # phase — the deferred finalize reads device buffers the old
+            # params already produced, which a swap cannot invalidate.
+            with self.model_lock:
+                if len(group) > 1:
+                    started_list = self._start_job_group(group, defer=pipeline_jobs)
+                else:
+                    started = self._start_job(task_id, defer=pipeline_jobs)
+                    started_list = [started] if started is not None else []
             if prev_future is not None:
                 prev_future.result()
                 prev_future = None
@@ -344,7 +388,7 @@ class ApiService:
         job = self.store.get(task_id)
         if job is None:
             return None
-        if task_id in self._streams:
+        if self._stream_get(task_id) is not None:
             return None  # streamed jobs own their decode chunk sink
         payload = job["payload"]
         if payload.get("_temp_files"):
@@ -433,7 +477,7 @@ class ApiService:
             cfg.output_dir = self.output_dir
             model_name = payload0.get("model", "default")
             dit = self.dit_handlers.get(model_name, self.dit_handler)
-            channel = self._streams.get(task_id)
+            channel = self._stream_get(task_id)
             result = generate_music(dit, self.llm_handler, params, cfg,
                                     defer_finish=defer,
                                     chunk_sink=channel.sink if channel else None)
@@ -450,7 +494,7 @@ class ApiService:
         except Exception as e:  # noqa: BLE001 — job must fail, not the server
             self.store.mark(task_id, status="failed", error=f"{e}\n{traceback.format_exc()}")
             self.logs.append(f"job {task_id} crashed: {e}")
-            ch = self._streams.get(task_id)
+            ch = self._stream_get(task_id)
             if ch is not None:
                 ch.close(error=str(e))
             self._cleanup_job(payload0, t0)
@@ -459,7 +503,7 @@ class ApiService:
     def _finalize_job(self, task_id: str, payload0: Dict[str, Any], t0: float, result) -> None:
         """Complete a started job: finish any deferred decode/save, publish
         the terminal status, mirror to the sqlite cache."""
-        channel = self._streams.get(task_id)
+        channel = self._stream_get(task_id)
         stream_err: Optional[str] = None
         try:
             result.finish()
@@ -487,8 +531,8 @@ class ApiService:
                         "extra": {
                             k: v
                             for k, v in result.extra_outputs.items()
-                            if k in ("time_costs", "lm_metadata", "audio_codes",
-                                     "merged_batch")
+                            if k in ("time_costs", "lm_metadata", "lm_draft",
+                                     "audio_codes", "merged_batch")
                         },
                         **({"streamed_chunks": channel.chunks} if channel else {}),
                     },
@@ -529,6 +573,9 @@ _PARAM_ALIASES = {
     "audio_duration": "duration",
     "key_scale": "keyscale",
     "time_signature": "timesignature",
+    # sample_query aliases (ref api_server.py:353 accepts description/desc)
+    "description": "sample_query",
+    "desc": "sample_query",
 }
 
 
@@ -619,10 +666,32 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
             auth = self.headers.get("Authorization", "")
             if auth == f"Bearer {api_key}" or self.headers.get("X-API-Key") == api_key:
                 return True
-            # ?key= fallback for GET surfaces that can't carry headers (the
-            # studio page's <audio src> / download links).
-            q = parse_qs(urlparse(self.path).query)
-            return (q.get("key") or [""])[0] == api_key
+            # ?key= fallback ONLY for the media GET that cannot carry headers
+            # (the studio page's <audio src> / download links). Accepting it
+            # on every route would leak keys into proxy/access logs and
+            # Referer headers for requests that can use headers instead.
+            url = urlparse(self.path)
+            if self.command == "GET" and url.path == "/v1/audio":
+                q = parse_qs(url.query)
+                return (q.get("key") or [""])[0] == api_key
+            return False
+
+        def _client_gone(self) -> bool:
+            """True when the client socket has hit EOF (disconnect). The
+            request body is fully consumed before streaming starts, so any
+            zero-byte read on a readable socket means the peer closed; a
+            readable socket WITH data (a pipelined request) counts as alive
+            and is left unconsumed (MSG_PEEK)."""
+            import select
+            import socket as _socket
+
+            try:
+                readable, _, _ = select.select([self.connection], [], [], 0)
+                if not readable:
+                    return False
+                return self.connection.recv(1, _socket.MSG_PEEK) == b""
+            except (OSError, ValueError):
+                return True
 
         def _read_body(self) -> Dict[str, Any]:
             length = int(self.headers.get("Content-Length", 0))
@@ -673,6 +742,15 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                     try:
                         item = channel.q.get(timeout=2.0)
                     except queue.Empty:
+                        # Pre-first-chunk the loop only polls channel.q, so a
+                        # client that vanished while the job is still queued/
+                        # running would otherwise pin this connection thread
+                        # (and up to MAX_BUFFER_BYTES of PCM) for the job's
+                        # whole queue wait + runtime. Probe the socket for
+                        # EOF; the job itself keeps running and its file
+                        # result stays pollable.
+                        if self._client_gone():
+                            return
                         # No terminal sentinel yet — make sure the job is
                         # still alive (crash paths close the channel, but a
                         # vanished job must not hang the connection).
@@ -711,7 +789,7 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 pass  # client left; abandon() below stops the buffering
             finally:
                 channel.abandon()  # nobody drains past this point
-                service._streams.pop(task_id, None)
+                service._stream_pop(task_id)
 
         def _stream_chat(self, body: Dict[str, Any]) -> None:
             """SSE streaming chat completion: progress chunks while the job
@@ -721,7 +799,11 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
             from acestep_tpu.service.openrouter import (
                 lm_sampling_overrides as _lm_sampling_overrides,
             )
-            from acestep_tpu.service.openrouter import parse_chat_messages
+            from acestep_tpu.service.openrouter import (
+                parse_chat_messages,
+                route_chat_audio,
+                write_chat_audio_temp_files,
+            )
 
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
@@ -733,26 +815,33 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 self.wfile.write(f"data: {json.dumps(obj)}\n\n".encode())
                 self.wfile.flush()
 
-            params, audio_bytes = parse_chat_messages(body.get("messages", []))
+            params, audio_parts = parse_chat_messages(body.get("messages", []))
             payload = {**params.to_dict(), "batch_size": 1, "audio_format": "wav",
                        "thinking": bool(body.get("thinking", True)),
                        # OpenAI sampling params → LM sampling, same mapping as
                        # the non-streaming path (ref openrouter_adapter.py:386-388).
                        **_lm_sampling_overrides(body)}
-            if audio_bytes:
-                # Uploaded audio drives a cover job, exactly like non-streaming
-                # (ref openrouter_adapter.py:199-330 treats audio parts the
-                # same either way). The temp file rides "_temp_files" so the
-                # job worker cleans it up after the job turns terminal.
-                import tempfile
-
-                with tempfile.NamedTemporaryFile(
-                    suffix=".wav", prefix="acestep_sse_", delete=False
-                ) as f:
-                    f.write(audio_bytes)
-                payload["reference_audio"] = f.name
-                payload["task_type"] = "cover"
-                payload["_temp_files"] = [f.name]
+            for k in ("sample_mode", "use_format", "sample_query"):
+                if body.get(k) is not None:
+                    payload[k] = body[k]
+            # Task-routed upload assignment, identical to non-streaming
+            # (ref openrouter_adapter.py:700-722): an explicit task_type is
+            # honored; cover-family tasks get audio[0] as src_audio (the
+            # content) and audio[1] as timbre reference; text2music gets
+            # audio[0] as reference and promotes to music_continuation.
+            # Temp files ride "_temp_files" so the worker cleans them up
+            # after the job turns terminal.
+            task, src_i, ref_i = route_chat_audio(
+                body.get("task_type"), len(audio_parts))
+            payload["task_type"] = task
+            if audio_parts:
+                tmp = write_chat_audio_temp_files(
+                    audio_parts, prefix="acestep_sse_")
+                if src_i is not None:
+                    payload["src_audio"] = tmp[src_i]
+                if ref_i is not None:
+                    payload["reference_audio"] = tmp[ref_i]
+                payload["_temp_files"] = tmp
             try:
                 task = service.submit(payload)
             except queue.Full:
@@ -1038,7 +1127,16 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                     return self._json(500, {"success": False, "error": str(e)})
                 return self._json(404, {"error": "unknown dataset endpoint"})
             if url.path == "/v1/reinitialize":
-                # Reload checkpoints in place (ref api_server.py:3126).
+                # Reload checkpoints in place (ref api_server.py:3126),
+                # serialized against the job worker via model_lock (the
+                # reference's asyncio init lock, ref :1263-1268): the swap
+                # waits for the running job's dispatch to complete — or
+                # fails with 503 rather than corrupting it.
+                if not service.model_lock.acquire(timeout=float(
+                        os.environ.get("ACESTEP_REINIT_WAIT_S", "300"))):
+                    return self._json(503, {
+                        "success": False,
+                        "error": "busy: a job is running; retry later"})
                 try:
                     msg = service.dit_handler.initialize_service(
                         body.get("checkpoint_dir"),
@@ -1047,6 +1145,8 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                     return self._json(200, {"success": True, "message": msg})
                 except Exception as e:  # noqa: BLE001
                     return self._json(500, {"success": False, "error": str(e)})
+                finally:
+                    service.model_lock.release()
             if url.path == "/v1/chat/completions":
                 from acestep_tpu.service.openrouter import handle_chat_completions
 

@@ -24,11 +24,15 @@ _BPM_RE = re.compile(r"(\d+)\s*bpm", re.IGNORECASE)
 _LYRICS_RE = re.compile(r"(?:#+\s*lyrics?|\[lyrics?\])\s*\n(.*)", re.IGNORECASE | re.DOTALL)
 
 
-def parse_chat_messages(messages: List[Dict[str, Any]]) -> Tuple[GenerationParams, Optional[bytes]]:
-    """Chat messages → GenerationParams (+ optional uploaded audio bytes)."""
+def parse_chat_messages(messages: List[Dict[str, Any]]) -> Tuple[GenerationParams, List[bytes]]:
+    """Chat messages → GenerationParams + ALL uploaded audio parts, in order.
+
+    Multiple input_audio blocks are collected like multiple images (ref
+    openrouter_adapter.py:199-330); `route_chat_audio` assigns them to
+    src_audio / reference_audio by task type."""
     caption_parts: List[str] = []
     lyrics = ""
-    audio_bytes: Optional[bytes] = None
+    audio_parts: List[bytes] = []
 
     for msg in messages:
         if msg.get("role") != "user":
@@ -47,7 +51,7 @@ def parse_chat_messages(messages: List[Dict[str, Any]]) -> Tuple[GenerationParam
                 data = part.get("input_audio", part.get("audio", {}))
                 b64 = data.get("data") if isinstance(data, dict) else data
                 if b64:
-                    audio_bytes = base64.b64decode(b64)
+                    audio_parts.append(base64.b64decode(b64))
 
     caption = " ".join(p for p in caption_parts if p).strip()
     params = GenerationParams(caption=caption, lyrics=lyrics)
@@ -59,7 +63,49 @@ def parse_chat_messages(messages: List[Dict[str, Any]]) -> Tuple[GenerationParam
         params.bpm = int(m.group(1))
     if lyrics:
         params.instrumental = False
-    return params, audio_bytes
+    return params, audio_parts
+
+
+# Tasks whose PRIMARY audio is the content being edited/covered — for these
+# the first upload is src_audio (the reference's _SRC_AUDIO_TASK_TYPES,
+# openrouter_adapter.py:712).
+SRC_AUDIO_TASK_TYPES = frozenset({"cover", "repaint", "lego", "extract", "complete"})
+
+
+def route_chat_audio(
+    task_type: Optional[str], n_audio: int
+) -> Tuple[str, Optional[int], Optional[int]]:
+    """Audio-part routing by task (ref openrouter_adapter.py:700-722,364-369).
+
+    Returns (resolved_task_type, src_index, reference_index) into the
+    collected audio-part list:
+      - cover/repaint/lego/extract/complete: audio[0] → src_audio (the song
+        being edited/covered), audio[1] → reference_audio (timbre style);
+      - text2music (default): audio[0] → reference_audio, and the task
+        auto-promotes to "music_continuation" (style-conditioned generation —
+        downstream it runs the text2music path with reference conditioning,
+        exactly as in the reference where the label exists only here).
+    An explicit task_type from the request body is honored as-is."""
+    task = task_type or "text2music"
+    if n_audio <= 0:
+        return task, None, None
+    if task in SRC_AUDIO_TASK_TYPES:
+        return task, 0, (1 if n_audio > 1 else None)
+    if task == "text2music":
+        task = "music_continuation"
+    return task, None, 0
+
+
+def write_chat_audio_temp_files(audio_parts: List[bytes], prefix: str = "acestep_chat_") -> List[str]:
+    """Persist uploaded audio parts to temp files; caller owns cleanup."""
+    import tempfile
+
+    paths: List[str] = []
+    for data in audio_parts:
+        with tempfile.NamedTemporaryFile(suffix=".wav", prefix=prefix, delete=False) as f:
+            f.write(data)
+            paths.append(f.name)
+    return paths
 
 
 def lm_sampling_overrides(body: Dict[str, Any]) -> Dict[str, Any]:
@@ -130,29 +176,37 @@ def handle_chat_completions(
 
     messages = body.get("messages", [])
     model = body.get("model", "acestep-v15-tpu")
-    params, audio_bytes = parse_chat_messages(messages)
-    tmp_upload: Optional[str] = None
-    if audio_bytes:
-        import tempfile
-
-        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
-            f.write(audio_bytes)
-            tmp_upload = params.reference_audio = f.name
-        params.task_type = "cover"
+    params, audio_parts = parse_chat_messages(messages)
+    # Route uploads by task: src_audio carries the content for the
+    # cover-family tasks; reference_audio is always timbre-only (ref
+    # openrouter_adapter.py:700-722 — a "cover my song" chat upload MUST be
+    # src_audio or the cover generates fresh audio with the upload as style).
+    task, src_i, ref_i = route_chat_audio(body.get("task_type"), len(audio_parts))
+    params.task_type = task
+    tmp_uploads = write_chat_audio_temp_files(audio_parts)
+    if src_i is not None:
+        params.src_audio = tmp_uploads[src_i]
+    if ref_i is not None:
+        params.reference_audio = tmp_uploads[ref_i]
     params.thinking = bool(body.get("thinking", True)) and llm_handler is not None
+    for k in ("sample_mode", "use_format"):
+        if body.get(k) is not None:
+            setattr(params, k, bool(body[k]))
+    if body.get("sample_query"):
+        params.sample_query = str(body["sample_query"])
     for k, v in lm_sampling_overrides(body).items():
         setattr(params, k, v)
     cfg = GenerationConfig(batch_size=1, audio_format="wav", output_dir=output_dir)
     try:
         result = generate_music(dit_handler, llm_handler, params, cfg)
     finally:
-        # The upload was only needed during generation (ref parity: the job
+        # Uploads were only needed during generation (ref parity: the job
         # server cleans multipart temp files after the job turns terminal).
-        if tmp_upload:
-            import os
+        import os
 
+        for p in tmp_uploads:
             try:
-                os.remove(tmp_upload)
+                os.remove(p)
             except OSError:
                 pass
     return chat_completion_response(model, result)

@@ -74,6 +74,15 @@ class GenerationParams:
     audio_cover_strength: float = 1.0
     cover_noise_strength: float = 0.0
 
+    # One-call LM pre-phases (ref api_server.py:467-471 → :1641-1723):
+    # sample_mode (or a non-empty sample_query) drafts caption/lyrics/metas
+    # via the LM's create_sample BEFORE generation; use_format runs
+    # format_sample over the provided caption/lyrics. Both record their
+    # drafted fields in `extra_outputs["lm_draft"]`.
+    sample_mode: bool = False
+    sample_query: str = ""
+    use_format: bool = False
+
     # 5 Hz LM parameters
     thinking: bool = True
     lm_temperature: float = 0.85

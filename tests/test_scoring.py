@@ -85,7 +85,7 @@ def test_openrouter_message_parsing():
     assert params.bpm == 120
     assert params.duration == 45.0
     assert params.lyrics == "hello\nworld"
-    assert audio is None
+    assert audio == []
 
     import base64
 
@@ -95,7 +95,7 @@ def test_openrouter_message_parsing():
             {"type": "input_audio", "input_audio": {"data": base64.b64encode(b"RIFF").decode()}},
         ]},
     ])
-    assert audio2 == b"RIFF"
+    assert audio2 == [b"RIFF"]
     assert params2.caption == "cover this"
 
 

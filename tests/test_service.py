@@ -94,6 +94,91 @@ def test_understand_music(handlers):
     assert res.success
 
 
+def test_generate_music_sample_mode_drafts_params(handlers):
+    """sample_mode inside ONE generate_music call: the LM drafts
+    caption/lyrics/metas via create_sample BEFORE generation and the draft
+    is recorded in extra_outputs["lm_draft"] (ref api_server.py:467 →
+    :1641-1675; VERDICT r4 missing #3)."""
+    dit, llm = handlers
+    params = GenerationParams(caption="", duration=2, thinking=False,
+                              sample_mode=True, seed=5)
+    result = generate_music(dit, llm, params, GenerationConfig(batch_size=1),
+                            save_audio=False)
+    assert result.success, result.error
+    draft = result.extra_outputs["lm_draft"]
+    assert draft["mode"] == "create_sample"
+    assert "lm_draft_time_cost" in result.extra_outputs["time_costs"]
+    # Drafted fields (when the LM produced them) drive the generation: the
+    # result entry's params carry the draft, not the empty request caption.
+    if draft.get("caption"):
+        assert result.audios[0]["params"]["caption"] == draft["caption"]
+
+
+def test_generate_music_use_format(handlers):
+    """use_format runs format_sample over the provided caption/lyrics inside
+    the same call (ref api_server.py:471 → :1677-1723)."""
+    dit, llm = handlers
+    params = GenerationParams(caption="warm piano", duration=2, thinking=False,
+                              use_format=True, seed=5)
+    result = generate_music(dit, llm, params, GenerationConfig(batch_size=1),
+                            save_audio=False)
+    assert result.success, result.error
+    assert result.extra_outputs["lm_draft"]["mode"] == "format_sample"
+
+
+def test_sample_mode_requires_lm(handlers):
+    """sample_mode/use_format without an initialized LM must fail the job
+    with a clear error, as in the reference (require_llm, api_server.py:1605)."""
+    dit, _ = handlers
+    params = GenerationParams(caption="", duration=2, thinking=False,
+                              sample_mode=True)
+    result = generate_music(dit, None, params, GenerationConfig(batch_size=1),
+                            save_audio=False)
+    assert not result.success
+    assert "LM" in (result.error or "")
+
+
+def test_release_task_sample_mode(handlers, tmp_path):
+    """ONE /release_task call with sample_mode=true and an empty caption
+    drafts params via the LM before generating — the reference's one-call
+    semantics a bot relies on (ref api_server.py:467; VERDICT r4 missing #3,
+    previously only reachable as separate /create_random_sample +
+    /release_task calls)."""
+    import http.client
+    import threading
+
+    dit, llm = handlers
+    from acestep_tpu.service.api_server import serve
+
+    server = serve(dit, llm, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, payload):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        c.request("POST", path, body=json.dumps(payload),
+                  headers={"Content-Type": "application/json"})
+        out = json.loads(c.getresponse().read())
+        c.close()
+        return out
+
+    try:
+        tid = post("/release_task", {"sample_mode": True, "duration": 2.0,
+                                     "thinking": False, "batch_size": 1,
+                                     "audio_format": "wav", "seed": 4})["task_id"]
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            res = post("/query_result", {"task_ids": [tid]})["results"][0]
+            if res["status"] in (1, 2):
+                break
+            time.sleep(0.5)
+        assert res["status"] == 1, res
+        draft = res["result"]["extra"]["lm_draft"]
+        assert draft["mode"] == "create_sample"
+    finally:
+        server.shutdown()
+
+
 def test_api_server_job_flow(handlers, tmp_path):
     dit, llm = handlers
     from acestep_tpu.service.api_server import serve
@@ -219,9 +304,10 @@ def test_chat_completions_streaming(handlers, tmp_path):
 
 
 def test_chat_completions_streaming_with_audio(handlers, tmp_path):
-    """Streamed chat with a base64 audio part drives a COVER job — the
-    streaming path must honor uploads the same as non-streaming (ref
-    openrouter_adapter.py:199-330; VERDICT r3 missing #2)."""
+    """Streamed chat with a base64 audio part and NO explicit task_type:
+    the upload becomes reference_audio (style conditioning) and the task
+    auto-promotes text2music → music_continuation (ref
+    openrouter_adapter.py:700-722,364-369; VERDICT r4 missing #2)."""
     import base64
     import http.client
     import io
@@ -261,16 +347,156 @@ def test_chat_completions_streaming_with_audio(handlers, tmp_path):
     # The final chunk carries generated audio.
     parts = events[-1]["choices"][0]["delta"]["content"]
     assert any(p.get("type") == "audio" for p in parts)
-    # The job actually ran as a cover with the upload attached, with the
-    # OpenAI `temperature` mapped onto lm sampling, and the temp upload was
-    # cleaned up after the job turned terminal.
+    # With no explicit task_type the upload is STYLE conditioning: it rides
+    # reference_audio and the task promotes to music_continuation (in this
+    # framework cover content comes from src_audio — routing the upload
+    # there only when a cover-family task asks for it). The OpenAI
+    # `temperature` maps onto lm sampling, and the temp upload is cleaned
+    # up after the job turns terminal.
+    task_id = events[0]["choices"][0]["delta"]["content"].split()[-1]
+    job = server.service.store.get(task_id)
+    assert job["status"] == "succeeded"
+    assert job["payload"]["task_type"] == "music_continuation"
+    assert not job["payload"].get("src_audio")
+    assert job["payload"]["lm_temperature"] == 0.5
+    upload = job["payload"]["reference_audio"]
+    assert upload and not os.path.exists(upload)
+    server.shutdown()
+
+
+def test_route_chat_audio_matrix():
+    """Audio-part routing by task (ref openrouter_adapter.py:700-722):
+    cover-family tasks take audio[0] as src_audio + audio[1] as reference;
+    text2music takes audio[0] as reference and promotes to
+    music_continuation; explicit task_type is honored as-is."""
+    from acestep_tpu.service.openrouter import route_chat_audio
+
+    # No audio: any task passes through untouched.
+    assert route_chat_audio(None, 0) == ("text2music", None, None)
+    assert route_chat_audio("repaint", 0) == ("repaint", None, None)
+    # text2music (implicit or explicit) + audio → continuation via reference.
+    assert route_chat_audio(None, 1) == ("music_continuation", None, 0)
+    assert route_chat_audio("text2music", 2) == ("music_continuation", None, 0)
+    # Every cover-family task: audio[0] → src, audio[1] → reference.
+    for task in ("cover", "repaint", "lego", "extract", "complete"):
+        assert route_chat_audio(task, 1) == (task, 0, None)
+        assert route_chat_audio(task, 2) == (task, 0, 1)
+    # An explicit non-family task is honored without promotion games.
+    assert route_chat_audio("music_continuation", 1) == ("music_continuation", None, 0)
+
+
+def test_parse_chat_messages_collects_all_audio_parts():
+    """Multiple input_audio blocks are collected in order (like multiple
+    images — ref openrouter_adapter.py:199-330)."""
+    import base64
+
+    from acestep_tpu.service.openrouter import parse_chat_messages
+
+    b64a = base64.b64encode(b"AAA").decode()
+    b64b = base64.b64encode(b"BBB").decode()
+    params, parts = parse_chat_messages([
+        {"role": "user", "content": [
+            {"type": "text", "text": "cover this, 2 seconds"},
+            {"type": "input_audio", "input_audio": {"data": b64a, "format": "wav"}},
+            {"type": "input_audio", "input_audio": {"data": b64b, "format": "wav"}},
+        ]},
+    ])
+    assert parts == [b"AAA", b"BBB"]
+    assert params.duration == 2.0
+
+
+def test_chat_completions_cover_routes_src_audio(handlers, tmp_path, monkeypatch):
+    """Non-streaming chat with explicit task_type=cover and TWO uploads:
+    audio[0] must land in src_audio (the content being covered) and
+    audio[1] in reference_audio (timbre) — routing the primary upload to
+    reference_audio would generate fresh audio with the song as style only
+    (VERDICT r4 missing #2). Verified at the generate_music call boundary."""
+    import base64
+
+    import acestep_tpu.service.inference as inf_mod
+    import acestep_tpu.service.openrouter as orta
+    from acestep_tpu.service.params import GenerationResult
+
+    dit, _ = handlers
+    seen = {}
+
+    def fake_generate(dit_handler, llm_handler, params, cfg, **kw):
+        seen["params"] = params
+        # Uploads still exist at generate time; record which PART each slot
+        # received (cleanup runs after generate returns).
+        with open(params.src_audio, "rb") as f:
+            seen["src_bytes"] = f.read()
+        with open(params.reference_audio, "rb") as f:
+            seen["ref_bytes"] = f.read()
+        return GenerationResult(audios=[], status_message="ok", success=True)
+
+    monkeypatch.setattr(inf_mod, "generate_music", fake_generate)
+    body = {
+        "task_type": "cover",
+        "messages": [{"role": "user", "content": [
+            {"type": "text", "text": "cover my song, 2 seconds"},
+            {"type": "input_audio", "input_audio": {
+                "data": base64.b64encode(b"SRC").decode(), "format": "wav"}},
+            {"type": "input_audio", "input_audio": {
+                "data": base64.b64encode(b"REF").decode(), "format": "wav"}},
+        ]}],
+        "thinking": False,
+    }
+    resp = orta.handle_chat_completions(dit, None, body, str(tmp_path))
+    assert resp["choices"][0]["finish_reason"] == "stop"
+    p = seen["params"]
+    assert p.task_type == "cover"
+    assert seen["src_bytes"] == b"SRC"
+    assert seen["ref_bytes"] == b"REF"
+    # Both temp uploads were cleaned up after generation.
+    assert not os.path.exists(p.src_audio) and not os.path.exists(p.reference_audio)
+
+
+def test_chat_streaming_cover_routes_src_audio(handlers, tmp_path):
+    """Streaming chat with explicit task_type=cover: the single upload rides
+    src_audio (content), not reference_audio (VERDICT r4 missing #2)."""
+    import base64
+    import http.client
+    import io
+    import threading
+    import wave
+
+    dit, _ = handlers
+    from acestep_tpu.service.api_server import serve
+
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(48_000)
+        rng = np.random.default_rng(3)
+        w.writeframes((rng.standard_normal(2 * 96_000) * 3000).astype(np.int16).tobytes())
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=240)
+    conn.request("POST", "/v1/chat/completions", body=json.dumps({
+        "task_type": "cover",
+        "messages": [{"role": "user", "content": [
+            {"type": "text", "text": "cover this, 2 seconds"},
+            {"type": "input_audio", "input_audio": {"data": b64, "format": "wav"}},
+        ]}],
+        "stream": True, "thinking": False,
+    }), headers={"Content-Type": "application/json"})
+    raw = conn.getresponse().read().decode()
+    assert "[DONE]" in raw
+    events = [json.loads(l[6:]) for l in raw.splitlines()
+              if l.startswith("data: ") and l != "data: [DONE]"]
+    assert events[-1]["choices"][0].get("finish_reason") == "stop", raw[-500:]
     task_id = events[0]["choices"][0]["delta"]["content"].split()[-1]
     job = server.service.store.get(task_id)
     assert job["status"] == "succeeded"
     assert job["payload"]["task_type"] == "cover"
-    assert job["payload"]["lm_temperature"] == 0.5
-    upload = job["payload"]["reference_audio"]
-    assert upload and not os.path.exists(upload)
+    assert job["payload"]["src_audio"]
+    assert not job["payload"].get("reference_audio")
     server.shutdown()
 
 
@@ -335,6 +561,14 @@ def test_dynamic_batching_merges_queued_jobs(handlers, tmp_path):
     paths = [statuses[tid]["result"]["audio_paths"][0] for tid in mergeable]
     assert paths[0] != paths[1]
     assert all(os.path.exists(p) for p in paths)
+    # Each merged job publishes the WHOLE batch-N time_costs dict; the
+    # merged_share annotation marks the fraction attributable to this job so
+    # clients don't over-count throughput ×N (VERDICT r4 weak #4).
+    for tid in mergeable:
+        tc = statuses[tid]["result"]["extra"]["time_costs"]
+        assert tc["merged_share"] == 0.5
+    # Unmerged jobs carry no share annotation (their costs are their own).
+    assert "merged_share" not in statuses[lead]["result"]["extra"]["time_costs"]
     seeds = [statuses[tid]["result"]["seeds"][0] for tid in mergeable]
     assert seeds == [100, 101]
     # The incompatible job ran solo (no merged_batch marker).
@@ -1537,9 +1771,11 @@ def test_generate_stream_header_uses_selected_model_rate(handlers, tmp_path):
 
 def test_get_endpoints_require_api_key(handlers, tmp_path):
     """With --api-key, GET surfaces are gated like POSTs (ref verify_api_key
-    Depends on stats/models/get_audio): header, Bearer, or ?key= all work;
-    /health and the studio page stay open; /v1/audio enforces a
-    separator-boundary containment check against sibling directories."""
+    Depends on stats/models/get_audio): header or Bearer everywhere; the
+    ?key= fallback works ONLY on GET /v1/audio (the <audio src> that cannot
+    carry headers) — keys in URLs leak via proxy logs/Referer, so no other
+    route accepts them. /health and the studio page stay open; /v1/audio
+    enforces a separator-boundary containment check against siblings."""
     import http.client
     import threading
 
@@ -1575,6 +1811,24 @@ def test_get_endpoints_require_api_key(handlers, tmp_path):
         assert get("/v1/stats", {"X-API-Key": "sek"})[0] == 200
         assert get("/v1/stats", {"Authorization": "Bearer sek"})[0] == 200
         assert get("/v1/stats", {"X-API-Key": "wrong"})[0] == 401
+        # ?key= is NOT accepted outside GET /v1/audio (ADVICE r4: URL keys
+        # leak via access logs / Referer; header routes must use headers).
+        assert get("/v1/stats?key=sek")[0] == 401
+        assert get("/v1/logs?key=sek")[0] == 401
+
+        def post(path, payload, headers=None):
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            c.request("POST", path, body=json.dumps(payload),
+                      headers={"Content-Type": "application/json",
+                               **(headers or {})})
+            r = c.getresponse()
+            r.read()
+            c.close()
+            return r.status
+
+        assert post("/query_result?key=sek", {"task_ids": []}) == 401
+        assert post("/query_result", {"task_ids": []},
+                    {"X-API-Key": "sek"}) == 200
 
         from urllib.parse import quote
 
@@ -1583,6 +1837,63 @@ def test_get_endpoints_require_api_key(handlers, tmp_path):
         # sibling directory sharing the output_dir prefix must NOT be served
         st, body = get("/v1/audio?path=" + quote(str(sibling / "secret.wav")) + "&key=sek")
         assert st == 404 and b"SECRET" not in body
+    finally:
+        server.shutdown()
+
+
+def test_reinitialize_serialized_against_worker(handlers, tmp_path, monkeypatch):
+    """/v1/reinitialize must never swap weights under a running job: it
+    waits on the worker's model_lock (the reference's asyncio init lock,
+    ref api_server.py:1263-1268) and fails with 503 rather than corrupting
+    the running trajectory (VERDICT r4 weak #6)."""
+    import http.client
+    import threading
+
+    dit, _ = handlers
+    from acestep_tpu.service.api_server import serve
+
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, payload):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        c.request("POST", path, body=json.dumps(payload),
+                  headers={"Content-Type": "application/json"})
+        r = c.getresponse()
+        body = json.loads(r.read())
+        c.close()
+        return r.status, body
+
+    try:
+        # While a "job" holds the model lock, reinit fails cleanly (503).
+        monkeypatch.setenv("ACESTEP_REINIT_WAIT_S", "0.2")
+        assert server.service.model_lock.acquire(timeout=5)
+        try:
+            st, body = post("/v1/reinitialize", {"random_init": True})
+            assert st == 503 and not body["success"]
+        finally:
+            server.service.model_lock.release()
+
+        # With the lock free the swap succeeds.
+        monkeypatch.setenv("ACESTEP_REINIT_WAIT_S", "60")
+        st, body = post("/v1/reinitialize", {"random_init": True})
+        assert st == 200 and body["success"]
+
+        # A reinit racing a real job serializes behind it — both complete,
+        # the job un-corrupted.
+        tid = post("/release_task", {"caption": "x", "duration": 2.0,
+                                     "thinking": False, "batch_size": 1,
+                                     "audio_format": "wav", "seed": 3})[1]["task_id"]
+        st, body = post("/v1/reinitialize", {"random_init": True})
+        assert st == 200 and body["success"]
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            res = post("/query_result", {"task_ids": [tid]})[1]["results"][0]
+            if res["status"] in (1, 2):
+                break
+            time.sleep(0.5)
+        assert res["status"] == 1, res
     finally:
         server.shutdown()
 

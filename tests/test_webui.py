@@ -155,6 +155,11 @@ def test_load_params_covers_sidecar_fields():
         "cot_bpm", "cot_keyscale", "cot_timesignature", "cot_duration",
         "cot_vocal_language", "cot_caption", "cot_lyrics", "use_cot_lyrics",
         "use_constrained_decoding",
+        # one-call LM pre-phase request flags (ref api_server.py:467-471):
+        # the UI drives the same phases through its Create/Format tool
+        # buttons, and a saved sidecar already carries the DRAFTED
+        # caption/lyrics — restoring the flag would re-draft on replay.
+        "sample_mode", "sample_query", "use_format",
     }
     import dataclasses
 
