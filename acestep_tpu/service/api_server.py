@@ -236,6 +236,11 @@ class ApiService:
         # ref api_server.py:1263-1268). Without it a reinit racing a running
         # job can mix old/new params mid-trajectory.
         self.model_lock = threading.Lock()
+        # Serializes admission (check-pending + put + position read): the
+        # check-then-put is not atomic on its own, so a burst of concurrent
+        # submits could admit past MAX_QUEUE and hand two clients the same
+        # queue_position.
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._worker_loop, daemon=True)
         self._worker.start()
 
@@ -258,8 +263,8 @@ class ApiService:
         return self.queue.qsize() + len(self._held) >= MAX_QUEUE
 
     def _queue_position(self) -> int:
-        """Jobs ahead of the one just enqueued (read AFTER the put so a
-        burst of concurrent submits can't hand two clients the same slot)."""
+        """Jobs ahead of the one just enqueued. Called under _submit_lock,
+        AFTER the put, so concurrent submits each see their own slot."""
         return max(self.queue.qsize() - 1, 0) + len(self._held)
 
     def submit(self, payload: Dict[str, Any]) -> Dict[str, Any]:
@@ -268,14 +273,16 @@ class ApiService:
         reference's bounded job-queue backpressure)."""
         task_id = self.store.create(payload)
         try:
-            if self._pending_full():
-                raise queue.Full
-            self.queue.put_nowait(task_id)
+            with self._submit_lock:
+                if self._pending_full():
+                    raise queue.Full
+                self.queue.put_nowait(task_id)
+                pos = self._queue_position()
         except queue.Full:
             self.store.mark(task_id, status="failed", error="queue full")
             self._unlink_temp_files(payload)  # job never starts: no worker cleanup
             raise
-        return {"task_id": task_id, "queue_position": self._queue_position()}
+        return {"task_id": task_id, "queue_position": pos}
 
     @staticmethod
     def _unlink_temp_files(payload: Dict[str, Any]) -> None:
@@ -294,9 +301,10 @@ class ApiService:
         task_id = self.store.create(payload)
         self._stream_set(task_id, channel)
         try:
-            if self._pending_full():
-                raise queue.Full
-            self.queue.put_nowait(task_id)
+            with self._submit_lock:
+                if self._pending_full():
+                    raise queue.Full
+                self.queue.put_nowait(task_id)
         except queue.Full:
             self._stream_pop(task_id)
             self.store.mark(task_id, status="failed", error="queue full")
@@ -681,7 +689,14 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
             request body is fully consumed before streaming starts, so any
             zero-byte read on a readable socket means the peer closed; a
             readable socket WITH data (a pipelined request) counts as alive
-            and is left unconsumed (MSG_PEEK)."""
+            and is left unconsumed (MSG_PEEK).
+
+            Known tradeoff: a client that half-closes its WRITE side after
+            the request (shutdown(SHUT_WR)) while still reading presents the
+            same FIN and is treated as gone — indistinguishable from a real
+            disconnect without writing bytes first. Such a client gets a
+            clean connection close instead of the stream; the job itself
+            keeps running and its file result stays pollable."""
             import select
             import socket as _socket
 
@@ -800,6 +815,7 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 lm_sampling_overrides as _lm_sampling_overrides,
             )
             from acestep_tpu.service.openrouter import (
+                chat_body_overrides,
                 parse_chat_messages,
                 route_chat_audio,
                 write_chat_audio_temp_files,
@@ -821,9 +837,7 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                        # OpenAI sampling params → LM sampling, same mapping as
                        # the non-streaming path (ref openrouter_adapter.py:386-388).
                        **_lm_sampling_overrides(body)}
-            for k in ("sample_mode", "use_format", "sample_query"):
-                if body.get(k) is not None:
-                    payload[k] = body[k]
+            payload.update(chat_body_overrides(body))
             # Task-routed upload assignment, identical to non-streaming
             # (ref openrouter_adapter.py:700-722): an explicit task_type is
             # honored; cover-family tasks get audio[0] as src_audio (the
@@ -1152,9 +1166,15 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
 
                 if body.get("stream"):
                     return self._stream_chat(body)
-                out = handle_chat_completions(
-                    service.dit_handler, service.llm_handler, body, service.output_dir
-                )
+                # Non-streaming chat generates on THIS HTTP thread (it never
+                # enters the job queue), so it must hold the same model_lock
+                # the worker's dispatch holds — otherwise /v1/reinitialize
+                # could swap weights mid-trajectory under this generation.
+                with service.model_lock:
+                    out = handle_chat_completions(
+                        service.dit_handler, service.llm_handler, body,
+                        service.output_dir,
+                    )
                 return self._json(200, out)
             # LoRA lifecycle (ref api_server.py:3014-3104)
             if url.path.startswith("/v1/lora/"):

@@ -156,12 +156,19 @@ def generate_music(
                     seed=max(params.seed, 0),
                 ).get("metadata", {})
             else:  # use_format over the user-provided caption/lyrics
-                if not (params.caption or lyrics.strip()):
+                # Gate on the RAW user input (ref api_server.py:1680 checks
+                # `caption or lyrics` from the request) — the resolved lyrics
+                # carry the "[Instrumental]" placeholder for instrumental
+                # requests, which must not count as formattable input: a
+                # caption-less instrumental request would otherwise run the
+                # LM on an empty string and invent a song from nothing.
+                raw_lyrics = (params.lyrics or "").strip()
+                if not (params.caption or raw_lyrics):
                     md = {}
                 else:
                     fmt_input = params.caption
-                    if lyrics.strip() and lyrics != "[Instrumental]":
-                        fmt_input = f"{fmt_input}\n\n# Lyrics\n{lyrics}".strip()
+                    if raw_lyrics and not params.instrumental:
+                        fmt_input = f"{fmt_input}\n\n# Lyrics\n{raw_lyrics}".strip()
                     md = llm_handler.format_sample_from_input(
                         fmt_input, temperature=params.lm_temperature,
                         seed=max(params.seed, 0),
@@ -169,7 +176,11 @@ def generate_music(
             updates: Dict[str, Any] = {}
             if md.get("caption"):
                 updates["caption"] = str(md["caption"])
-            if md.get("lyrics"):
+            # Drafted lyrics never override an EXPLICIT instrumental request
+            # in format mode (the user is reformatting their own input, not
+            # asking for new content); create_sample drafts from nothing, so
+            # there its lyrics win.
+            if md.get("lyrics") and (wants_sample or not params.instrumental):
                 updates["lyrics"] = str(md["lyrics"])
                 updates["instrumental"] = False
             # Draft metas only fill fields the user left unset — explicit

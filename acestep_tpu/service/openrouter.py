@@ -96,6 +96,19 @@ def route_chat_audio(
     return task, None, 0
 
 
+def chat_body_overrides(body: Dict[str, Any]) -> Dict[str, Any]:
+    """Coerced one-call LM pre-phase flags from the chat request body —
+    shared by the streaming and non-streaming paths so a client sending
+    e.g. `sample_mode: 1` gets identical typing on both."""
+    out: Dict[str, Any] = {}
+    for k in ("sample_mode", "use_format"):
+        if body.get(k) is not None:
+            out[k] = bool(body[k])
+    if body.get("sample_query"):
+        out["sample_query"] = str(body["sample_query"])
+    return out
+
+
 def write_chat_audio_temp_files(audio_parts: List[bytes], prefix: str = "acestep_chat_") -> List[str]:
     """Persist uploaded audio parts to temp files; caller owns cleanup."""
     import tempfile
@@ -189,11 +202,8 @@ def handle_chat_completions(
     if ref_i is not None:
         params.reference_audio = tmp_uploads[ref_i]
     params.thinking = bool(body.get("thinking", True)) and llm_handler is not None
-    for k in ("sample_mode", "use_format"):
-        if body.get(k) is not None:
-            setattr(params, k, bool(body[k]))
-    if body.get("sample_query"):
-        params.sample_query = str(body["sample_query"])
+    for k, v in chat_body_overrides(body).items():
+        setattr(params, k, v)
     for k, v in lm_sampling_overrides(body).items():
         setattr(params, k, v)
     cfg = GenerationConfig(batch_size=1, audio_format="wav", output_dir=output_dir)

@@ -144,8 +144,11 @@ def _emit(result: dict, *, final: bool = True) -> None:
         compact["partial"] = True
     line = json.dumps(compact)
     if len(line) > 1200:  # hard guard: headline must survive the tail capture
-        line = json.dumps({k: compact[k] for k in
-                           ("metric", "value", "unit", "vs_baseline", "detail_file")})
+        fallback = {k: compact[k] for k in
+                    ("metric", "value", "unit", "vs_baseline", "detail_file")}
+        if not final:
+            fallback["partial"] = True  # a mid-run line must never read as final
+        line = json.dumps(fallback)
     _LAST_COMPACT = compact
     print(line, flush=True)
 

@@ -126,6 +126,49 @@ def test_generate_music_use_format(handlers):
     assert result.extra_outputs["lm_draft"]["mode"] == "format_sample"
 
 
+def test_use_format_respects_instrumental(handlers, monkeypatch):
+    """use_format must never flip an EXPLICIT instrumental request to vocal:
+    drafted lyrics are ignored in format mode when instrumental=True (the
+    user is reformatting their own input, not asking for new content), and
+    the raw-input gate means a caption-less instrumental request skips the
+    LM entirely — the '[Instrumental]' placeholder is not formattable input
+    (ref api_server.py:1680 gates on the request's caption/lyrics)."""
+    dit, llm = handlers
+    calls = []
+
+    def fake_format(fmt_input, **kw):  # noqa: ARG001
+        calls.append(fmt_input)
+        return {"metadata": {"caption": "formatted caption",
+                             "lyrics": "la la la", "bpm": "90"}}
+
+    monkeypatch.setattr(llm, "format_sample_from_input", fake_format)
+
+    # Explicit instrumental + caption: LM runs on the caption only, drafted
+    # lyrics are dropped, instrumental stays True.
+    params = GenerationParams(caption="warm piano", duration=2,
+                              thinking=False, use_format=True,
+                              instrumental=True, seed=5)
+    result = generate_music(dit, llm, params, GenerationConfig(batch_size=1),
+                            save_audio=False)
+    assert result.success, result.error
+    assert calls == ["warm piano"]  # no [Instrumental] placeholder leaked in
+    draft = result.extra_outputs["lm_draft"]
+    assert draft["mode"] == "format_sample"
+    assert "lyrics" not in draft and "instrumental" not in draft
+    assert draft["caption"] == "formatted caption"
+
+    # Caption-less instrumental: nothing to format — the LM is not called.
+    calls.clear()
+    params = GenerationParams(caption="", lyrics="", duration=2,
+                              thinking=False, use_format=True,
+                              instrumental=True, seed=5)
+    result = generate_music(dit, llm, params, GenerationConfig(batch_size=1),
+                            save_audio=False)
+    assert result.success, result.error
+    assert calls == []
+    assert result.extra_outputs["lm_draft"] == {"mode": "format_sample"}
+
+
 def test_sample_mode_requires_lm(handlers):
     """sample_mode/use_format without an initialized LM must fail the job
     with a clear error, as in the reference (require_llm, api_server.py:1605)."""
@@ -1894,6 +1937,52 @@ def test_reinitialize_serialized_against_worker(handlers, tmp_path, monkeypatch)
                 break
             time.sleep(0.5)
         assert res["status"] == 1, res
+    finally:
+        server.shutdown()
+
+
+def test_nonstreaming_chat_holds_model_lock(handlers, tmp_path):
+    """Non-streaming /v1/chat/completions generates on the HTTP thread (it
+    never enters the job queue), so it must serialize against
+    /v1/reinitialize via the same model_lock the worker holds — otherwise a
+    weight swap could land mid-trajectory under the chat generation."""
+    import http.client
+    import threading
+
+    dit, _ = handlers
+    from acestep_tpu.service.api_server import serve
+
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    done = threading.Event()
+    status = {}
+
+    def chat():
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=240)
+        c.request("POST", "/v1/chat/completions", body=json.dumps({
+            "messages": [{"role": "user", "content": "short piano, 2 seconds"}],
+            "thinking": False,
+        }), headers={"Content-Type": "application/json"})
+        r = c.getresponse()
+        status["code"] = r.status
+        status["body"] = json.loads(r.read())
+        c.close()
+        done.set()
+
+    try:
+        assert server.service.model_lock.acquire(timeout=5)
+        try:
+            t = threading.Thread(target=chat, daemon=True)
+            t.start()
+            # The chat request must be BLOCKED on the held lock, not running.
+            assert not done.wait(timeout=2.0)
+        finally:
+            server.service.model_lock.release()
+        assert done.wait(timeout=180), "chat never completed after release"
+        assert status["code"] == 200
+        assert status["body"]["choices"][0]["finish_reason"] == "stop"
     finally:
         server.shutdown()
 
