@@ -1987,6 +1987,147 @@ def test_nonstreaming_chat_holds_model_lock(handlers, tmp_path):
         server.shutdown()
 
 
+def test_service_concurrency_chaos(handlers, tmp_path, monkeypatch):
+    """Race-condition drill: hammer one server from many threads at once —
+    JSON submits against a tiny queue (forcing 429s), progressive streams,
+    non-streaming chat (generates on the HTTP thread under model_lock), and
+    /v1/reinitialize weight swaps — then assert the global invariants the
+    locks exist to protect: every accepted job reaches a terminal state, the
+    only failures are explicit queue-full rejections, streamed bodies carry
+    their full declared Content-Length, and the server stays serviceable."""
+    import http.client
+    import threading
+
+    import acestep_tpu.service.api_server as srv_mod
+
+    dit, _ = handlers
+    monkeypatch.setattr(srv_mod, "MAX_QUEUE", 5)
+    monkeypatch.setenv("ACESTEP_REINIT_WAIT_S", "120")
+    server = srv_mod.serve(dit, None, host="127.0.0.1", port=0,
+                           output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    accepted: list = []
+    rejected: list = []
+    stream_results: list = []
+    chat_results: list = []
+    reinit_results: list = []
+    errors: list = []
+    lock = threading.Lock()
+
+    def post(path, payload, timeout=240):
+        c = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+        c.request("POST", path, body=json.dumps(payload),
+                  headers={"Content-Type": "application/json"})
+        r = c.getresponse()
+        body = r.read()
+        c.close()
+        return r.status, json.loads(body)
+
+    def submitter(k):
+        try:
+            for i in range(4):
+                st, body = post("/release_task", {
+                    "caption": f"chaos {k}-{i}", "duration": 2.0,
+                    "thinking": False, "batch_size": 1,
+                    "audio_format": "wav", "seed": 100 + 10 * k + i,
+                })
+                with lock:
+                    if st == 200:
+                        accepted.append(body["task_id"])
+                    else:
+                        assert st == 429, (st, body)
+                        rejected.append(st)
+                time.sleep(0.05)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"submitter{k}: {e!r}")
+
+    def streamer(k):
+        try:
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=240)
+            c.request("POST", "/v1/generate_stream", body=json.dumps({
+                "caption": f"stream {k}", "duration": 2.0, "thinking": False,
+                "seed": 200 + k,
+            }), headers={"Content-Type": "application/json"})
+            r = c.getresponse()
+            if r.status == 429:
+                r.read()
+                with lock:
+                    stream_results.append(("429", 0, 0))
+            else:
+                declared = int(r.getheader("Content-Length"))
+                body = r.read()
+                with lock:
+                    stream_results.append((r.status, declared, len(body)))
+            c.close()
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"streamer{k}: {e!r}")
+
+    def chatter(k):
+        try:
+            st, body = post("/v1/chat/completions", {
+                "messages": [{"role": "user",
+                              "content": f"chaos chat {k}, 2 seconds"}],
+                "thinking": False,
+            })
+            with lock:
+                chat_results.append((st, body["choices"][0]["finish_reason"]))
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"chatter{k}: {e!r}")
+
+    def reiniter():
+        try:
+            for _ in range(3):
+                st, body = post("/v1/reinitialize", {"random_init": True})
+                with lock:
+                    reinit_results.append((st, body.get("success")))
+                time.sleep(0.3)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"reiniter: {e!r}")
+
+    threads = (
+        [threading.Thread(target=submitter, args=(k,)) for k in range(3)]
+        + [threading.Thread(target=streamer, args=(k,)) for k in range(2)]
+        + [threading.Thread(target=chatter, args=(k,)) for k in range(2)]
+        + [threading.Thread(target=reiniter)]
+    )
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+            assert not t.is_alive(), "chaos thread hung"
+        assert not errors, errors
+
+        # Every accepted job turns terminal; only queue-full jobs fail.
+        deadline = time.time() + 240
+        statuses = {}
+        while time.time() < deadline:
+            _, out = post("/query_result", {"task_ids": accepted})
+            statuses = {tid: r["status"]
+                        for tid, r in zip(accepted, out["results"])}
+            if all(s in (1, 2) for s in statuses.values()):
+                break
+            time.sleep(1.0)
+        assert all(s == 1 for s in statuses.values()), statuses
+        # The tiny queue really exercised backpressure.
+        assert rejected, "chaos never hit the 429 path — raise the load"
+        # Streams: either rejected (429) or complete to the declared length.
+        for st, declared, got in stream_results:
+            if st != "429":
+                assert st == 200 and got == declared, (st, declared, got)
+        for st, finish in chat_results:
+            assert st == 200 and finish == "stop"
+        # Reinits either succeeded or failed busy (503) — never corrupted.
+        for st, ok in reinit_results:
+            assert (st == 200 and ok) or st == 503, (st, ok)
+        st, body = post("/query_result", {"task_ids": []})
+        assert st == 200  # server still serviceable
+    finally:
+        server.shutdown()
+
+
 def test_query_result_bad_task_id(handlers, tmp_path):
     """null/numeric task ids (a client polling after a 429 with no task_id)
     get a structured failure entry, not a dropped connection."""
