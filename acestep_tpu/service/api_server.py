@@ -812,12 +812,7 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
             import uuid as _uuid
 
             from acestep_tpu.service.openrouter import (
-                lm_sampling_overrides as _lm_sampling_overrides,
-            )
-            from acestep_tpu.service.openrouter import (
-                chat_body_overrides,
-                parse_chat_messages,
-                route_chat_audio,
+                build_chat_request,
                 write_chat_audio_temp_files,
             )
 
@@ -831,24 +826,21 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 self.wfile.write(f"data: {json.dumps(obj)}\n\n".encode())
                 self.wfile.flush()
 
-            params, audio_parts = parse_chat_messages(body.get("messages", []))
-            payload = {**params.to_dict(), "batch_size": 1, "audio_format": "wav",
-                       "thinking": bool(body.get("thinking", True)),
-                       # OpenAI sampling params → LM sampling, same mapping as
-                       # the non-streaming path (ref openrouter_adapter.py:386-388).
-                       **_lm_sampling_overrides(body)}
-            payload.update(chat_body_overrides(body))
-            # Task-routed upload assignment, identical to non-streaming
-            # (ref openrouter_adapter.py:700-722): an explicit task_type is
-            # honored; cover-family tasks get audio[0] as src_audio (the
-            # content) and audio[1] as timbre reference; text2music gets
-            # audio[0] as reference and promotes to music_continuation.
-            # Temp files ride "_temp_files" so the worker cleans them up
-            # after the job turns terminal.
-            task, src_i, ref_i = route_chat_audio(
-                body.get("task_type"), len(audio_parts))
-            payload["task_type"] = task
+            # ONE shared assembly with the non-streaming path (message input
+            # modes, audio_config, body knobs, task-routed upload assignment —
+            # ref openrouter_adapter.py:323-427,660-722). Streaming forces
+            # batch 1 + wav (one progressive PCM stream per connection).
+            llm_ok = (service.llm_handler is not None
+                      and getattr(service.llm_handler, "initialized", False))
+            params, cfg_kw, audio_parts, (src_i, ref_i) = build_chat_request(
+                body, llm_ok)
+            payload = {**params.to_dict(), **cfg_kw,
+                       "batch_size": 1, "audio_format": "wav"}
+            if body.get("model"):  # multi-model registry selection
+                payload["model"] = str(body["model"])
             if audio_parts:
+                # Temp files ride "_temp_files" so the worker cleans them up
+                # after the job turns terminal.
                 tmp = write_chat_audio_temp_files(
                     audio_parts, prefix="acestep_sse_")
                 if src_i is not None:
@@ -1170,10 +1162,13 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 # enters the job queue), so it must hold the same model_lock
                 # the worker's dispatch holds — otherwise /v1/reinitialize
                 # could swap weights mid-trajectory under this generation.
+                # The body `model` selects from the multi-model registry,
+                # like the job API's `model` field.
+                dit = service.dit_handlers.get(
+                    str(body.get("model") or "default"), service.dit_handler)
                 with service.model_lock:
                     out = handle_chat_completions(
-                        service.dit_handler, service.llm_handler, body,
-                        service.output_dir,
+                        dit, service.llm_handler, body, service.output_dir,
                     )
                 return self._json(200, out)
             # LoRA lifecycle (ref api_server.py:3014-3104)

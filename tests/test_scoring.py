@@ -96,7 +96,57 @@ def test_openrouter_message_parsing():
         ]},
     ])
     assert audio2 == [b"RIFF"]
-    assert params2.caption == "cover this"
+    # Untagged, non-lyric text is NATURAL-LANGUAGE mode: it becomes the LM
+    # sample query (ref openrouter_adapter.py:313-316); build_chat_request
+    # demotes it to the caption when no LM is available.
+    assert params2.sample_query == "cover this"
+    assert params2.caption == ""
+
+    from acestep_tpu.service.openrouter import build_chat_request
+
+    p3, cfg3, _, _ = build_chat_request(
+        {"messages": [{"role": "user", "content": "cover this"}]},
+        llm_available=False)
+    assert p3.caption == "cover this" and p3.sample_query == ""
+    p4, _, _, _ = build_chat_request(
+        {"messages": [{"role": "user", "content": "cover this"}]},
+        llm_available=True)
+    assert p4.sample_query == "cover this" and p4.caption == ""
+
+    # Tagged mode + audio_config + body knobs (ref Openrouter_API_DOC):
+    p5, cfg5, _, _ = build_chat_request({
+        "messages": [{"role": "user", "content":
+                      "<prompt>acoustic ballad</prompt>\n<lyrics>[Verse]\nhi</lyrics>"}],
+        "audio_config": {"duration": 30, "bpm": 90, "vocal_language": "ja",
+                         "instrumental": False, "format": "wav",
+                         "key_scale": "C major", "time_signature": "4/4"},
+        "seed": "42,123",
+        "guidance_scale": 5.0,
+        "batch_size": 2,
+    }, llm_available=False)
+    assert p5.caption == "acoustic ballad"
+    assert p5.lyrics == "[Verse]\nhi"
+    assert p5.duration == 30.0 and p5.bpm == 90
+    assert p5.vocal_language == "ja" and p5.keyscale == "C major"
+    assert p5.timesignature == "4/4" and p5.guidance_scale == 5.0
+    assert cfg5["batch_size"] == 2 and cfg5["seeds"] == [42, 123]
+    assert cfg5["use_random_seed"] is False
+
+    # Lyrics-only heuristic mode ([verse]/[chorus] markers).
+    p6, _, _, _ = build_chat_request({
+        "messages": [{"role": "user",
+                      "content": "[Verse 1]\nwalking down\n[Chorus]\ndance"}],
+    }, llm_available=False)
+    assert p6.lyrics.startswith("[Verse 1]") and not p6.caption
+
+    # Explicit body `lyrics` pins the message text as the prompt (mode 4).
+    p7, _, _, _ = build_chat_request({
+        "messages": [{"role": "user", "content": "energetic EDM"}],
+        "lyrics": "[Verse]\nfeel the rhythm",
+    }, llm_available=True)
+    assert p7.caption == "energetic EDM"
+    assert p7.lyrics == "[Verse]\nfeel the rhythm"
+    assert p7.sample_query == "" and p7.instrumental is False
 
 
 def test_lyric_quality_score_diagonal_vs_scrambled():
