@@ -391,9 +391,22 @@ def models_response(model_ids: Optional[List[str]] = None) -> Dict[str, Any]:
             {
                 "id": mid,
                 "object": "model",
+                "name": f"ACE-Step {mid}",
                 "created": 0,
                 "owned_by": "acestep-tpu",
                 "capabilities": {"audio_generation": True},
+                # OpenRouter ModelInfo metadata (ref openrouter_models.py
+                # ModelInfo/ModelPricing; openrouter_adapter.py:600-614):
+                # clients use these to pick an audio-capable free model.
+                "input_modalities": ["text", "audio"],
+                "output_modalities": ["audio", "text"],
+                "context_length": 4096,
+                "max_output_length": 300,
+                "pricing": {
+                    "prompt": "0", "completion": "0",
+                    "request": "0", "image": "0",
+                },
+                "description": "AI music generation model",
             }
             for mid in (model_ids or ["acestep-v15-tpu"])
         ],

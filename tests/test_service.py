@@ -1413,6 +1413,11 @@ def test_models_openai_format(handlers, tmp_path):
     assert out["object"] == "list"
     assert out["data"][0]["id"] == "acestep-v15-tpu"
     assert out["data"][0]["object"] == "model"
+    # OpenRouter ModelInfo metadata (ref openrouter_models.py ModelInfo):
+    assert out["data"][0]["input_modalities"] == ["text", "audio"]
+    assert out["data"][0]["output_modalities"] == ["audio", "text"]
+    assert out["data"][0]["pricing"]["prompt"] == "0"
+    assert out["data"][0]["context_length"] == 4096
     assert out["models"][0]["id"] == "acestep-v15-tpu"  # studio UI shape kept
 
 
