@@ -185,6 +185,11 @@ class AceStepHandler:
             "_decode_codes_jit", "_postprocess_jit", "_peak_jit",
         ):
             self.__dict__.pop(name, None)
+        # Drop the LoRA merged-decoder cache with the old weights: its
+        # base-params pin would otherwise keep the previous checkpoint's
+        # arrays (base + merged copy) live in memory until the next
+        # effective_decoder call after a reinitialize.
+        self.lora.invalidate_cache()
 
         self.initialized = True
         return f"initialized in {time.time() - t0:.1f}s (random_init={random_init})"

@@ -143,6 +143,14 @@ class LoRARegistry:
             for name, a in self._adapters.items()
         }
 
+    def invalidate_cache(self) -> None:
+        """Drop the merged-decoder cache AND its base-params pin. Called from
+        initialize_service on a weight swap so the old checkpoint's arrays
+        (pinned base + merged copy) are freeable immediately, instead of
+        surviving until the next effective_decoder call."""
+        self._cache = None
+        self._cache_base = None
+
     def effective_decoder(self, base_decoder: Dict[str, Any], n_layers: int) -> Dict[str, Any]:
         """Base decoder with all enabled adapters applied (cached until dirty
         OR the base decoder changes — /v1/reinitialize swaps checkpoints and

@@ -19,6 +19,9 @@ import threading
 import time
 import traceback
 import uuid
+# Module-level import: a daemon worker thread that lazily imported this during
+# interpreter shutdown hit "can't register atexit after shutdown".
+from concurrent.futures import ThreadPoolExecutor
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional
 from urllib.parse import parse_qs, urlparse
@@ -335,8 +338,6 @@ class ApiService:
         latency. Non-matching drained jobs are held FIFO and run next.
         Disable with ACESTEP_MERGE_JOBS=0; cap via ACESTEP_MERGE_MAX (def 4).
         """
-        from concurrent.futures import ThreadPoolExecutor
-
         pipeline_jobs = os.environ.get("ACESTEP_PIPELINE_JOBS", "1") != "0"
         merge_jobs = os.environ.get("ACESTEP_MERGE_JOBS", "1") != "0"
         merge_max = max(1, int(os.environ.get("ACESTEP_MERGE_MAX", "4")))
@@ -346,22 +347,28 @@ class ApiService:
             task_id = self._held.popleft() if self._held else self.queue.get()
             group = [task_id]
             if merge_jobs and merge_max > 1:
-                key0 = self._merge_key(task_id)
-                while True:
-                    # held jobs first (FIFO), then the live queue
-                    try:
-                        tid = self._held.popleft() if self._held else self.queue.get_nowait()
-                    except queue.Empty:
-                        break
-                    if (
-                        key0 is not None
-                        and len(group) < merge_max
-                        and self._merge_key(tid) == key0
-                    ):
-                        group.append(tid)
-                    else:
-                        self._held.append(tid)
-                        break  # keep FIFO order beyond the first non-match
+                # The whole drain runs under _submit_lock: a queue→_held move
+                # is two steps (get_nowait, then append), and a concurrent
+                # submit between them would see the job in NEITHER count and
+                # admit one past MAX_QUEUE. Jobs moved into `group` are
+                # dispatching — their slot is legitimately freed.
+                with self._submit_lock:
+                    key0 = self._merge_key(task_id)
+                    while True:
+                        # held jobs first (FIFO), then the live queue
+                        try:
+                            tid = self._held.popleft() if self._held else self.queue.get_nowait()
+                        except queue.Empty:
+                            break
+                        if (
+                            key0 is not None
+                            and len(group) < merge_max
+                            and self._merge_key(tid) == key0
+                        ):
+                            group.append(tid)
+                        else:
+                            self._held.append(tid)
+                            break  # keep FIFO order beyond the first non-match
             # Job N's finalize (on the finisher thread) overlaps job N+1's
             # generate below; we only JOIN it afterwards, bounding the
             # pipeline to two jobs' device buffers without re-serializing.
@@ -763,8 +770,11 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                         # (and up to MAX_BUFFER_BYTES of PCM) for the job's
                         # whole queue wait + runtime. Probe the socket for
                         # EOF; the job itself keeps running and its file
-                        # result stays pollable.
-                        if self._client_gone():
+                        # result stays pollable. Only BEFORE the header: a
+                        # half-closed (SHUT_WR) client that is still reading
+                        # presents the same FIN, and truncating a committed
+                        # response mid-body would corrupt its WAV.
+                        if not header_sent and self._client_gone():
                             return
                         # No terminal sentinel yet — make sure the job is
                         # still alive (crash paths close the channel, but a
@@ -813,8 +823,26 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
 
             from acestep_tpu.service.openrouter import (
                 build_chat_request,
-                write_chat_audio_temp_files,
+                chat_upload_assignments,
             )
+
+            # ONE shared assembly with the non-streaming path (message input
+            # modes, audio_config, body knobs, task-routed upload assignment —
+            # ref openrouter_adapter.py:323-427,660-722). Streaming forces
+            # batch 1 + wav (one progressive PCM stream per connection).
+            # Build BEFORE committing the SSE 200: a malformed body (e.g.
+            # audio_config.duration = "thirty") must surface as a 400 JSON,
+            # not a dead stream with no error event.
+            llm_ok = (service.llm_handler is not None
+                      and getattr(service.llm_handler, "initialized", False))
+            try:
+                params, cfg_kw, audio_parts, (src_i, ref_i) = build_chat_request(
+                    body, llm_ok)
+            except (ValueError, TypeError) as e:
+                return self._json(
+                    400, {"error": {"code": 400, "message": f"bad request: {e}"}})
+            payload = {**params.to_dict(), **cfg_kw,
+                       "batch_size": 1, "audio_format": "wav"}
 
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
@@ -825,28 +853,14 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
             def emit(obj):
                 self.wfile.write(f"data: {json.dumps(obj)}\n\n".encode())
                 self.wfile.flush()
-
-            # ONE shared assembly with the non-streaming path (message input
-            # modes, audio_config, body knobs, task-routed upload assignment —
-            # ref openrouter_adapter.py:323-427,660-722). Streaming forces
-            # batch 1 + wav (one progressive PCM stream per connection).
-            llm_ok = (service.llm_handler is not None
-                      and getattr(service.llm_handler, "initialized", False))
-            params, cfg_kw, audio_parts, (src_i, ref_i) = build_chat_request(
-                body, llm_ok)
-            payload = {**params.to_dict(), **cfg_kw,
-                       "batch_size": 1, "audio_format": "wav"}
             if body.get("model"):  # multi-model registry selection
                 payload["model"] = str(body["model"])
             if audio_parts:
                 # Temp files ride "_temp_files" so the worker cleans them up
                 # after the job turns terminal.
-                tmp = write_chat_audio_temp_files(
-                    audio_parts, prefix="acestep_sse_")
-                if src_i is not None:
-                    payload["src_audio"] = tmp[src_i]
-                if ref_i is not None:
-                    payload["reference_audio"] = tmp[ref_i]
+                tmp, assignments = chat_upload_assignments(
+                    audio_parts, src_i, ref_i, prefix="acestep_sse_")
+                payload.update(assignments)
                 payload["_temp_files"] = tmp
             try:
                 task = service.submit(payload)
@@ -1166,10 +1180,19 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                 # like the job API's `model` field.
                 dit = service.dit_handlers.get(
                     str(body.get("model") or "default"), service.dit_handler)
-                with service.model_lock:
-                    out = handle_chat_completions(
-                        dit, service.llm_handler, body, service.output_dir,
-                    )
+                try:
+                    with service.model_lock:
+                        out = handle_chat_completions(
+                            dit, service.llm_handler, body, service.output_dir,
+                        )
+                except (ValueError, TypeError) as e:
+                    # Malformed body values (bad numerics in audio_config /
+                    # seed / batch_size) — a client error, not a 500.
+                    return self._json(
+                        400, {"error": {"code": 400, "message": f"bad request: {e}"}})
+                except Exception as e:  # noqa: BLE001
+                    return self._json(
+                        500, {"error": {"code": 500, "message": str(e)}})
                 return self._json(200, out)
             # LoRA lifecycle (ref api_server.py:3014-3104)
             if url.path.startswith("/v1/lora/"):

@@ -139,21 +139,42 @@ def generate_music(
         # are applied to a COPY of params (the caller's object is untouched)
         # and recorded in extra_outputs["lm_draft"].
         wants_sample = params.sample_mode or bool((params.sample_query or "").strip())
-        if wants_sample or params.use_format:
-            if llm_handler is None or not llm_handler.initialized:
+        lm_ok = llm_handler is not None and llm_handler.initialized
+        if (wants_sample or params.use_format) and not lm_ok:
+            if params.sample_mode or params.use_format:
                 raise RuntimeError(
                     "sample_mode/sample_query/use_format require the 5Hz LM, "
                     "which is not initialized"
                 )
+            # An IMPLICIT sample query (e.g. the job API's `description`
+            # alias) demotes to the caption when no LM is loaded — the same
+            # fallback the chat path applies — so payloads that worked on an
+            # LM-less server keep working instead of hard-failing.
+            import dataclasses as _dc
+
+            params = _dc.replace(
+                params, sample_query="",
+                caption=params.caption or params.sample_query)
+            wants_sample = False
+        if wants_sample or params.use_format:
             import dataclasses as _dc
 
             t_draft = time.time()
             draft: Dict[str, Any] = {}
+            # An unseeded request (seed = -1) must draft a DIFFERENT sample
+            # each call — PRNGKey(0) is a fixed key, so clamping to 0 would
+            # make "create a random sample" return the same song forever.
+            # 31-bit draw: PRNGKey canonicalizes Python ints to int32 when
+            # x64 is off, so a full 32-bit value could raise OverflowError.
+            draft_seed = (
+                params.seed if params.seed >= 0
+                else int.from_bytes(os.urandom(4), "little") >> 1
+            )
             if wants_sample:
                 query = (params.sample_query or "").strip() or "NO USER INPUT"
                 md = llm_handler.create_sample_from_query(
                     query, temperature=params.lm_temperature,
-                    seed=max(params.seed, 0),
+                    seed=draft_seed,
                 ).get("metadata", {})
             else:  # use_format over the user-provided caption/lyrics
                 # Gate on the RAW user input (ref api_server.py:1680 checks
@@ -171,7 +192,7 @@ def generate_music(
                         fmt_input = f"{fmt_input}\n\n# Lyrics\n{raw_lyrics}".strip()
                     md = llm_handler.format_sample_from_input(
                         fmt_input, temperature=params.lm_temperature,
-                        seed=max(params.seed, 0),
+                        seed=draft_seed,
                     ).get("metadata", {})
             updates: Dict[str, Any] = {}
             if md.get("caption"):

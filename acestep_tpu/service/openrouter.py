@@ -275,6 +275,25 @@ def build_chat_request(
     return params, cfg, audio_parts, (src_i, ref_i)
 
 
+def chat_upload_assignments(
+    audio_parts: List[bytes],
+    src_i: Optional[int],
+    ref_i: Optional[int],
+    prefix: str = "acestep_chat_",
+) -> Tuple[List[str], Dict[str, str]]:
+    """Persist uploads and map the routed slots to param fields — the ONE
+    place that turns (audio_parts, src_index, ref_index) into
+    src_audio/reference_audio paths, shared by the streaming and
+    non-streaming chat paths. Returns (temp_paths, assignments)."""
+    tmp = write_chat_audio_temp_files(audio_parts, prefix=prefix)
+    out: Dict[str, str] = {}
+    if src_i is not None:
+        out["src_audio"] = tmp[src_i]
+    if ref_i is not None:
+        out["reference_audio"] = tmp[ref_i]
+    return tmp, out
+
+
 def write_chat_audio_temp_files(audio_parts: List[bytes], prefix: str = "acestep_chat_") -> List[str]:
     """Persist uploaded audio parts to temp files; caller owns cleanup."""
     import tempfile
@@ -360,11 +379,9 @@ def handle_chat_completions(
     # reference_audio is always timbre-only (ref openrouter_adapter.py:700-722
     # — a "cover my song" chat upload MUST be src_audio or the cover
     # generates fresh audio with the upload as style).
-    tmp_uploads = write_chat_audio_temp_files(audio_parts)
-    if src_i is not None:
-        params.src_audio = tmp_uploads[src_i]
-    if ref_i is not None:
-        params.reference_audio = tmp_uploads[ref_i]
+    tmp_uploads, assignments = chat_upload_assignments(audio_parts, src_i, ref_i)
+    for field, path in assignments.items():
+        setattr(params, field, path)
     cfg = GenerationConfig(output_dir=output_dir, **cfg_kw)
     try:
         result = generate_music(dit_handler, llm_handler, params, cfg)

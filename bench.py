@@ -159,9 +159,22 @@ def _on_kill_signal(signum, frame):  # noqa: ARG001 — signal-handler signature
     line, then exit immediately."""
     if _LAST_COMPACT is not None:
         try:
-            line = dict(_LAST_COMPACT)
-            line["killed_mid_run"] = True
-            print(json.dumps(line), flush=True)
+            obj = dict(_LAST_COMPACT)
+            obj["killed_mid_run"] = True
+            line = json.dumps(obj)
+            # Same ≤1.2 KB guard as _emit: _LAST_COMPACT holds the full
+            # compact dict even when _emit printed the truncated fallback,
+            # and an oversized kill line could push past the driver's
+            # 2 000-char tail — the exact failure this handler exists for.
+            if len(line) > 1200:
+                fallback = {k: obj[k] for k in
+                            ("metric", "value", "unit", "vs_baseline",
+                             "detail_file") if k in obj}
+                if obj.get("partial"):
+                    fallback["partial"] = True
+                fallback["killed_mid_run"] = True
+                line = json.dumps(fallback)
+            print(line, flush=True)
         except Exception:  # noqa: BLE001 — never raise from a signal handler
             pass
     os._exit(1)

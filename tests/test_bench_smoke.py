@@ -391,3 +391,30 @@ def test_bench_records_outage_instead_of_hanging(monkeypatch, capsys, bench):
     rec = json.loads(out.strip().splitlines()[-1])
     assert rec["value"] == 0 and "error" in rec["summary"]
     assert len(out.strip().splitlines()[-1]) <= 1300
+
+
+def test_kill_reprint_respects_size_guard(bench, monkeypatch, capsys):
+    """The SIGTERM reprint must apply the same ≤1.2 KB guard as _emit:
+    _LAST_COMPACT holds the FULL compact dict even when _emit printed the
+    truncated fallback, and an oversized kill line could overflow the
+    driver's 2 000-char stdout tail — the exact failure the handler exists
+    to prevent."""
+    import json
+    import signal
+
+    big = {
+        "metric": bench.METRIC, "value": 42.5, "unit": "audio_s/s",
+        "vs_baseline": 0.47, "detail_file": "BENCH_DETAIL.json",
+        "legs_done": 3,
+        "summary": {"error": "x" * 5000, "skipped_legs": ["a"] * 50},
+        "partial": True,
+    }
+    monkeypatch.setattr(bench, "_LAST_COMPACT", big)
+    monkeypatch.setattr(bench.os, "_exit", lambda code: None)
+    bench._on_kill_signal(signal.SIGTERM, None)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(line) <= 1200
+    rec = json.loads(line)
+    assert rec["killed_mid_run"] is True
+    assert rec["partial"] is True  # a mid-run line must never read as final
+    assert rec["value"] == 42.5 and rec["vs_baseline"] == 0.47

@@ -346,6 +346,93 @@ def test_chat_completions_streaming(handlers, tmp_path):
     server.shutdown()
 
 
+def test_chat_completions_bad_body_is_400(handlers, tmp_path):
+    """Malformed numeric body fields must yield a 400 JSON error on BOTH chat
+    paths — not an uncaught ValueError that kills the connection (and on the
+    streaming path, a dead 200 SSE stream with no error event): the request
+    is now assembled BEFORE the SSE headers are committed."""
+    import http.client
+    import threading
+
+    from acestep_tpu.service.api_server import serve
+
+    dit, _ = handlers
+    server = serve(dit, None, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    for extra in ({"stream": True}, {}):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/v1/chat/completions", body=json.dumps({
+            "messages": [{"role": "user", "content": "hi"}],
+            "audio_config": {"duration": "thirty"},
+            **extra,
+        }), headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 400, extra
+        out = json.loads(resp.read())
+        assert out["error"]["code"] == 400
+        assert "bad request" in out["error"]["message"]
+        conn.close()
+    server.shutdown()
+
+
+def test_sample_query_demotes_to_caption_without_lm(handlers):
+    """An IMPLICIT sample query (the job API's description/desc alias) on an
+    LM-less server demotes to the caption — matching the chat path — instead
+    of hard-failing a payload that worked before the alias existed. Explicit
+    sample_mode still fails loudly."""
+    from acestep_tpu.service.inference import generate_music
+    from acestep_tpu.service.params import GenerationConfig, GenerationParams
+
+    dit, _ = handlers
+    params = GenerationParams(sample_query="warm piano mood", duration=10, seed=5)
+    result = generate_music(dit, None, params, GenerationConfig(), save_audio=False)
+    assert result.success, result.error
+    # The caller's params object is untouched; the demotion is internal.
+    assert params.sample_query == "warm piano mood"
+
+    failed = generate_music(
+        dit, None,
+        GenerationParams(sample_mode=True, duration=10, seed=5),
+        GenerationConfig(), save_audio=False)
+    assert not failed.success
+    assert "require the 5Hz LM" in (failed.error or "")
+
+
+def test_unseeded_lm_draft_uses_fresh_seed(handlers):
+    """Unseeded (seed = -1) sample-mode jobs must NOT pin the LM draft to
+    PRNGKey(0) — 'create a random sample' would return the identical song
+    forever. Seeded jobs stay reproducible."""
+    from acestep_tpu.service.inference import generate_music
+    from acestep_tpu.service.params import GenerationConfig, GenerationParams
+
+    dit, _ = handlers
+    seen = []
+
+    class FakeLM:
+        initialized = True
+
+        def create_sample_from_query(self, query, temperature=0.85, seed=0):
+            seen.append(seed)
+            return {"metadata": {"caption": f"drafted {seed}"}}
+
+    for _ in range(2):
+        r = generate_music(
+            dit, FakeLM(),
+            GenerationParams(sample_mode=True, duration=10, thinking=False),  # seed defaults -1
+            GenerationConfig(), save_audio=False)
+        assert r.success, r.error
+    assert all(s >= 0 for s in seen)
+    assert seen[0] != seen[1]  # 32-bit random draws; collision ≈ 2^-32
+
+    r = generate_music(
+        dit, FakeLM(),
+        GenerationParams(sample_mode=True, duration=10, seed=77, thinking=False),
+        GenerationConfig(), save_audio=False)
+    assert r.success and seen[-1] == 77  # explicit seed passes through
+
+
 def test_chat_completions_streaming_with_audio(handlers, tmp_path):
     """Streamed chat with a base64 audio part and NO explicit task_type:
     the upload becomes reference_audio (style conditioning) and the task
