@@ -166,14 +166,28 @@ def cmd_generate_examples(args) -> int:
     return 0 if written else 1
 
 
-def run_warmup(dit, warmup_spec: str) -> None:
+def run_warmup(dit, warmup_spec: str, llm=None) -> None:
     """Compile the denoise/decode programs for the expected request shapes
     BEFORE the server binds its port, so first requests don't pay the
     20-40 s trace+compile (the role of the reference's COMPILE_MODEL /
     torch.compile warmup, acestep_v15_pipeline.py env). Spec:
-    'BxD,BxD,...' (batch x duration-seconds), e.g. '1x30,2x60,4x60'."""
+    'BxD,BxD,...' (batch x duration-seconds), e.g. '1x30,2x60,4x60'.
+
+    The token 'lm' warms the planner's draft/understand programs
+    (create_sample prefill + constrained decode) — cold they cost minutes
+    on a first sample_mode/chat request, and the compiles land in the
+    persistent cache so later restarts replay them in seconds."""
     for spec in warmup_spec.split(","):
-        b, _, d = spec.strip().partition("x")
+        spec = spec.strip()
+        if spec.lower() == "lm":
+            if llm is None or not getattr(llm, "initialized", False):
+                print("[warmup] lm requested but no LM initialized — skipped")
+                continue
+            t0 = time.time()
+            llm.create_sample_from_query("warmup", seed=0)
+            print(f"[warmup] lm draft programs compiled+ran in {time.time() - t0:.1f}s")
+            continue
+        b, _, d = spec.partition("x")
         b, d = int(b), float(d or 30)
         t0 = time.time()
         dit.generate_music(
@@ -233,7 +247,7 @@ def cmd_serve(args) -> int:
             print(f"[model {n}] " + h.initialize_service(path))
             extra[os.path.basename(os.path.normpath(path))] = h
     if args.warmup:
-        run_warmup(dit, args.warmup)
+        run_warmup(dit, args.warmup, llm=llm)
 
     server = serve(dit, llm, args.host, args.port, args.api_key, args.output_dir,
                    extra_dit_handlers=extra or None)
@@ -527,7 +541,8 @@ def main(argv=None) -> int:
     s.add_argument("--output-dir", default="./outputs")
     s.add_argument("--warmup", default=os.environ.get("ACESTEP_WARMUP"),
                    help="precompile request shapes before binding the port, "
-                        "e.g. '1x30,2x60,4x60' (batch x duration-seconds)")
+                        "e.g. '1x30,2x60,4x60' (batch x duration-seconds); "
+                        "the token 'lm' warms the planner draft programs")
     s.set_defaults(fn=cmd_serve)
 
     t = sub.add_parser("train", help="LoRA fine-tune from preprocessed tensors")

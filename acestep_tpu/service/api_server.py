@@ -547,7 +547,7 @@ class ApiService:
                             k: v
                             for k, v in result.extra_outputs.items()
                             if k in ("time_costs", "lm_metadata", "lm_draft",
-                                     "audio_codes", "merged_batch")
+                                     "lm_seed", "audio_codes", "merged_batch")
                         },
                         **({"streamed_chunks": channel.chunks} if channel else {}),
                     },
@@ -592,6 +592,19 @@ _PARAM_ALIASES = {
     "description": "sample_query",
     "desc": "sample_query",
 }
+
+
+def _request_seed(body: Dict[str, Any]) -> int:
+    """Client-pinned seed, else a fresh 31-bit draw (PRNGKey canonicalizes
+    Python ints to int32 when x64 is off). Used by the LM-only endpoints so
+    unseeded calls vary instead of replaying PRNGKey(0) forever."""
+    try:
+        seed = int(body.get("seed", -1))
+    except (TypeError, ValueError):
+        seed = -1
+    if seed >= 0:
+        return seed
+    return int.from_bytes(os.urandom(4), "little") >> 1
 
 
 def _params_from_payload(payload: Dict[str, Any]) -> GenerationParams:
@@ -1079,12 +1092,19 @@ def make_handler(service: ApiService, api_key: Optional[str] = None):
                     )
                 return self._json(200, {"results": results})
             if url.path == "/create_random_sample":
-                out = create_sample(service.llm_handler, body.get("query", ""))
+                # A fresh draw unless the client pins one — the handler's
+                # seed default is 0, which would make every "random" sample
+                # identical (the reference samples unseeded here).
+                out = create_sample(
+                    service.llm_handler, body.get("query", ""),
+                    seed=_request_seed(body),
+                )
                 return self._json(200, out)
             if url.path == "/format_input":
                 out = format_sample(
                     service.llm_handler,
                     body.get("input") or body.get("user_input") or body.get("text", ""),
+                    seed=_request_seed(body),
                 )
                 return self._json(200, out)
             if url.path == "/understand":

@@ -140,6 +140,17 @@ def generate_music(
         # and recorded in extra_outputs["lm_draft"].
         wants_sample = params.sample_mode or bool((params.sample_query or "").strip())
         lm_ok = llm_handler is not None and llm_handler.initialized
+        # One resolved seed for every LM stage of this request (draft AND
+        # thinking). An unseeded request (seed = -1) must get a FRESH draw —
+        # clamping to 0 pins PRNGKey(0), making "surprise me" return the
+        # identical CoT/codes forever. 31-bit: PRNGKey canonicalizes Python
+        # ints to int32 when x64 is off. The reference resolves random seeds
+        # BEFORE its LM phase (inference.py:309 prepare_seeds) for the same
+        # reason. Diffusion seeds resolve separately (config.seeds below).
+        lm_seed = (
+            params.seed if params.seed >= 0
+            else int.from_bytes(os.urandom(4), "little") >> 1
+        )
         if (wants_sample or params.use_format) and not lm_ok:
             if params.sample_mode or params.use_format:
                 raise RuntimeError(
@@ -161,15 +172,7 @@ def generate_music(
 
             t_draft = time.time()
             draft: Dict[str, Any] = {}
-            # An unseeded request (seed = -1) must draft a DIFFERENT sample
-            # each call — PRNGKey(0) is a fixed key, so clamping to 0 would
-            # make "create a random sample" return the same song forever.
-            # 31-bit draw: PRNGKey canonicalizes Python ints to int32 when
-            # x64 is off, so a full 32-bit value could raise OverflowError.
-            draft_seed = (
-                params.seed if params.seed >= 0
-                else int.from_bytes(os.urandom(4), "little") >> 1
-            )
+            draft_seed = lm_seed
             if wants_sample:
                 query = (params.sample_query or "").strip() or "NO USER INPUT"
                 md = llm_handler.create_sample_from_query(
@@ -223,7 +226,8 @@ def generate_music(
             if updates:
                 params = _dc.replace(params, **updates)
                 lyrics = _resolve_lyrics(params)
-            draft = {**updates, "mode": "create_sample" if wants_sample else "format_sample"}
+            draft = {**updates, "mode": "create_sample" if wants_sample else "format_sample",
+                     "seed": draft_seed}
             extra["lm_draft"] = draft
             time_costs["lm_draft_time_cost"] = time.time() - t_draft
 
@@ -256,7 +260,7 @@ def generate_music(
                 user_metadata=user_metadata if params.use_cot_metas else None,
                 target_duration=params.duration if params.duration > 0 else None,
                 use_constrained_decoding=params.use_constrained_decoding,
-                seed=max(params.seed, 0),
+                seed=lm_seed,
                 batch_size=lm_batch,
                 batch_chunk_size=config.lm_batch_chunk_size,
             )
@@ -265,6 +269,7 @@ def generate_music(
                 audio_codes = lm_out.get("audio_codes", "")
             batch_codes = lm_out.get("batch_audio_codes")
             extra["lm_metadata"] = lm_meta
+            extra["lm_seed"] = lm_seed  # replay an unseeded think run exactly
             extra["cot_text"] = lm_out.get("cot_text", "")
             time_costs.update(lm_out.get("time_costs", {}))
 

@@ -78,6 +78,35 @@ def test_run_warmup_compiles_each_shape():
     assert calls == [(1, 30.0), (2, 60.0), (4, 30.0)]
 
 
+def test_run_warmup_lm_token():
+    """The 'lm' warmup token compiles the planner draft programs (a cold
+    first sample_mode/chat request otherwise pays minutes of compile), and
+    degrades to a skip when no LM is initialized."""
+    from acestep_tpu.cli import run_warmup
+
+    dit_calls, lm_calls = [], []
+
+    class FakeDit:
+        def generate_music(self, **kw):
+            dit_calls.append(kw["batch_size"])
+            return {"time_costs": {}}
+
+    class FakeLM:
+        initialized = True
+
+        def create_sample_from_query(self, query, **kw):
+            lm_calls.append(query)
+            return {"metadata": {}}
+
+    run_warmup(FakeDit(), "1x30, lm", llm=FakeLM())
+    assert dit_calls == [1] and lm_calls == ["warmup"]
+
+    # No LM → the token is skipped, DiT legs still run, no crash.
+    dit_calls.clear()
+    run_warmup(FakeDit(), "lm,1x30", llm=None)
+    assert dit_calls == [1]
+
+
 def test_serve_aborts_on_incomplete_checkpoint(tmp_path, capsys):
     broken = tmp_path / "acestep-v15-turbo"
     broken.mkdir()

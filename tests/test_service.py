@@ -69,6 +69,40 @@ def test_generate_music_end_to_end(handlers, tmp_path):
     assert "lm_metadata" in result.extra_outputs
 
 
+def test_unseeded_thinking_uses_fresh_lm_seed(handlers):
+    """An unseeded (seed = -1) thinking request must NOT pin the LM phase to
+    seed 0 — 'surprise me' would produce the identical CoT/codes forever.
+    The reference resolves random seeds BEFORE its LM phase
+    (inference.py:309 prepare_seeds). Explicit seeds pass through, and the
+    resolved seed is published for replay."""
+    from acestep_tpu.service.inference import generate_music
+
+    dit, _ = handlers
+    seen = []
+
+    class FakeLM:
+        initialized = True
+
+        def generate_with_stop_condition(self, **kw):
+            seen.append(kw["seed"])
+            return {"metadata": {}, "audio_codes": "", "time_costs": {}}
+
+    for _ in range(2):
+        r = generate_music(
+            dit, FakeLM(),
+            GenerationParams(caption="x", duration=2.0, thinking=True),  # seed -1
+            GenerationConfig(batch_size=1), save_audio=False)
+        assert r.success, r.error
+        assert r.extra_outputs["lm_seed"] == seen[-1]
+    assert all(s >= 0 for s in seen) and seen[0] != seen[1]
+
+    r = generate_music(
+        dit, FakeLM(),
+        GenerationParams(caption="x", duration=2.0, thinking=True, seed=91),
+        GenerationConfig(batch_size=1), save_audio=False)
+    assert r.success and seen[-1] == 91
+
+
 def test_generate_music_without_thinking(handlers, tmp_path):
     dit, llm = handlers
     params = GenerationParams(caption="piano", duration=2.0, thinking=False, seed=1)
@@ -166,7 +200,7 @@ def test_use_format_respects_instrumental(handlers, monkeypatch):
                             save_audio=False)
     assert result.success, result.error
     assert calls == []
-    assert result.extra_outputs["lm_draft"] == {"mode": "format_sample"}
+    assert result.extra_outputs["lm_draft"] == {"mode": "format_sample", "seed": 5}
 
 
 def test_sample_mode_requires_lm(handlers):
@@ -220,6 +254,53 @@ def test_release_task_sample_mode(handlers, tmp_path):
         assert draft["mode"] == "create_sample"
     finally:
         server.shutdown()
+
+
+def test_lm_only_endpoints_use_fresh_seed(handlers, tmp_path):
+    """/create_random_sample and /format_input must draw a fresh seed per
+    unseeded call — the handler default (0) would make every "random" sample
+    identical. A body-pinned seed passes through for reproducibility."""
+    import http.client
+    import threading
+
+    from acestep_tpu.service.api_server import serve
+
+    dit, _ = handlers
+    seen = []
+
+    class FakeLM:
+        initialized = True
+
+        def create_sample_from_query(self, query, seed=0, **kw):
+            seen.append(("create", seed))
+            return {"metadata": {}, "text": ""}
+
+        def format_sample_from_input(self, text, seed=0, **kw):
+            seen.append(("format", seed))
+            return {"metadata": {}, "text": ""}
+
+    server = serve(dit, FakeLM(), host="127.0.0.1", port=0,
+                   output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, payload):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", path, body=json.dumps(payload),
+                     headers={"Content-Type": "application/json"})
+        data = json.loads(conn.getresponse().read())
+        conn.close()
+        return data
+
+    assert post("/create_random_sample", {})["success"]
+    assert post("/create_random_sample", {})["success"]
+    assert post("/create_random_sample", {"seed": 17})["success"]
+    assert post("/format_input", {"input": "a song about rain"})["success"]
+    creates = [s for kind, s in seen if kind == "create"]
+    assert creates[2] == 17
+    assert creates[0] != creates[1]  # fresh 31-bit draws
+    assert all(s >= 0 for _, s in seen)
+    server.shutdown()
 
 
 def test_api_server_job_flow(handlers, tmp_path):
