@@ -249,7 +249,10 @@ def build_chat_request(
     for k in ("use_cot_caption", "use_cot_language"):
         if body.get(k) is not None:
             setattr(params, k, bool(body[k]))
-    params.thinking = bool(body.get("thinking", True)) and llm_available
+    # Default False for schema parity (ref ChatCompletionRequest
+    # `thinking: bool = False`, openrouter_api_server.py:126): an
+    # unadorned chat request generates without the CoT planner.
+    params.thinking = bool(body.get("thinking", False)) and llm_available
     for k, v in lm_sampling_overrides(body).items():
         setattr(params, k, v)
 

@@ -148,6 +148,20 @@ def test_openrouter_message_parsing():
     assert p7.lyrics == "[Verse]\nfeel the rhythm"
     assert p7.sample_query == "" and p7.instrumental is False
 
+    # `thinking` defaults FALSE for schema parity (ref ChatCompletionRequest,
+    # openrouter_api_server.py:126) and is gated on LM availability.
+    assert p7.thinking is False
+    p8, _, _, _ = build_chat_request({
+        "messages": [{"role": "user", "content": "<prompt>x</prompt>"}],
+        "thinking": True,
+    }, llm_available=True)
+    assert p8.thinking is True
+    p9, _, _, _ = build_chat_request({
+        "messages": [{"role": "user", "content": "<prompt>x</prompt>"}],
+        "thinking": True,
+    }, llm_available=False)
+    assert p9.thinking is False
+
 
 def test_lyric_quality_score_diagonal_vs_scrambled():
     """Composite score (ref dit_score.py cov² · mono² · conf): a clean
