@@ -542,7 +542,10 @@ class ApiService:
                         "seeds": [a.get("seed") for a in result.audios],
                         "lrcs": [a.get("lrc") for a in result.audios],
                         "lyrics_scores": [a.get("lyrics_score") for a in result.audios],
-                        "metas": result.audios[0].get("metas") if result.audios else None,
+                        # Audio-free jobs (analysis_only/full_analysis_only)
+                        # surface the LM metas directly.
+                        "metas": (result.audios[0].get("metas") if result.audios
+                                  else result.extra_outputs.get("lm_metadata")),
                         "extra": {
                             k: v
                             for k, v in result.extra_outputs.items()
@@ -591,6 +594,12 @@ _PARAM_ALIASES = {
     # sample_query aliases (ref api_server.py:353 accepts description/desc)
     "description": "sample_query",
     "desc": "sample_query",
+    # The reference schema's canonical names for these fields
+    # (GenerateMusicRequest, ref api_server.py:485-528).
+    "reference_audio_path": "reference_audio",
+    "src_audio_path": "src_audio",
+    "constrained_decoding": "use_constrained_decoding",
+    "track_classes": "complete_track_classes",
 }
 
 

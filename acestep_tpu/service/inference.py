@@ -140,17 +140,68 @@ def generate_music(
         # and recorded in extra_outputs["lm_draft"].
         wants_sample = params.sample_mode or bool((params.sample_query or "").strip())
         lm_ok = llm_handler is not None and llm_handler.initialized
-        # One resolved seed for every LM stage of this request (draft AND
-        # thinking). An unseeded request (seed = -1) must get a FRESH draw —
-        # clamping to 0 pins PRNGKey(0), making "surprise me" return the
-        # identical CoT/codes forever. 31-bit: PRNGKey canonicalizes Python
-        # ints to int32 when x64 is off. The reference resolves random seeds
-        # BEFORE its LM phase (inference.py:309 prepare_seeds) for the same
-        # reason. Diffusion seeds resolve separately (config.seeds below).
+        # One resolved seed for every LM stage of this request (analysis,
+        # draft AND thinking). An unseeded request (seed = -1) must get a
+        # FRESH draw — clamping to 0 pins PRNGKey(0), making "surprise me"
+        # return the identical CoT/codes forever. 31-bit: PRNGKey
+        # canonicalizes Python ints to int32 when x64 is off. The reference
+        # resolves random seeds BEFORE its LM phase (inference.py:309
+        # prepare_seeds) for the same reason. Diffusion seeds resolve
+        # separately (config.seeds below).
         lm_seed = (
             params.seed if params.seed >= 0
             else int.from_bytes(os.urandom(4), "little") >> 1
         )
+
+        # ------------------ metadata-only job modes ------------------
+        # analysis_only / full_analysis_only return LM analysis WITHOUT
+        # generating audio (ref api_server.py:1852-1919): full analysis
+        # encodes src audio → semantic codes → LM understanding (deep metas
+        # + lyric transcription); plain analysis runs the CoT metas phase
+        # over the provided caption/lyrics.
+        if params.analysis_only or params.full_analysis_only:
+            if not lm_ok:
+                raise RuntimeError(
+                    "analysis_only/full_analysis_only require the 5Hz LM, "
+                    "which is not initialized"
+                )
+            t_an = time.time()
+            if params.full_analysis_only:
+                codes = (params.audio_codes or "").strip()
+                if not codes:
+                    if not params.src_audio:
+                        raise ValueError(
+                            "full_analysis_only needs src_audio (or audio_codes)"
+                        )
+                    wav = audio_utils.load_audio(params.src_audio)
+                    codes = dit_handler.convert_audio_to_codes(wav)
+                # Deep-analysis temperature pinned at 0.3 like the reference
+                # worker (api_server.py:1864-1869).
+                md = llm_handler.understand_audio_from_codes(
+                    codes, temperature=0.3, seed=lm_seed).get("metadata", {})
+                status = "full analysis complete"
+                extra["audio_codes"] = codes
+            else:
+                lm_out = llm_handler.generate_with_stop_condition(
+                    caption=params.caption,
+                    lyrics=lyrics,
+                    temperature=params.lm_temperature,
+                    top_p=params.lm_top_p,
+                    use_constrained_decoding=True,
+                    stop_at_reasoning=True,
+                    seed=lm_seed,
+                )
+                md = lm_out.get("metadata", {})
+                status = "analysis complete"
+            extra["lm_metadata"] = md
+            time_costs["analysis_time_cost"] = time.time() - t_an
+            time_costs["total_time_cost"] = time.time() - t_start
+            extra["time_costs"] = time_costs
+            return GenerationResult(
+                audios=[], status_message=status, extra_outputs=extra,
+                success=True,
+            )
+
         if (wants_sample or params.use_format) and not lm_ok:
             if params.sample_mode or params.use_format:
                 raise RuntimeError(
@@ -458,6 +509,8 @@ def merge_eligible(params: GenerationParams) -> bool:
         and not params.sample_mode
         and not (params.sample_query or "").strip()
         and not params.use_format
+        and not params.analysis_only
+        and not params.full_analysis_only
         and params.task_type == "text2music"
         and not params.reference_audio
         and not params.src_audio

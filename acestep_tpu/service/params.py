@@ -83,6 +83,14 @@ class GenerationParams:
     sample_query: str = ""
     use_format: bool = False
 
+    # Metadata-only job modes (ref api_server.py:496-497 → :1852-1919):
+    # analysis_only runs the LM's CoT metas phase over caption/lyrics and
+    # returns them without generating audio; full_analysis_only encodes
+    # src_audio to semantic codes and runs LM understanding over them
+    # (deep analysis: metas + lyric transcription), also audio-free.
+    analysis_only: bool = False
+    full_analysis_only: bool = False
+
     # 5 Hz LM parameters
     thinking: bool = True
     lm_temperature: float = 0.85

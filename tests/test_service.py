@@ -103,6 +103,88 @@ def test_unseeded_thinking_uses_fresh_lm_seed(handlers):
     assert r.success and seen[-1] == 91
 
 
+def test_analysis_only_returns_metas_without_audio(handlers):
+    """analysis_only runs the LM CoT metas phase and returns NO audio (ref
+    api_server.py:1887-1919); it requires the LM and never touches the DiT."""
+    from acestep_tpu.service.inference import generate_music
+
+    dit, llm = handlers
+    r = generate_music(
+        dit, llm,
+        GenerationParams(caption="warm piano", analysis_only=True, seed=3),
+        GenerationConfig(batch_size=1), save_audio=False)
+    assert r.success, r.error
+    assert r.audios == []
+    assert "lm_metadata" in r.extra_outputs
+    assert "analysis_time_cost" in r.extra_outputs["time_costs"]
+
+    no_lm = generate_music(
+        dit, None,
+        GenerationParams(caption="x", analysis_only=True),
+        GenerationConfig(batch_size=1), save_audio=False)
+    assert not no_lm.success and "require the 5Hz LM" in (no_lm.error or "")
+
+
+def test_full_analysis_only_understands_codes(handlers):
+    """full_analysis_only: src audio (or direct audio_codes) → semantic codes
+    → LM understanding, audio-free (ref api_server.py:1852-1885). Direct
+    codes skip the encode; a missing input is a clean error."""
+    from acestep_tpu.service.inference import generate_music
+
+    dit, llm = handlers
+    codes = "".join(f"<|audio_code_{i}|>" for i in (5, 9, 13))
+    r = generate_music(
+        dit, llm,
+        GenerationParams(full_analysis_only=True, audio_codes=codes, seed=2),
+        GenerationConfig(batch_size=1), save_audio=False)
+    assert r.success, r.error
+    assert r.audios == []
+    assert "lm_metadata" in r.extra_outputs
+    assert r.extra_outputs["audio_codes"] == codes
+
+    missing = generate_music(
+        dit, llm,
+        GenerationParams(full_analysis_only=True),
+        GenerationConfig(batch_size=1), save_audio=False)
+    assert not missing.success
+    assert "src_audio" in (missing.error or "")
+
+
+def test_analysis_jobs_never_merge():
+    """Metadata-only jobs must not join a dynamically batched generation —
+    the merged runner skips LM phases entirely."""
+    from acestep_tpu.service.inference import merge_eligible
+
+    base = GenerationParams(caption="x", thinking=False)
+    assert merge_eligible(base)
+    assert not merge_eligible(GenerationParams(caption="x", thinking=False,
+                                               analysis_only=True))
+    assert not merge_eligible(GenerationParams(caption="x", thinking=False,
+                                               full_analysis_only=True))
+
+
+def test_reference_schema_aliases_accepted():
+    """The reference GenerateMusicRequest's canonical field names map onto
+    this schema (ref api_server.py:485-528): *_path audio fields,
+    constrained_decoding, track_classes."""
+    from acestep_tpu.service.api_server import _params_from_payload
+
+    p = _params_from_payload({
+        "prompt": "warm piano",
+        "reference_audio_path": "/tmp/r.wav",
+        "src_audio_path": "/tmp/s.wav",
+        "constrained_decoding": False,
+        "track_classes": ["vocal"],
+        "use_tiled_decode": True,  # accepted-and-ignored
+        "lm_backend": "vllm",      # accepted-and-ignored
+    })
+    assert p.caption == "warm piano"
+    assert p.reference_audio == "/tmp/r.wav"
+    assert p.src_audio == "/tmp/s.wav"
+    assert p.use_constrained_decoding is False
+    assert p.complete_track_classes == ["vocal"]
+
+
 def test_generate_music_without_thinking(handlers, tmp_path):
     dit, llm = handlers
     params = GenerationParams(caption="piano", duration=2.0, thinking=False, seed=1)
@@ -254,6 +336,44 @@ def test_release_task_sample_mode(handlers, tmp_path):
         assert draft["mode"] == "create_sample"
     finally:
         server.shutdown()
+
+
+def test_analysis_only_job_over_rest(handlers, tmp_path):
+    """/release_task with analysis_only=true completes audio-free and the
+    job result carries the LM metas (metas + extra.lm_metadata populated,
+    audio_paths empty)."""
+    import http.client
+    import threading
+    import time as _time
+
+    from acestep_tpu.service.api_server import serve
+
+    dit, llm = handlers
+    server = serve(dit, llm, host="127.0.0.1", port=0, output_dir=str(tmp_path))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def post(path, payload):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("POST", path, body=json.dumps(payload),
+                     headers={"Content-Type": "application/json"})
+        data = json.loads(conn.getresponse().read())
+        conn.close()
+        return data
+
+    tid = post("/release_task", {"prompt": "warm piano", "analysis_only": True,
+                                 "seed": 3})["task_id"]
+    for _ in range(240):
+        r = post("/query_result", {"task_ids": [tid]})["results"][0]
+        if r["status"] != 0:
+            break
+        _time.sleep(0.25)
+    assert r["status"] == 1, r.get("error")
+    res = r["result"]
+    assert res["audio_paths"] == []
+    assert res["metas"] is not None
+    assert "lm_metadata" in res["extra"]
+    server.shutdown()
 
 
 def test_lm_only_endpoints_use_fresh_seed(handlers, tmp_path):
